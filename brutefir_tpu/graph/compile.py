@@ -1,0 +1,157 @@
+"""Compile a GraphSpec into a single jitted per-block device program.
+
+The whole reference filter-process loop (`bfrun.c:1420-2083`) -- input FFTs,
+input/filter/output mixing, the partitioned spectral MAC, crossfade and
+cascade evaluation, output inverse FFTs -- becomes ONE traced function:
+
+    step(state, ctrl, x) -> (state', y)
+
+* ``state`` (donated): overlap-save tails, the [F, B, K] spectra ring, the
+  cascade tails, and the block counter -- all device-resident.
+* ``ctrl``: block-boundary snapshot of every runtime control (mix matrices,
+  coefficient indices/masks, pre-delays, crossfade flags). Changing controls
+  never recompiles.
+* ``bank``: the [n_entries, B, K] spectral coefficient bank. Device-resident;
+  hot-swapped by the EQ module via functional update outside the step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import partconv
+from .spec import GraphSpec
+
+
+class StepState(NamedTuple):
+    prev_in: jax.Array    # [C_in, N] previous input block (overlap-save tails)
+    ring: jax.Array       # [F, B, K] complex mixed-input spectra ring
+    eval_prev: jax.Array  # [n_casc, N] cascade valid-output tails
+    t: jax.Array          # scalar int32 block counter
+
+
+class StepCtrl(NamedTuple):
+    in_mix: jax.Array     # [F, C_in] input mix gains (incl. format scale)
+    fmix: jax.Array       # [F, F] filter->filter mix gains
+    out_mix: jax.Array    # [C_out, F] output mix gains (incl. 1/format scale)
+    delay: jax.Array      # [F] int32 pre-delay in blocks (clamped 0..B-1)
+    coeff_idx: jax.Array  # [F] int32 index into the bank (dirac = last entry)
+    mask: jax.Array       # [F, B] partition validity (cblocks clamp)
+    prev_idx: jax.Array   # [F] int32 previous coefficient (crossfade source)
+    prev_mask: jax.Array  # [F, B]
+    xfade: jax.Array      # [F] 1.0 where a crossfade happens this block
+    any_xfade: jax.Array  # scalar bool
+
+
+class CompiledGraph:
+    """Owns the jitted step and state initialization for one GraphSpec."""
+
+    def __init__(self, spec: GraphSpec):
+        self.spec = spec
+        self._step = jax.jit(functools.partial(_step_impl, spec), donate_argnums=(0,))
+
+    def init_state(self) -> StepState:
+        s = self.spec
+        rd, cd = s.real_dtype, s.complex_dtype
+        return StepState(
+            prev_in=jnp.zeros((s.n_inputs, s.block_length), rd),
+            ring=jnp.zeros((s.n_filters, s.n_blocks, s.n_bins), cd),
+            eval_prev=jnp.zeros((s.n_casc, s.block_length), rd),
+            t=jnp.zeros((), jnp.int32),
+        )
+
+    def step(self, state: StepState, ctrl: StepCtrl, bank: jax.Array, x: jax.Array):
+        """One block: x [C_in, N] -> (state', y [C_out, N])."""
+        return self._step(state, ctrl, bank, x)
+
+
+def _step_impl(spec: GraphSpec, state: StepState, ctrl: StepCtrl,
+               bank: jax.Array, x: jax.Array):
+    N = spec.block_length
+    B = spec.n_blocks
+    K = spec.n_bins
+    F = spec.n_filters
+    cd = spec.complex_dtype
+
+    X = partconv.frame_and_fft(state.prev_in, x)          # [C_in, K]
+    ring = state.ring
+    eval_prev = state.eval_prev
+    t = state.t
+    y_all = jnp.zeros((F, K), cd)
+
+    for stage in spec.stages:
+        idx = stage.idx                                    # static np array
+        mixed = partconv.complex_mix(ctrl.in_mix[idx], X)  # [Fs, K]
+
+        if stage.casc_local.size:
+            cidx = idx[stage.casc_local]
+            z = partconv.complex_mix(ctrl.fmix[cidx], y_all)
+            e, tails = partconv.convolve_eval(z, eval_prev[stage.casc_slots], N)
+            eval_prev = eval_prev.at[stage.casc_slots].set(tails)
+            mixed = mixed.at[stage.casc_local].add(e)
+
+        wpos = jnp.mod(t + ctrl.delay[idx], B)             # [Fs]
+        ring = ring.at[idx, wpos].set(mixed)
+
+        h = jnp.take(bank, ctrl.coeff_idx[idx], axis=0) * ctrl.mask[idx][:, :, None]
+        y = partconv.spectral_mac(ring[idx], h, t)
+
+        if stage.any_crossfade:
+            def do_xfade(y, _idx=idx):
+                hp = (jnp.take(bank, ctrl.prev_idx[_idx], axis=0)
+                      * ctrl.prev_mask[_idx][:, :, None])
+                y_old = partconv.spectral_mac(ring[_idx], hp, t)
+                y_xf = partconv.crossfade_spectra(y_old, y, N)
+                sel = ctrl.xfade[_idx][:, None] > 0
+                return jnp.where(sel, y_xf, y)
+
+            y = jax.lax.cond(ctrl.any_xfade, do_xfade, lambda v: v, y)
+
+        y_all = y_all.at[idx].set(y)
+
+    out_spec = partconv.complex_mix(ctrl.out_mix, y_all)   # [C_out, K]
+    y_time = jnp.fft.irfft(out_spec, axis=-1)[:, :N]       # valid lower half
+
+    new_state = StepState(prev_in=x, ring=ring, eval_prev=eval_prev, t=t + 1)
+    return new_state, y_time
+
+
+def make_ctrl(
+    spec: GraphSpec,
+    in_mix: np.ndarray,
+    fmix: np.ndarray,
+    out_mix: np.ndarray,
+    delay: np.ndarray,
+    coeff_idx: np.ndarray,
+    mask: np.ndarray,
+    prev_idx=None,
+    prev_mask=None,
+    xfade=None,
+) -> StepCtrl:
+    """Assemble a StepCtrl from host arrays (defaults: no crossfade)."""
+    rd = spec.real_dtype
+    F, B = spec.n_filters, spec.n_blocks
+    if prev_idx is None:
+        prev_idx = coeff_idx
+    if prev_mask is None:
+        prev_mask = mask
+    if xfade is None:
+        xfade = np.zeros(F, rd)
+    any_xfade = bool(np.any(np.asarray(xfade) > 0))
+    return StepCtrl(
+        in_mix=jnp.asarray(in_mix, rd),
+        fmix=jnp.asarray(fmix, rd),
+        out_mix=jnp.asarray(out_mix, rd),
+        delay=jnp.asarray(delay, jnp.int32),
+        coeff_idx=jnp.asarray(coeff_idx, jnp.int32),
+        mask=jnp.asarray(mask, rd),
+        prev_idx=jnp.asarray(prev_idx, jnp.int32),
+        prev_mask=jnp.asarray(prev_mask, rd),
+        xfade=jnp.asarray(xfade, rd),
+        any_xfade=jnp.asarray(any_xfade),
+    )

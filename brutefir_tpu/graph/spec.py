@@ -1,0 +1,111 @@
+"""Static graph description for the compiled block step.
+
+Derived from a parsed config (or built directly for tests). Only *structure*
+lives here -- everything runtime-controllable (mix gains, coefficient
+selection, pre-delays, crossfade activation) is data fed to the jitted step
+each block, so control changes never recompile (reference analog: the
+`intercomm_area` snapshot at `bfrun.c:1460-1484`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Sequence
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class StageSpec:
+    """One topological stage of the filter DAG (filters computable together)."""
+
+    idx: np.ndarray            # [Fs] int32 global filter indices
+    casc_local: np.ndarray     # positions within idx that have filter inputs
+    casc_slots: np.ndarray     # rows in the eval_prev state for those filters
+    any_crossfade: bool        # static: any filter in this stage may crossfade
+
+
+@dataclass(frozen=True)
+class GraphSpec:
+    block_length: int          # N (partition length, samples per block)
+    n_blocks: int              # B (number of partitions in the ring)
+    n_inputs: int              # virtual input channels
+    n_outputs: int             # virtual output channels
+    n_filters: int
+    stages: tuple              # tuple[StageSpec]
+    n_casc: int                # filters with filter inputs (eval_prev rows)
+    any_crossfade: bool
+    real_dtype: np.dtype = np.dtype(np.float32)
+
+    @property
+    def n_fft(self) -> int:
+        return 2 * self.block_length
+
+    @property
+    def n_bins(self) -> int:
+        return self.block_length + 1
+
+    @property
+    def complex_dtype(self):
+        return np.complex64 if self.real_dtype == np.float32 else np.complex128
+
+
+def build_graph_spec(
+    block_length: int,
+    n_blocks: int,
+    n_inputs: int,
+    n_outputs: int,
+    filter_inputs: Sequence[Sequence[int]],
+    crossfade_flags: Sequence[bool],
+    real_dtype=np.float32,
+) -> GraphSpec:
+    """Topologically stage the filter DAG.
+
+    ``filter_inputs[f]`` lists the filters feeding filter f (from_filters
+    edges). Assumes cycle-free (config validation rejects cycles, mirroring
+    `bfconf.c:2032-2048`).
+    """
+    F = len(filter_inputs)
+    depth = [None] * F
+
+    def compute_depth(f, trail=()):
+        if depth[f] is not None:
+            return depth[f]
+        if f in trail:
+            raise ValueError("cycle in filter graph")
+        if not filter_inputs[f]:
+            depth[f] = 0
+        else:
+            depth[f] = 1 + max(compute_depth(u, trail + (f,)) for u in filter_inputs[f])
+        return depth[f]
+
+    for f in range(F):
+        compute_depth(f)
+
+    n_stages = (max(depth) + 1) if F else 0
+    casc_slot = {}
+    for f in range(F):
+        if filter_inputs[f]:
+            casc_slot[f] = len(casc_slot)
+
+    stages: List[StageSpec] = []
+    for s in range(n_stages):
+        idx = np.array([f for f in range(F) if depth[f] == s], dtype=np.int32)
+        casc_local = np.array(
+            [i for i, f in enumerate(idx) if filter_inputs[f]], dtype=np.int32)
+        casc_slots = np.array(
+            [casc_slot[int(f)] for f in idx[casc_local]], dtype=np.int32)
+        any_xf = any(crossfade_flags[int(f)] for f in idx)
+        stages.append(StageSpec(idx, casc_local, casc_slots, any_xf))
+
+    return GraphSpec(
+        block_length=block_length,
+        n_blocks=n_blocks,
+        n_inputs=n_inputs,
+        n_outputs=n_outputs,
+        n_filters=F,
+        stages=tuple(stages),
+        n_casc=len(casc_slot),
+        any_crossfade=any(crossfade_flags),
+        real_dtype=np.dtype(real_dtype),
+    )

@@ -1,0 +1,206 @@
+"""Partitioned overlap-save correctness vs direct convolution oracles."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax.numpy as jnp
+
+from brutefir_tpu.ops import partconv
+from brutefir_tpu.graph import build_graph_spec, CompiledGraph, make_ctrl
+
+
+def run_blocks(cg, ctrl, bank, x_blocks):
+    state = cg.init_state()
+    outs = []
+    for xb in x_blocks:
+        state, y = cg.step(state, ctrl, bank, jnp.asarray(xb))
+        outs.append(np.asarray(y))
+    return np.concatenate(outs, axis=-1)
+
+
+def simple_ctrl(spec, n_coeffs, coeff=0, delay=0, mask_blocks=None):
+    F, B = spec.n_filters, spec.n_blocks
+    in_mix = np.eye(F, spec.n_inputs, dtype=np.float32)
+    fmix = np.zeros((F, F), np.float32)
+    out_mix = np.eye(spec.n_outputs, F, dtype=np.float32)
+    d = np.full(F, delay, np.int32)
+    cb = B - delay if mask_blocks is None else min(mask_blocks, B - delay)
+    mask = (np.arange(B)[None, :] < cb).astype(np.float32).repeat(F, 0)
+    cidx = np.full(F, coeff, np.int32)
+    return make_ctrl(spec, in_mix, fmix, out_mix, d, cidx, mask)
+
+
+@pytest.mark.parametrize("N,B", [(64, 1), (64, 4), (128, 8), (32, 16)])
+def test_partitioned_equals_direct(N, B, rng):
+    taps = rng.standard_normal(N * B).astype(np.float32) * 0.1
+    x = rng.standard_normal(N * (B + 3)).astype(np.float32)
+
+    spec = build_graph_spec(N, B, 1, 1, [[]], [False])
+    bank = np.stack([partconv.preprocess_coeffs(taps, N, B)])
+    cg = CompiledGraph(spec)
+    ctrl = simple_ctrl(spec, 1)
+    y = run_blocks(cg, ctrl, jnp.asarray(bank), x.reshape(-1, 1, N))
+
+    ref = scipy.signal.fftconvolve(x, taps)[: len(x)]
+    np.testing.assert_allclose(y[0], ref, rtol=0, atol=5e-4 * np.abs(ref).max())
+
+
+def test_partitioned_equals_single_partition(rng):
+    """filter_length N,B must equal filter_length N*B,1 (reference invariant)."""
+    N, B = 32, 8
+    taps = rng.standard_normal(N * B).astype(np.float32) * 0.1
+    x = rng.standard_normal(N * B * 2).astype(np.float32)
+
+    spec_m = build_graph_spec(N, B, 1, 1, [[]], [False])
+    bank_m = np.stack([partconv.preprocess_coeffs(taps, N, B)])
+    y_m = run_blocks(CompiledGraph(spec_m), simple_ctrl(spec_m, 1),
+                     jnp.asarray(bank_m), x.reshape(-1, 1, N))
+
+    spec_1 = build_graph_spec(N * B, 1, 1, 1, [[]], [False])
+    bank_1 = np.stack([partconv.preprocess_coeffs(taps, N * B, 1)])
+    y_1 = run_blocks(CompiledGraph(spec_1), simple_ctrl(spec_1, 1),
+                     jnp.asarray(bank_1), x.reshape(-1, 1, N * B))
+
+    np.testing.assert_allclose(y_m[0], y_1[0], rtol=0, atol=2e-4)
+
+
+def test_dirac_is_passthrough(rng):
+    N, B = 64, 4
+    x = rng.standard_normal(N * 6).astype(np.float32)
+    spec = build_graph_spec(N, B, 1, 1, [[]], [False])
+    bank = np.stack([partconv.dirac_bank_entry(N, B)])
+    y = run_blocks(CompiledGraph(spec), simple_ctrl(spec, 1),
+                   jnp.asarray(bank), x.reshape(-1, 1, N))
+    np.testing.assert_allclose(y[0], x, rtol=0, atol=1e-4 * np.abs(x).max())
+
+
+def test_filter_predelay_blocks(rng):
+    """filter { delay: d; } delays output by d*N samples (bfrun.c:1600)."""
+    N, B, d = 32, 8, 2
+    taps = rng.standard_normal(N).astype(np.float32)
+    x = rng.standard_normal(N * 8).astype(np.float32)
+    spec = build_graph_spec(N, B, 1, 1, [[]], [False])
+    bank = np.stack([partconv.preprocess_coeffs(taps, N, B)])
+    ctrl = simple_ctrl(spec, 1, delay=d, mask_blocks=1)
+    y = run_blocks(CompiledGraph(spec), ctrl, jnp.asarray(bank),
+                   x.reshape(-1, 1, N))
+    ref = scipy.signal.fftconvolve(x, taps)[: len(x)]
+    shifted = np.concatenate([np.zeros(d * N, np.float32), ref[: len(x) - d * N]])
+    np.testing.assert_allclose(y[0], shifted, rtol=0, atol=5e-4)
+
+
+def test_mix_matrix_crosstalk(rng):
+    """2x2 crosstalk graph (xtc_config shape): y_L = d*x_L + c*x_R etc."""
+    N, B = 64, 2
+    d_taps = rng.standard_normal(N * B).astype(np.float32) * 0.2
+    c_taps = rng.standard_normal(N * B).astype(np.float32) * 0.2
+    xL = rng.standard_normal(N * 5).astype(np.float32)
+    xR = rng.standard_normal(N * 5).astype(np.float32)
+
+    # 4 filters: Ld, Lc, Rd, Rc  (direct/cross per side)
+    spec = build_graph_spec(N, B, 2, 2, [[], [], [], []], [False] * 4)
+    bank = np.stack([
+        partconv.preprocess_coeffs(d_taps, N, B),
+        partconv.preprocess_coeffs(c_taps, N, B),
+    ])
+    in_mix = np.array([[1, 0], [0, 1], [0, 1], [1, 0]], np.float32)
+    out_mix = np.array([[1, 1, 0, 0], [0, 0, 1, 1]], np.float32)
+    ctrl = make_ctrl(
+        spec, in_mix, np.zeros((4, 4), np.float32), out_mix,
+        np.zeros(4, np.int32), np.array([0, 1, 0, 1], np.int32),
+        np.ones((4, B), np.float32))
+    x = np.stack([xL, xR]).reshape(2, -1, N).transpose(1, 0, 2)
+    y = run_blocks(CompiledGraph(spec), ctrl, jnp.asarray(bank), x)
+
+    refL = (scipy.signal.fftconvolve(xL, d_taps) + scipy.signal.fftconvolve(xR, c_taps))[: len(xL)]
+    refR = (scipy.signal.fftconvolve(xR, d_taps) + scipy.signal.fftconvolve(xL, c_taps))[: len(xR)]
+    np.testing.assert_allclose(y[0], refL, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(y[1], refR, rtol=0, atol=1e-3)
+
+
+def test_cascade_matches_sequential_convolution(rng):
+    """filter->filter edge == convolving with both IRs in sequence."""
+    N, B = 64, 2
+    t1 = rng.standard_normal(N * B).astype(np.float32) * 0.3
+    t2 = rng.standard_normal(N * B).astype(np.float32) * 0.3
+    x = rng.standard_normal(N * 8).astype(np.float32)
+
+    # filter 0: input -> filter 1; filter 1: -> output
+    spec = build_graph_spec(N, B, 1, 1, [[], [0]], [False, False])
+    bank = np.stack([
+        partconv.preprocess_coeffs(t1, N, B),
+        partconv.preprocess_coeffs(t2, N, B),
+    ])
+    in_mix = np.array([[1.0], [0.0]], np.float32)
+    fmix = np.array([[0, 0], [1, 0]], np.float32)
+    out_mix = np.array([[0.0, 1.0]], np.float32)
+    ctrl = make_ctrl(spec, in_mix, fmix, out_mix,
+                     np.zeros(2, np.int32), np.array([0, 1], np.int32),
+                     np.ones((2, B), np.float32))
+    y = run_blocks(CompiledGraph(spec), ctrl, jnp.asarray(bank),
+                   x.reshape(-1, 1, N))
+    ref = scipy.signal.fftconvolve(scipy.signal.fftconvolve(x, t1)[: len(x)], t2)[: len(x)]
+    np.testing.assert_allclose(y[0], ref, rtol=0, atol=2e-3)
+
+
+def test_crossfade_ramp(rng):
+    """Coefficient swap with crossfade ramps linearly old->new over one block."""
+    N, B = 64, 2
+    t_old = rng.standard_normal(N).astype(np.float32) * 0.2
+    t_new = rng.standard_normal(N).astype(np.float32) * 0.2
+    x = rng.standard_normal(N * 6).astype(np.float32)
+
+    spec = build_graph_spec(N, B, 1, 1, [[]], [True])
+    bank = np.stack([
+        partconv.preprocess_coeffs(t_old, N, B),
+        partconv.preprocess_coeffs(t_new, N, B),
+    ])
+    cg = CompiledGraph(spec)
+    blocks = x.reshape(-1, 1, N)
+    swap_at = 3
+
+    state = cg.init_state()
+    outs = []
+    for k, xb in enumerate(blocks):
+        if k < swap_at:
+            ctrl = simple_ctrl(spec, 2, coeff=0)
+        elif k == swap_at:
+            ctrl = make_ctrl(
+                spec, np.eye(1, 1, dtype=np.float32), np.zeros((1, 1), np.float32),
+                np.eye(1, 1, dtype=np.float32), np.zeros(1, np.int32),
+                np.array([1], np.int32), np.ones((1, B), np.float32),
+                prev_idx=np.array([0], np.int32),
+                prev_mask=np.ones((1, B), np.float32),
+                xfade=np.ones(1, np.float32))
+        else:
+            ctrl = simple_ctrl(spec, 2, coeff=1)
+        state, y = cg.step(state, ctrl, jnp.asarray(bank), jnp.asarray(xb))
+        outs.append(np.asarray(y)[0])
+    y = np.concatenate(outs)
+
+    ref_old = scipy.signal.fftconvolve(x, t_old)[: len(x)]
+    ref_new = scipy.signal.fftconvolve(x, t_new)[: len(x)]
+    # before the swap: old; after: new; during: linear ramp
+    np.testing.assert_allclose(y[: swap_at * N], ref_old[: swap_at * N],
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(y[(swap_at + 1) * N:], ref_new[(swap_at + 1) * N:],
+                               rtol=0, atol=1e-3)
+    f = np.arange(N) / (N - 1)
+    seg = slice(swap_at * N, (swap_at + 1) * N)
+    expect = ref_old[seg] * (1 - f) + ref_new[seg] * f
+    np.testing.assert_allclose(y[seg], expect, rtol=0, atol=1e-3)
+
+
+def test_short_coeff_mask(rng):
+    """A coeff with fewer blocks than the ring just skips MACs (cblocks)."""
+    N, B = 32, 8
+    taps = rng.standard_normal(N * 3).astype(np.float32)
+    x = rng.standard_normal(N * 12).astype(np.float32)
+    spec = build_graph_spec(N, B, 1, 1, [[]], [False])
+    bank = np.stack([partconv.preprocess_coeffs(taps, N, B)])
+    ctrl = simple_ctrl(spec, 1, mask_blocks=3)
+    y = run_blocks(CompiledGraph(spec), ctrl, jnp.asarray(bank),
+                   x.reshape(-1, 1, N))
+    ref = scipy.signal.fftconvolve(x, taps)[: len(x)]
+    np.testing.assert_allclose(y[0], ref, rtol=0, atol=5e-4)
