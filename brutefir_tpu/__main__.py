@@ -1,0 +1,100 @@
+"""Command-line entry point (the analog of `brutefir.c:27-95`).
+
+Usage: python -m brutefir_tpu [-quiet] [-nodefault] [-daemon] [config file]
+
+Without -nodefault the two-level config applies: ``~/.brutefir_defaults``
+(auto-created on first run) is parsed first, then the main config (default
+path from the defaults file's ``config_file`` setting).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from .config.defaults import ensure_defaults_file
+from .config.parser import parse_config_file, ConfigParseError
+from .runtime.engine import Engine, EngineError
+
+USAGE = ("Usage: %s [-quiet] [-nodefault] [-daemon] [config file]\n")
+
+BF_EXIT_OK = 0
+BF_EXIT_OTHER = 1
+BF_EXIT_INVALID_CONFIG = 2
+BF_EXIT_NO_MEMORY = 3
+BF_EXIT_INVALID_INPUT = 4
+BF_EXIT_BUFFER_UNDERFLOW = 5
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    quiet = nodefault = daemon = False
+    config_file = None
+    for a in argv:
+        if a == "-quiet":
+            quiet = True
+        elif a == "-nodefault":
+            nodefault = True
+        elif a == "-daemon":
+            daemon = True
+        elif a.startswith("-"):
+            sys.stderr.write(USAGE % "brutefir_tpu")
+            return BF_EXIT_INVALID_CONFIG
+        elif config_file is None:
+            config_file = a
+        else:
+            sys.stderr.write(USAGE % "brutefir_tpu")
+            return BF_EXIT_INVALID_CONFIG
+
+    try:
+        defaults_path = None
+        if not nodefault:
+            defaults_path = ensure_defaults_file()
+        if config_file is None:
+            if nodefault:
+                sys.stderr.write("No configuration file given.\n")
+                return BF_EXIT_INVALID_CONFIG
+            # the defaults file's config_file setting decides
+            from .config.parser import parse_config
+            from .config.defaults import DEFAULT_CONFIG_TEXT
+            with open(defaults_path) as fh:
+                dtext = fh.read()
+            probe = parse_config_probe(dtext)
+            config_file = probe or os.path.expanduser("~/.brutefir_config")
+        conf = parse_config_file(config_file, defaults_path)
+        conf.quiet = quiet
+    except ConfigParseError as e:
+        sys.stderr.write(f"{e}\n")
+        return BF_EXIT_INVALID_CONFIG
+    except OSError as e:
+        sys.stderr.write(f"{e}\n")
+        return BF_EXIT_OTHER
+
+    if daemon and os.fork() != 0:
+        return BF_EXIT_OK
+
+    try:
+        stats = Engine(conf).run()
+    except EngineError as e:
+        sys.stderr.write(f"{e}\n")
+        return BF_EXIT_OTHER
+    if not quiet:
+        sys.stderr.write(
+            f"Finished: {stats['blocks']} blocks, {stats['frames']} frames, "
+            f"{stats['xrt']:.1f}x realtime.\n")
+    return BF_EXIT_OK
+
+
+def parse_config_probe(defaults_text: str):
+    """Extract the config_file setting from the defaults file, if present."""
+    from .config.lexer import tokenize, T
+    toks = list(tokenize(defaults_text))
+    for i, t in enumerate(toks):
+        if t.kind == T.FIELD and t.value == "config_file":
+            if i + 1 < len(toks) and toks[i + 1].kind == T.STRING:
+                return os.path.expanduser(toks[i + 1].value)
+    return None
+
+
+if __name__ == "__main__":
+    sys.exit(main())

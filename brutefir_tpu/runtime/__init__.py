@@ -1,0 +1,2 @@
+from .engine import Engine, EngineError
+from .control import RuntimeControl

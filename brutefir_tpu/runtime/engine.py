@@ -1,0 +1,325 @@
+"""The engine: host pipeline around the jitted device step.
+
+The reference's three forked processes and token pipes (`bfrun.c:774-964`,
+SURVEY 2.3) collapse into one host loop that overlaps stages through JAX's
+asynchronous dispatch: while the device computes block k, the host decodes
+block k+1 and encodes block k-1. The fixed-latency contract (output frame m
+is the convolution of input frames <= m; file-to-file output length equals
+input length, with the EOF tail truncated like dai.c:1423-1439) is preserved.
+
+Per block:
+  host   decode: device read -> raw2float -> per-virtual delay/mute -> [C,N]
+  device step:   rfft -> mix -> partitioned spectral MAC -> crossfade ->
+                 cascades -> out mix -> irfft  (graph/compile.py)
+  host   encode: NaN/safety checks -> per-virtual delay/mute -> virt->phys
+                 mix -> dither/quantize -> device write
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config.model import BFConfig, IN, OUT
+from ..config.coeffs import build_bank
+from ..core.codecs import Overflow, raw_to_float, float_to_raw
+from ..core.delayline import DelayLine
+from ..core.dither import DitherTable
+from ..graph.compile import CompiledGraph
+from ..graph.spec import build_graph_spec
+from ..io import get_io_module
+from .control import RuntimeControl
+
+
+class EngineError(RuntimeError):
+    pass
+
+
+class Engine:
+    def __init__(self, conf: BFConfig, bank: Optional[np.ndarray] = None):
+        self.conf = conf
+        self.N = conf.filter_length
+        self.B = conf.n_blocks
+        self.rd = np.dtype(np.float32 if conf.realsize == 4 else np.float64)
+
+        filter_inputs = [[src for src, _ in f.in_filters] for f in conf.filters]
+        self.spec = build_graph_spec(
+            self.N, self.B, conf.n_channels[IN], conf.n_channels[OUT],
+            filter_inputs, [f.crossfade for f in conf.filters], self.rd)
+        self.cg = CompiledGraph(self.spec)
+        if bank is None:
+            bank = build_bank(conf.coeffs, self.N, self.B, self.rd.type)
+        self.bank = jnp.asarray(bank)
+        self.control = RuntimeControl(conf, self.spec)
+
+        # devices
+        self.devices: List[list] = [[], []]
+        for io in (IN, OUT):
+            for dev in conf.iodevs[io]:
+                cls = get_io_module(dev.device_name)
+                inst = cls(dev.device_params, io, dev.sample_format,
+                           conf.sampling_rate, dev.open_channels)
+                if dev.sample_format is None:
+                    dev.sample_format = inst.sample_format
+                elif inst.sample_format is not None:
+                    dev.sample_format = inst.sample_format
+                if dev.sample_format is None:
+                    raise EngineError(
+                        f'device "{dev.device_name}" did not resolve AUTO format')
+                self.devices[io].append(inst)
+
+        if conf.use_subdelay[IN] or conf.use_subdelay[OUT]:
+            from .subdelay import SubsampleDelay
+            self.subdelay = SubsampleDelay(conf, self.rd)
+        else:
+            self.subdelay = None
+
+        # per-virtual-channel delay lines
+        self.dlines = [[], []]
+        for io in (IN, OUT):
+            for ch in range(conf.n_channels[io]):
+                init = conf.delay[io][ch]
+                if self.subdelay is not None:
+                    init = init + self.subdelay.extra_delay(io, ch)
+                self.dlines[io].append(
+                    DelayLine(init, conf.maxdelay[io][ch], self.rd))
+
+        # dither: per physical output channel with apply_dither, int format,
+        # sbytes < 4 (bfconf.c:3174-3238)
+        dithered_phys = []
+        for dev in conf.iodevs[OUT]:
+            fmt = dev.sample_format
+            if dev.apply_dither and not fmt.is_float and fmt.sbytes < 4:
+                for i in range(dev.used_channels):
+                    dithered_phys.append(dev.phys_base + i)
+        self.dither_state = [None] * conf.n_physical_channels[OUT]
+        if dithered_phys:
+            table = DitherTable(len(dithered_phys), conf.sampling_rate,
+                                conf.max_dither_table_size, self.N,
+                                dtype=self.rd.type)
+            for j, p in enumerate(sorted(dithered_phys)):
+                self.dither_state[p] = table.new_state(j)
+
+        # overflow meters, per virtual output channel; shared per physical
+        self.overflow: List[Overflow] = []
+        self._phys_overflow = []
+        for p in range(conf.n_physical_channels[OUT]):
+            fmt = conf.physical_format(OUT, p)
+            self._phys_overflow.append(
+                Overflow(max=1.0 if fmt.is_float else float(fmt.imax)))
+        for ch in range(conf.n_channels[OUT]):
+            self.overflow.append(self._phys_overflow[conf.virt2phys[OUT][ch]])
+
+        self.state = self.cg.init_state()
+        self.blockcounter = 0
+        self.realtime_index = 0.0
+        self._rti_max = 0.0
+        self.logic = []          # logic module instances (cli/eq)
+        self._stage_t = np.zeros(4)  # decode, device, encode, total
+        self._stage_blocks = 0
+        self._stopped = False
+
+        self._in_framebytes = [
+            d.sample_format.bytes * d.open_channels for d in conf.iodevs[IN]]
+        self._out_framebytes = [
+            d.sample_format.bytes * d.open_channels for d in conf.iodevs[OUT]]
+
+    # ----- logic modules -------------------------------------------------
+    def attach_logic(self):
+        from ..control import load_logic_module
+        for name, params in self.conf.logic_modules:
+            self.logic.append(load_logic_module(name, params, self))
+
+    def stop(self):
+        self._stopped = True
+
+    # ----- host-side input path -------------------------------------------
+    def read_block(self):
+        """Read one fragment from all input devices.
+
+        Returns (x [C_in, N] float, frames) where frames < N signals EOF.
+        """
+        conf = self.conf
+        N = self.N
+        phys = np.zeros((conf.n_physical_channels[IN], N), self.rd)
+        frames = N
+        for di, dev in enumerate(conf.iodevs[IN]):
+            inst = self.devices[IN][di]
+            want = N * self._in_framebytes[di]
+            raw = inst.read(want)
+            got_frames = len(raw) // self._in_framebytes[di]
+            if got_frames < N:
+                frames = min(frames, got_frames)
+            buf = np.frombuffer(raw, dtype=np.uint8)
+            if len(raw) < want:
+                buf = np.concatenate(
+                    [buf, np.zeros(want - len(raw), np.uint8)])
+            rows = raw_to_float(buf, dev.sample_format, N, dev.open_channels,
+                                dev.channel_selection, self.rd)
+            phys[dev.phys_base: dev.phys_base + dev.used_channels] = rows
+        # map to virtual channels with per-virtual delay and mute
+        x = np.zeros((conf.n_channels[IN], N), self.rd)
+        for ch in range(conf.n_channels[IN]):
+            if self.control.mute[IN][ch]:
+                continue
+            row = phys[conf.virt2phys[IN][ch]]
+            dl = self.dlines[IN][ch]
+            dl.set_delay(self._total_delay(IN, ch))
+            row = dl.process(row)
+            if self.subdelay is not None:
+                row = self.subdelay.process(IN, ch, row,
+                                            self.control.subdelay[IN][ch])
+            x[ch] = row
+        return x, frames
+
+    def _total_delay(self, io: int, ch: int) -> int:
+        d = self.control.delay[io][ch]
+        if self.subdelay is not None:
+            d += self.subdelay.extra_delay(io, ch)
+        return d
+
+    # ----- host-side output path --------------------------------------------
+    def write_block(self, y: np.ndarray, frames: int):
+        conf = self.conf
+        N = self.N
+        # NaN guard (bfrun.c:1900-1911): check one sample per channel
+        if y.shape[0] and not np.all(np.isfinite(y[:, 0])):
+            raise EngineError("NaN or Inf values in the system! Invalid input?")
+
+        phys = np.zeros((conf.n_physical_channels[OUT], N), self.rd)
+        for ch in range(conf.n_channels[OUT]):
+            row = y[ch]
+            if self.subdelay is not None:
+                row = self.subdelay.process(OUT, ch, row,
+                                            self.control.subdelay[OUT][ch])
+            dl = self.dlines[OUT][ch]
+            dl.set_delay(self._total_delay(OUT, ch))
+            row = dl.process(row)
+            if self.control.mute[OUT][ch]:
+                continue
+            phys[conf.virt2phys[OUT][ch]] += row
+
+        limit = conf.safety_limit
+        for di, dev in enumerate(conf.iodevs[OUT]):
+            inst = self.devices[OUT][di]
+            rows = phys[dev.phys_base: dev.phys_base + dev.used_channels]
+            if limit != 0.0:
+                for i in range(dev.used_channels):
+                    ovf = self._phys_overflow[dev.phys_base + i]
+                    peak = float(np.abs(rows[i]).max()) if rows.shape[1] else 0.0
+                    if peak > limit * ovf.max:
+                        raise EngineError(
+                            f"safety limit exceeded on output "
+                            f"({20 * np.log10(peak / ovf.max):.2f} > "
+                            f"{20 * np.log10(limit):.2f} dB)")
+            raw = np.zeros(N * self._out_framebytes[di], np.uint8)
+            dstate = [self.dither_state[dev.phys_base + i]
+                      for i in range(dev.used_channels)]
+            ovfs = [self._phys_overflow[dev.phys_base + i]
+                    for i in range(dev.used_channels)]
+            float_to_raw(rows, dev.sample_format, dev.open_channels,
+                         dev.channel_selection, raw, ovfs, dstate)
+            inst.write(raw[: frames * self._out_framebytes[di]].tobytes())
+
+    # ----- main loop -----------------------------------------------------
+    def setup(self):
+        for io in (IN, OUT):
+            for inst in self.devices[io]:
+                inst.init(self.N)
+        for io in (IN, OUT):
+            for inst in self.devices[io]:
+                inst.start()
+
+    def teardown(self):
+        for io in (IN, OUT):
+            for inst in self.devices[io]:
+                inst.stop()
+                inst.close()
+
+    def _block_start_hooks(self):
+        for mod in self.logic:
+            hook = getattr(mod, "block_start", None)
+            if hook is not None:
+                hook(self.blockcounter)
+
+    def run(self, max_blocks: Optional[int] = None, setup: bool = True):
+        """Process until input EOF (or max_blocks). Returns run statistics."""
+        if setup:
+            self.setup()
+            self.attach_logic()
+        N = self.N
+        budget = N / self.conf.sampling_rate  # seconds per block
+        t_run0 = time.perf_counter()
+        frames_out = 0
+        pending = None  # (y_device, frames)
+        eof = False
+        show = self.conf.benchmark or self.conf.debug
+
+        while not self._stopped and not eof:
+            if max_blocks is not None and self.blockcounter >= max_blocks:
+                break
+            t0 = time.perf_counter()
+            self._block_start_hooks()
+            x, frames = self.read_block()
+            if frames < N:
+                eof = True
+                if frames == 0 and pending is None and self.blockcounter == 0:
+                    break
+            t1 = time.perf_counter()
+            if frames > 0 or self.blockcounter == 0:
+                ctrl = self.control.snapshot()
+                self.state, y_dev = self.cg.step(
+                    self.state, ctrl, self.bank, jnp.asarray(x))
+                self.blockcounter += 1
+            else:
+                y_dev = None
+            t2 = time.perf_counter()
+            if pending is not None:
+                yk, fk = pending
+                self.write_block(np.asarray(yk), fk)
+                frames_out += fk
+            pending = (y_dev, frames) if (y_dev is not None and frames > 0) else None
+            t3 = time.perf_counter()
+
+            period = t3 - t0
+            rti = period / budget
+            self.realtime_index = rti
+            self._rti_max = max(self._rti_max, rti)
+            self._stage_t += (t1 - t0, t2 - t1, t3 - t2, period)
+            self._stage_blocks += 1
+            if show and self._stage_blocks % 10 == 0:
+                self._print_stage_table()
+
+        if pending is not None:
+            yk, fk = pending
+            self.write_block(np.asarray(yk), fk)
+            frames_out += fk
+
+        elapsed = time.perf_counter() - t_run0
+        stats = {
+            "blocks": self.blockcounter,
+            "frames": frames_out,
+            "elapsed_s": elapsed,
+            "xrt": (frames_out / self.conf.sampling_rate) / elapsed
+            if elapsed > 0 else 0.0,
+            "rti_max": self._rti_max,
+            "overflows": [o.n_overflows for o in self.overflow],
+            "peak_db": [o.peak_db() for o in self.overflow],
+        }
+        if setup:
+            self.teardown()
+        return stats
+
+    def _print_stage_table(self):
+        t = self._stage_t / max(self._stage_blocks, 1) * 1e3
+        sys.stderr.write(
+            f"decode/ms {t[0]:9.3f} | device/ms {t[1]:9.3f} | "
+            f"encode/ms {t[2]:9.3f} | total/ms {t[3]:9.3f} | "
+            f"rti {self.realtime_index:6.3f}\n")
+        self._stage_t[:] = 0
+        self._stage_blocks = 0

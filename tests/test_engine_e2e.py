@@ -1,0 +1,163 @@
+"""End-to-end file-to-file engine tests against convolution oracles."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from brutefir_tpu.config import parse_config, IN, OUT
+from brutefir_tpu.core.sampleformat import parse_sample_format
+from brutefir_tpu.core.codecs import Overflow, float_to_raw, quantize_no_dither
+from brutefir_tpu.runtime import Engine
+
+
+def write_raw_float(path, x):
+    np.asarray(x, dtype="<f4").T.tofile(path)
+
+
+def read_raw_float(path, channels=1):
+    a = np.fromfile(path, dtype="<f4")
+    return a.reshape(-1, channels).T
+
+
+def test_file_to_file_float_oracle(tmp_path, rng):
+    N, B = 256, 4
+    taps = (rng.standard_normal(N * B) * 0.1).astype(np.float32)
+    x = rng.standard_normal(N * 10 ).astype(np.float32)
+
+    coeff_path = tmp_path / "taps.txt"
+    coeff_path.write_text("\n".join(f"{float(v)!r}" for v in taps))
+    inp = tmp_path / "in.f32"
+    outp = tmp_path / "out.f32"
+    write_raw_float(inp, x[None, :])
+
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+coeff 0 {{ filename: "{coeff_path}"; format: "TEXT"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    eng = Engine(conf)
+    stats = eng.run()
+    assert stats["frames"] == len(x)
+
+    y = read_raw_float(outp)[0]
+    ref = scipy.signal.fftconvolve(x, taps)[: len(x)]
+    np.testing.assert_allclose(y, ref, rtol=0, atol=2e-3 * np.abs(ref).max())
+
+
+def test_eof_truncation_partial_block(tmp_path, rng):
+    """Output length equals input length even for non-block-multiple input."""
+    N = 128
+    x = rng.standard_normal(N * 3 + 37).astype(np.float32)
+    inp, outp = tmp_path / "in.f32", tmp_path / "out.f32"
+    write_raw_float(inp, x[None, :])
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N};
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    Engine(conf).run()
+    y = read_raw_float(outp)[0]
+    assert len(y) == len(x)
+    np.testing.assert_allclose(y, x, rtol=0, atol=1e-4)
+
+
+def test_s16_quantized_output_matches_oracle(tmp_path, rng):
+    N = 128
+    fmt = parse_sample_format("S16_LE")
+    x = (rng.standard_normal(N * 4) * 8000).astype(np.float32)
+    inp, outp = tmp_path / "in.s16", tmp_path / "out.s16"
+    xi = quantize_no_dither(x, fmt, Overflow(max=fmt.imax))
+    xi.astype("<i2").tofile(inp)
+
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N};
+coeff 0 {{ filename: "dirac pulse"; format: "TEXT"; attenuation: 6.0; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "S16_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "S16_LE"; channels: 1; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    Engine(conf).run()
+    y = np.fromfile(outp, dtype="<i2")
+    # dirac with -6 dB attenuation
+    scale = 10 ** (-6.0 / 20.0)
+    expect = quantize_no_dither(
+        xi.astype(np.float32) * np.float32(scale), fmt, Overflow(max=fmt.imax))
+    assert np.abs(y.astype(np.int32) - expect).max() <= 1
+
+
+def test_mapping_gains_polarity_predelay(tmp_path, rng):
+    """bench4-style semantics: many-virtual mapping, per-edge gain and
+    polarity, filter pre-delay in blocks, virtual->physical output mixing."""
+    N, B = 128, 4
+    x0 = rng.standard_normal(N * 6).astype(np.float32)
+    x1 = rng.standard_normal(N * 6).astype(np.float32)
+    inp, outp = tmp_path / "in.f32", tmp_path / "out.f32"
+    np.stack([x0, x1], axis=1).astype("<f4").tofile(inp)
+
+    # virtual inputs 0,1,2,3 map to physical 0,1,0,1
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0,1,2,3 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE";
+             channels: 2; mapping: 0,1,0,1; delay: 0,0,{N},0; }};
+output 0,1 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 2/0;
+           mapping: 0,0; }};
+filter 0 {{ from_inputs: 0//-1, 1/6; to_outputs: 0; coeff: 0; delay: 1; }};
+filter 1 {{ from_inputs: 2, 3//0.5; to_outputs: 1/-6; coeff: 0; }};
+""")
+    Engine(conf).run()
+    y = read_raw_float(outp, 2)
+    got = y[0] + 0  # both virtual outputs mix onto physical 0... see below
+
+    g6 = 10 ** (-6.0 / 20.0)
+    a6 = 10 ** (6.0 / 20.0)
+    n = len(x0)
+    f0 = -x0 + g6 * x1                   # filter 0 mix
+    f0 = np.concatenate([np.zeros(N, np.float32), f0[: n - N]])  # delay: 1 block
+    x0d = np.concatenate([np.zeros(N, np.float32), x0[: n - N]])  # input 2 delayed N
+    f1 = x0d + 0.5 * x1
+    expect_phys0 = f0 + a6 * f1          # virt outs 0 and 1 both map to phys 0
+    np.testing.assert_allclose(got, expect_phys0, rtol=0, atol=3e-3)
+    assert np.abs(y[1]).max() == 0.0     # physical 1 unused
+
+
+def test_text_io_mode(tmp_path, rng):
+    N = 64
+    x = rng.standard_normal(N * 2).astype(np.float64)
+    inp, outp = tmp_path / "in.txt", tmp_path / "out.txt"
+    inp.write_text("\n".join("%+.16e" % v for v in x) + "\n")
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N};
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; text: true; }}; sample: "FLOAT64_NE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; text: true; }}; sample: "FLOAT64_NE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    Engine(conf).run()
+    y = np.array([float(line) for line in outp.read_text().split()])
+    assert len(y) == len(x)
+    np.testing.assert_allclose(y, x, rtol=0, atol=1e-5)
+
+
+def test_dev_zero_benchmark_blocks():
+    conf = parse_config("""
+sampling_rate: 44100;
+filter_length: 128,2;
+benchmark: true;
+coeff 0 { filename: "dirac pulse"; };
+input 0 { device: "file" { path: "/dev/zero"; }; sample: "S24_4LE"; channels: 1; };
+output 0 { device: "file" { path: "/dev/null"; }; sample: "S24_4LE"; channels: 1; dither: false; };
+filter 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };
+""")
+    stats = Engine(conf).run(max_blocks=25)
+    assert stats["blocks"] == 25
+    assert stats["frames"] == 25 * 128
