@@ -1,0 +1,605 @@
+"""CLI logic module: runtime control over sockets or block-paced scripts.
+
+Reimplements `bflogic_cli.c`: the full command set (HELP_TEXT, lines 37-91;
+dispatch 412-771), id resolution by index or quoted name with per-filter
+edge-position lookup (get_id, 284-412), atomic commit of staged changes at
+command-line boundaries, and *script mode* -- one script line executed per
+block from the block_start hook, wrapping at the end, with ``sleep bN``
+block pacing (block_start, 872-986; bench5 uses this for deterministic
+crossfade benchmarking).
+
+Parameters: ``port:`` int (TCP) or string (unix socket path), ``script:``
+string, ``echo:`` bool, ``line_speed:`` accepted for config compatibility
+(serial devices are not supported host-side).
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import os
+import socket
+import threading
+import time
+
+from ..config.lexer import T
+from ..config.model import IN, OUT, BF_SAMPLE_SLOTS
+from . import register_logic_module
+
+HELP_TEXT = """
+Commands:
+
+lf -- list filters.
+lc -- list coeffient sets.
+li -- list inputs.
+lo -- list outputs.
+lm -- list modules.
+
+cfoa -- change filter output attenuation.
+        cfoa <filter> <output> <attenuation|Mmultiplier>
+cfia -- change filter input attenuation.
+        cfia <filter> <input> <attenuation|Mmultiplier>
+cffa -- change filter filter-input attenuation.
+        cffa <filter> <filter-input> <attenuation|Mmultiplier>
+cfc  -- change filter coefficients.
+        cfc <filter> <coeff>
+cfd  -- change filter delay. (may truncate coeffs!)
+        cfd <filter> <delay blocks>
+cod  -- change output delay.
+        cod <output> <delay> [<subdelay>]
+cid  -- change input delay.
+        cid <input> <delay> [<subdelay>]
+tmo  -- toggle mute output.
+        tmo <output>
+tmi  -- toggle mute input.
+        tmi <input>
+imc  -- issue input module command.
+        imc <index> <command>
+omc  -- issue output module command.
+        omc <index> <command>
+lmc  -- issue logic module command.
+        lmc <module> <command>
+
+sleep -- sleep for the given number of seconds [and ms], or blocks.
+         sleep 10 (sleep 10 seconds).
+         sleep b10 (sleep 10 blocks).
+         sleep 0 300 (sleep 300 milliseconds).
+abort -- terminate immediately.
+tp    -- toggle prompt.
+ppk   -- print peak info, channels/samples/max dB.
+rpk   -- reset peak meters.
+upk   -- toggle print peak info on changes.
+rti   -- print current realtime index.
+quit  -- close connection.
+help  -- print this text.
+
+Notes:
+
+- When entering several commands on a single line,
+  separate them with semicolons (;).
+- Inputs/outputs/filters can be given as index
+  numbers or as strings between quotes ("").
+
+"""
+
+FILTER_ID, COEFF_ID, INPUT_ID, OUTPUT_ID = 1, 2, 3, 4
+
+
+def _parse_module_params(params):
+    out = {}
+    i = 0
+
+    def need(kind):
+        nonlocal i
+        if i >= len(params) or params[i].kind != kind:
+            raise RuntimeError("CLI: parse error in module parameters")
+        t = params[i]
+        i += 1
+        return t
+
+    while i < len(params):
+        f = need(T.FIELD).value
+        if f == "port":
+            t = params[i]
+            i += 1
+            if t.kind == T.REAL:
+                out["port"] = int(t.value)
+            elif t.kind == T.STRING:
+                out["port"] = t.value
+            else:
+                raise RuntimeError("CLI: invalid port")
+        elif f == "line_speed":
+            out["line_speed"] = int(need(T.REAL).value)
+        elif f == "script":
+            out["script"] = need(T.STRING).value
+        elif f == "echo":
+            out["echo"] = need(T.BOOLEAN).value
+        else:
+            raise RuntimeError(f"CLI: unknown field {f}")
+        need(T.EOS)
+    return out
+
+
+class _SleepTask:
+    __slots__ = ("do_sleep", "block_sleep", "blocks", "seconds", "useconds")
+
+    def __init__(self):
+        self.do_sleep = False
+        self.block_sleep = False
+        self.blocks = 0
+        self.seconds = 0
+        self.useconds = 0
+
+
+class CliModule:
+    def __init__(self, params, engine):
+        self.engine = engine
+        self.control = engine.control
+        self.conf = engine.conf
+        opts = _parse_module_params(params)
+        self.script = opts.get("script")
+        self.echo = opts.get("echo", True)
+        self.port = opts.get("port")
+        self.print_prompt = False
+        self.print_peak_updates = False
+        self._last_overflows = None
+        # script-mode cursor state
+        self._lines = None
+        self._line_idx = 0
+        self._sleep_until_block = -1
+        self._sleep_until_time = None
+        self._quit = False
+        self._server = None
+        if self.script is not None:
+            lines = [ln.strip() for ln in self.script.split("\n")]
+            self._lines = [ln for ln in lines
+                           if ln.strip("; \t\r") != ""]
+            if not self._lines:
+                raise RuntimeError("CLI: the script is empty")
+        if self.port is not None:
+            self._start_server()
+
+    # ------- id resolution (get_id, bflogic_cli.c:284-412) ---------------
+    def _get_id(self, out, tok: str, typ: int, rid: int = -1):
+        tok = tok.strip()
+        conf = self.conf
+        if tok.startswith('"'):
+            name = tok[1:].rstrip('"')
+            if typ == FILTER_ID:
+                ids = [f.intname for f in conf.filters if f.name == name]
+                if not ids:
+                    out.write(f'There is no filter with name "{name}".\n')
+                    return None
+                idx = ids[0]
+            elif typ == COEFF_ID:
+                ids = [c.intname for c in conf.coeffs if c.name == name]
+                if not ids:
+                    out.write(
+                        f'There is no coefficient set with name "{name}".\n')
+                    return None
+                idx = ids[0]
+            else:
+                io_ = IN if typ == INPUT_ID else OUT
+                names = conf.channel_names[io_]
+                if name not in names:
+                    out.write(f'There is no '
+                              f'{"input" if io_ == IN else "output"} with '
+                              f'name "{name}".\n')
+                    return None
+                idx = names.index(name)
+        else:
+            try:
+                idx = int(tok)
+            except ValueError:
+                out.write("Invalid number.\n")
+                return None
+            if idx < 0 and typ != COEFF_ID:
+                out.write(f"Negative number ({idx}) is not allowed.\n")
+                return None
+            if typ == FILTER_ID and idx >= len(conf.filters):
+                out.write(f"Filter id {idx} is out of range.\n")
+                return None
+            if typ == COEFF_ID and idx >= len(conf.coeffs):
+                out.write(f"Coefficient set id {idx} is out of range.\n")
+                return None
+            if typ in (INPUT_ID, OUTPUT_ID):
+                io_ = IN if typ == INPUT_ID else OUT
+                if idx >= conf.n_channels[io_]:
+                    out.write(f'{"Input" if io_ == IN else "Output"} id '
+                              f"{idx} is out of range.\n")
+                    return None
+        if rid != -1 and typ != COEFF_ID:
+            flt = conf.filters[rid]
+            if typ == FILTER_ID:
+                edges = [src for src, _ in flt.in_filters]
+            elif typ == INPUT_ID:
+                edges = [ch for ch, _ in flt.in_channels]
+            else:
+                edges = [ch for ch, _ in flt.out_channels]
+            if idx not in edges:
+                out.write(f"id {idx} does not exist in the given filter.\n")
+                return None
+            return edges.index(idx)
+        return idx
+
+    @staticmethod
+    def _split2(rest):
+        parts = rest.split(None, 1)
+        if len(parts) == 0:
+            return "", ""
+        if len(parts) == 1:
+            return parts[0], ""
+        return parts[0], parts[1]
+
+    def _set_scale(self, out, scales, idx, arg):
+        arg = arg.strip()
+        if arg[:1] in ("M", "m"):
+            try:
+                scales[idx] = float(arg[1:])
+            except ValueError:
+                out.write("Invalid multiplier.\n")
+                return
+        else:
+            try:
+                att = float(arg)
+            except ValueError:
+                out.write("Invalid attenuation.\n")
+                return
+            mag = math.pow(10.0, -att / 20.0)
+            scales[idx] = -mag if scales[idx] < 0 else mag
+        self.control.mark_dirty()
+
+    # ------- listings ------------------------------------------------------
+    def _att_str(self, scale):
+        a = -20.0 * math.log10(abs(scale)) if scale != 0 else float("inf")
+        if a == 0.0:
+            a = 0.0000001
+        s = f"{a:.1f}"
+        return s + ("/-1 " if scale < 0 else " ")
+
+    def _cmd_lf(self, out):
+        conf, ctrl = self.conf, self.control
+        out.write("Filters:\n")
+        for n, f in enumerate(conf.filters):
+            fc = ctrl.fctrl[n]
+            out.write(f'  {n}: "{f.name}"\n')
+            if fc.coeff < 0:
+                out.write(f"      coeff set: {fc.coeff} (no filter)\n")
+            else:
+                out.write(f"      coeff set: {fc.coeff}\n")
+            out.write(f"      delay blocks: {fc.delayblocks} "
+                      f"({fc.delayblocks * conf.filter_length} samples)\n")
+            out.write("      from inputs:  " + "".join(
+                f"{ch}/{self._att_str(fc.in_scales[i])}"
+                for i, (ch, _) in enumerate(f.in_channels)) + "\n")
+            out.write("      to outputs:   " + "".join(
+                f"{ch}/{self._att_str(fc.out_scales[i])}"
+                for i, (ch, _) in enumerate(f.out_channels)) + "\n")
+            out.write("      from filters: " + "".join(
+                f"{src}/{self._att_str(fc.fscales[i])}"
+                for i, (src, _) in enumerate(f.in_filters)) + "\n")
+            out.write("      to filters:   " + "".join(
+                f"{dst} " for dst in f.out_filters) + "\n")
+        out.write("\n")
+
+    def _cmd_lc(self, out):
+        out.write("Coefficient sets:\n")
+        for n, c in enumerate(self.conf.coeffs):
+            out.write(f'  {n}: "{c.name}" ({c.n_blocks} blocks)\n')
+        out.write("\n")
+
+    def _cmd_lio(self, out, io_):
+        out.write("Input channels:\n" if io_ == IN else "Output channels:\n")
+        for n in range(self.conf.n_channels[io_]):
+            muted = "(muted)" if self.control.mute[io_][n] else ""
+            out.write(f'  {n}: "{self.conf.channel_names[io_][n]}" '
+                      f"(delay: {self.control.delay[io_][n]}:"
+                      f"{self.control.subdelay[io_][n]}) {muted}\n")
+        out.write("\n")
+
+    def _cmd_lm(self, out):
+        if self.engine.logic:
+            out.write("Logic modules:\n")
+            for n, (name, _) in enumerate(self.conf.logic_modules):
+                out.write(f'  {n}: "{name}"\n')
+            out.write("\n")
+        for io_ in (IN, OUT):
+            out.write("Input modules:\n" if io_ == IN else "Output modules:\n")
+            for n, dev in enumerate(self.conf.iodevs[io_]):
+                lo = dev.channel_intnames[0]
+                hi = dev.channel_intnames[-1]
+                out.write(f'  {n} ({lo} - {hi}): "{dev.device_name}"\n')
+            out.write("\n")
+
+    def _print_overflows(self, out):
+        out.write("peak: ")
+        for n, o in enumerate(self.engine.overflow):
+            peak = max(o.largest, float(o.intlargest))
+            if peak != 0.0:
+                db = 20.0 * math.log10(peak / o.max)
+                out.write(f"{n}/{o.n_overflows}/{db:+.2f} ")
+            else:
+                out.write(f"{n}/{o.n_overflows}/-Inf ")
+        out.write("\n")
+
+    # ------- command dispatch --------------------------------------------
+    def _command(self, out, cmd: str, sleep_task: _SleepTask) -> bool:
+        """Execute one command; returns False on quit."""
+        ctrl = self.control
+        eng = self.engine
+        cmd = cmd.strip()
+        if cmd == "lf":
+            self._cmd_lf(out)
+        elif cmd == "lc":
+            self._cmd_lc(out)
+        elif cmd == "li":
+            self._cmd_lio(out, IN)
+        elif cmd == "lo":
+            self._cmd_lio(out, OUT)
+        elif cmd == "lm":
+            self._cmd_lm(out)
+        elif cmd.startswith("cffa"):
+            a, rest = self._split2(cmd[4:].strip())
+            b, val = self._split2(rest)
+            rid = self._get_id(out, a, FILTER_ID)
+            if rid is not None:
+                pos = self._get_id(out, b, FILTER_ID, rid)
+                if pos is not None and val:
+                    self._set_scale(out, ctrl.fctrl[rid].fscales, pos, val)
+        elif cmd.startswith("cfia"):
+            a, rest = self._split2(cmd[4:].strip())
+            b, val = self._split2(rest)
+            rid = self._get_id(out, a, FILTER_ID)
+            if rid is not None:
+                pos = self._get_id(out, b, INPUT_ID, rid)
+                if pos is not None and val:
+                    self._set_scale(out, ctrl.fctrl[rid].in_scales, pos, val)
+        elif cmd.startswith("cfoa"):
+            a, rest = self._split2(cmd[4:].strip())
+            b, val = self._split2(rest)
+            rid = self._get_id(out, a, FILTER_ID)
+            if rid is not None:
+                pos = self._get_id(out, b, OUTPUT_ID, rid)
+                if pos is not None and val:
+                    self._set_scale(out, ctrl.fctrl[rid].out_scales, pos, val)
+        elif cmd.startswith("cfc"):
+            a, b = self._split2(cmd[3:].strip())
+            rid = self._get_id(out, a, FILTER_ID)
+            if rid is not None and b:
+                cid = self._get_id(out, b.strip(), COEFF_ID)
+                if cid is not None:
+                    ctrl.change_coeff(rid, cid)
+        elif cmd.startswith("cfd"):
+            a, b = self._split2(cmd[3:].strip())
+            rid = self._get_id(out, a, FILTER_ID)
+            if rid is not None:
+                try:
+                    n = int(b.split()[0])
+                except (ValueError, IndexError):
+                    out.write("Invalid filter delay.\n")
+                    return True
+                if n < 0 or n > self.conf.n_blocks - 1:
+                    out.write("Invalid filter delay.\n")
+                else:
+                    ctrl.change_filter_delay(rid, n)
+        elif cmd.startswith("cid") or cmd.startswith("cod"):
+            io_ = IN if cmd.startswith("cid") else OUT
+            a, rest = self._split2(cmd[3:].strip())
+            ch = self._get_id(out, a, INPUT_ID if io_ == IN else OUTPUT_ID)
+            if ch is not None:
+                parts = rest.split()
+                if not parts:
+                    out.write("Invalid delay.\n")
+                    return True
+                try:
+                    d = int(parts[0])
+                except ValueError:
+                    out.write("Invalid delay.\n")
+                    return True
+                if d < 0 or not ctrl.set_delay(io_, ch, d):
+                    out.write(f'Invalid {"input" if io_ == IN else "output"} '
+                              "delay.\n")
+                if len(parts) > 1:
+                    try:
+                        sd = int(parts[1])
+                    except ValueError:
+                        sd = BF_SAMPLE_SLOTS
+                    if not (-BF_SAMPLE_SLOTS < sd < BF_SAMPLE_SLOTS) or \
+                            not ctrl.set_subdelay(io_, ch, sd):
+                        out.write(
+                            f'Invalid {"input" if io_ == IN else "output"} '
+                            "subdelay.\n")
+        elif cmd.startswith("tmi") or cmd.startswith("tmo"):
+            io_ = IN if cmd.startswith("tmi") else OUT
+            ch = self._get_id(out, cmd[3:].strip(),
+                              INPUT_ID if io_ == IN else OUTPUT_ID)
+            if ch is not None:
+                ctrl.set_mute(io_, ch, not ctrl.mute[io_][ch])
+        elif cmd.startswith("imc") or cmd.startswith("omc"):
+            io_ = IN if cmd.startswith("imc") else OUT
+            a, rest = self._split2(cmd[3:].strip())
+            try:
+                idx = int(a)
+            except ValueError:
+                out.write("Command failed: invalid module index\n")
+                return True
+            if not (0 <= idx < len(eng.devices[io_])):
+                out.write("Command failed: module index out of range\n")
+                return True
+            out.write(eng.devices[io_][idx].command(rest))
+        elif cmd.startswith("lmc"):
+            a, rest = self._split2(cmd[3:].strip())
+            idx = None
+            try:
+                idx = int(a)
+            except ValueError:
+                for n, (name, _) in enumerate(self.conf.logic_modules):
+                    if a == name:
+                        idx = n
+                        break
+            if idx is None or not (0 <= idx < len(eng.logic)):
+                out.write("Command failed: unknown module\n")
+                return True
+            ok, msg = eng.logic[idx].command(rest)
+            if not ok:
+                out.write(f"Command failed: {msg}\n")
+            else:
+                out.write(msg)
+        elif cmd == "ppk":
+            self._print_overflows(out)
+        elif cmd == "rpk":
+            for o in eng.overflow:
+                o.reset()
+        elif cmd == "upk":
+            self.print_peak_updates = not self.print_peak_updates
+        elif cmd == "tp":
+            self.print_prompt = not self.print_prompt
+        elif cmd == "rti":
+            out.write(f"Realtime index: {eng.realtime_index:.3f}\n")
+        elif cmd == "quit":
+            return False
+        elif cmd.startswith("sleep"):
+            rest = cmd[5:].strip()
+            if rest.startswith("b"):
+                try:
+                    sleep_task.blocks = int(rest[1:])
+                    sleep_task.block_sleep = True
+                    sleep_task.do_sleep = True
+                except ValueError:
+                    pass
+            else:
+                parts = rest.split()
+                try:
+                    sleep_task.seconds = int(parts[0]) if parts else 0
+                    sleep_task.useconds = (int(parts[1]) * 1000
+                                           if len(parts) > 1 else 0)
+                    sleep_task.do_sleep = True
+                except ValueError:
+                    pass
+        elif cmd.startswith("abort"):
+            eng.stop()
+        elif cmd == "help":
+            out.write(HELP_TEXT)
+        elif cmd:
+            out.write(f'Unknown command "{cmd}", type "help" for help.\n')
+        return True
+
+    def run_line(self, out, line: str, sleep_task: _SleepTask) -> bool:
+        """Execute a ';'-separated command line atomically."""
+        ok = True
+        with self.control_lock():
+            for part in line.split(";"):
+                part = part.strip()
+                if not part:
+                    continue
+                if self.echo and self.script is not None:
+                    out.write(part + "\n")
+                if not self._command(out, part, sleep_task):
+                    ok = False
+        return ok
+
+    def control_lock(self):
+        return self.engine.control_mutex
+
+    # ------- hooks ---------------------------------------------------------
+    def block_start(self, block_index: int):
+        """Script pacing: one non-empty script line per block, wrapping."""
+        if self._lines is None or self._quit:
+            self._maybe_print_peaks()
+            return
+        if self._sleep_until_block >= 0:
+            if block_index <= self._sleep_until_block:
+                return
+            self._sleep_until_block = -1
+        if self._sleep_until_time is not None:
+            if time.monotonic() < self._sleep_until_time:
+                return
+            self._sleep_until_time = None
+        line = self._lines[self._line_idx]
+        self._line_idx = (self._line_idx + 1) % len(self._lines)
+        st = _SleepTask()
+        import sys
+        if not self.run_line(sys.stderr, line, st):
+            self._quit = True
+        if st.do_sleep:
+            if st.block_sleep:
+                self._sleep_until_block = block_index + st.blocks
+            else:
+                self._sleep_until_time = (time.monotonic() + st.seconds
+                                          + st.useconds / 1e6)
+        self._maybe_print_peaks()
+
+    def _maybe_print_peaks(self):
+        if not self.print_peak_updates:
+            return
+        cur = tuple(o.n_overflows for o in self.engine.overflow)
+        if cur != self._last_overflows:
+            self._last_overflows = cur
+            import sys
+            self._print_overflows(sys.stderr)
+
+    def command(self, params: str):
+        """lmc entry: execute a command string, return (ok, message)."""
+        buf = io.StringIO()
+        st = _SleepTask()
+        self.run_line(buf, params, st)
+        return True, buf.getvalue()
+
+    # ------- socket server ------------------------------------------------
+    def _start_server(self):
+        if isinstance(self.port, int):
+            srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            srv.bind(("127.0.0.1", self.port))
+        else:
+            path = os.path.expanduser(self.port)
+            if os.path.exists(path):
+                os.unlink(path)
+            srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            srv.bind(path)
+        srv.listen(4)
+        self._server = srv
+        th = threading.Thread(target=self._accept_loop, daemon=True)
+        th.start()
+
+    def _accept_loop(self):
+        while True:
+            try:
+                client, _ = self._server.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._client_loop, args=(client,),
+                             daemon=True).start()
+
+    def _client_loop(self, client: socket.socket):
+        f = client.makefile("rw", newline="\n")
+        try:
+            while True:
+                if self.print_prompt:
+                    f.write("> ")
+                    f.flush()
+                line = f.readline()
+                if not line:
+                    return
+                st = _SleepTask()
+                cont = self.run_line(f, line.strip(), st)
+                if st.do_sleep and not st.block_sleep:
+                    time.sleep(st.seconds + st.useconds / 1e6)
+                f.flush()
+                if not cont:
+                    return
+        except (BrokenPipeError, ConnectionResetError):
+            return
+        finally:
+            try:
+                f.close()
+                client.close()
+            except OSError:
+                pass
+
+    def close(self):
+        if self._server is not None:
+            self._server.close()
+
+
+register_logic_module("cli", CliModule)

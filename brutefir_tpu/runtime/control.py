@@ -62,6 +62,7 @@ class RuntimeControl:
         self._coeff_nblocks = [c.n_blocks for c in conf.coeffs]
         self._dirty = True
         self._cached: Optional[StepCtrl] = None
+        self._cached_has_xfade = False
 
     # --- mutation API (used by CLI/EQ modules) ---------------------------
     def mark_dirty(self):
@@ -137,7 +138,9 @@ class RuntimeControl:
             conf.filters[n].crossfade and final_coeff[n] != self.prev_coeff[n]
             for n in range(F)
         ]
-        changed = self._dirty or any(xfade_now) or final_coeff != self.prev_coeff
+        changed = (self._dirty or any(xfade_now)
+                   or final_coeff != self.prev_coeff
+                   or self._cached_has_xfade)
 
         if not changed and self._cached is not None:
             return self._cached
@@ -175,4 +178,5 @@ class RuntimeControl:
         self._dirty = False
         self._cached = make_ctrl(spec, in_mix, fmix, out_mix, delay,
                                  coeff_idx, mask, prev_idx, prev_mask, xfade)
+        self._cached_has_xfade = any(xfade_now)
         return self._cached

@@ -18,6 +18,7 @@ Per block:
 from __future__ import annotations
 
 import sys
+import threading
 import time
 from typing import List, Optional
 
@@ -116,6 +117,7 @@ class Engine:
             self.overflow.append(self._phys_overflow[conf.virt2phys[OUT][ch]])
 
         self.state = self.cg.init_state()
+        self.control_mutex = threading.RLock()
         self.blockcounter = 0
         self.realtime_index = 0.0
         self._rti_max = 0.0
@@ -272,7 +274,8 @@ class Engine:
                     break
             t1 = time.perf_counter()
             if frames > 0 or self.blockcounter == 0:
-                ctrl = self.control.snapshot()
+                with self.control_mutex:
+                    ctrl = self.control.snapshot()
                 self.state, y_dev = self.cg.step(
                     self.state, ctrl, self.bank, jnp.asarray(x))
                 self.blockcounter += 1
