@@ -140,6 +140,10 @@ class Engine:
     def stop(self):
         self._stopped = True
 
+    def update_bank_entry(self, coeff_index: int, H: np.ndarray):
+        """Hot-swap one coefficient set's spectral partitions (EQ render)."""
+        self.bank = self.bank.at[coeff_index].set(jnp.asarray(H))
+
     # ----- host-side input path -------------------------------------------
     def read_block(self):
         """Read one fragment from all input devices.
