@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark: the reference's massive_config workload on one chip.
+
+26 channels x 26 filters x 131,072 taps (8192-sample partitions x 16) at
+44.1 kHz, S24_4LE, file I/O /dev/zero -> /dev/null -- the configuration the
+reference ran at ~1.1x realtime on its published hardware
+(brutefir.html:830-840). North star (BASELINE.json): >= 100x realtime.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+If device->host transfers are unavailable (some remote TPU runtimes), the
+run switches to sink mode: the full input decode + device pipeline runs and
+is synchronized per block, but the host encode path is skipped (its cost is
+measured separately on synthetic data and added to the reported per-block
+time) -- flagged in the JSON as "sink_mode": true.
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+CHANNELS = 26
+N = 8192
+B = 16
+RATE = 44100
+BLOCKS = 120
+WARMUP = 6
+
+CONFIG = f"""
+sampling_rate: {RATE};
+filter_length: {N},{B};
+benchmark: true;
+coeff 0 {{ filename: "dirac pulse"; }};
+input {",".join(str(i) for i in range(CHANNELS))} {{
+    device: "file" {{ path: "/dev/zero"; }};
+    sample: "S24_4LE";
+    channels: {CHANNELS};
+}};
+output {",".join(str(i) for i in range(CHANNELS))} {{
+    device: "file" {{ path: "/dev/null"; }};
+    sample: "S24_4LE";
+    channels: {CHANNELS};
+    dither: false;
+}};
+""" + "\n".join(
+    f"filter {i} {{ from_inputs: {i}; to_outputs: {i}; coeff: 0; }};"
+    for i in range(CHANNELS))
+
+
+def transfers_work(timeout_s: float = 20.0) -> bool:
+    """Probe device->host transfer with a timeout (it can hang forever)."""
+    import jax.numpy as jnp
+    result = {}
+
+    def probe():
+        try:
+            y = (jnp.ones((8, 128), jnp.float32) * 2).block_until_ready()
+            result["v"] = float(np.asarray(y)[0, 0])
+        except Exception:
+            result["v"] = None
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return result.get("v") == 2.0
+
+
+def measure_encode_cost(eng, blocks: int) -> float:
+    """Host encode cost per block, measured on synthetic device-free data."""
+    rng = np.random.default_rng(0)
+    y = (rng.standard_normal((CHANNELS, N)) * 1000).astype(np.float32)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        eng.write_block(y, N)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    from brutefir_tpu.config import parse_config
+    from brutefir_tpu.runtime import Engine
+    import jax
+
+    conf = parse_config(CONFIG)
+    eng = Engine(conf)
+    eng.setup()
+
+    sink = not transfers_work()
+    encode_cost = 0.0
+    if sink:
+        sys.stderr.write("bench: device->host transfers unavailable; "
+                         "sink mode (encode cost added synthetically)\n")
+        encode_cost = measure_encode_cost(eng, 3)
+
+    # warmup / compile
+    eng.run(max_blocks=WARMUP, setup=False, sink_output=sink)
+
+    t0 = time.perf_counter()
+    stats = eng.run(max_blocks=WARMUP + BLOCKS, setup=False, sink_output=sink)
+    elapsed = time.perf_counter() - t0
+    eng.teardown()
+
+    per_block = elapsed / BLOCKS + (encode_cost if sink else 0.0)
+    budget = N / RATE
+    xrt = budget / per_block
+    taps_ch_per_s = CHANNELS * N * B * xrt * RATE / RATE  # taps*ch "realtime equivalents"
+
+    print(json.dumps({
+        "metric": "massive_config_realtime_factor",
+        "value": round(xrt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / 100.0, 4),
+        "detail": {
+            "workload": f"{CHANNELS}ch x {N * B} taps ({N}x{B} partitions) "
+                        f"@ {RATE} Hz S24_4LE",
+            "blocks": BLOCKS,
+            "ms_per_block": round(per_block * 1e3, 3),
+            "block_budget_ms": round(budget * 1e3, 3),
+            "taps_x_channels": CHANNELS * N * B,
+            "sink_mode": sink,
+            "backend": jax.default_backend(),
+            "rti": round(1.0 / xrt, 5),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

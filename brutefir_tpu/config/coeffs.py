@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.partconv import preprocess_coeffs, dirac_bank_entry
+from ..ops.partconv import preprocess_coeffs, dirac_bank_entry, pack_spectrum
 from .model import CoeffDef
 
 
@@ -98,14 +98,14 @@ def _read_raw_taps(path: str, skip: int, max_items: int, rawformat, dtype) -> np
 
 def load_coeff_bank_entry(coeff: CoeffDef, block_length: int, total_blocks: int,
                           real_dtype=np.float32) -> np.ndarray:
-    """Load one coeff set and return its [total_blocks, N+1] spectral bank row.
+    """Load one coeff set and return its [total_blocks, N] packed bank row.
 
     Partitions beyond ``coeff.n_blocks`` are zero (the MAC mask also skips
     them, matching the reference's cblocks clamp).
     """
     N = block_length
     cdtype = np.complex64 if real_dtype == np.float32 else np.complex128
-    out = np.zeros((total_blocks, N + 1), dtype=cdtype)
+    out = np.zeros((total_blocks, N), dtype=cdtype)
 
     if coeff.filename == "dirac pulse":
         # attenuation applies to the taps, dirac included (load_coeff runs
@@ -135,7 +135,7 @@ def load_coeff_bank_entry(coeff: CoeffDef, block_length: int, total_blocks: int,
         if not np.all(np.isfinite(raw)):
             raise ValueError(f"coeff {coeff.intname} is invalid (NaN/Inf)")
         cbufs = raw.reshape(coeff.n_blocks, 2 * N)
-        out[: coeff.n_blocks] = processed_to_spectral(cbufs, cdtype)
+        out[: coeff.n_blocks] = pack_spectrum(processed_to_spectral(cbufs, cdtype))
         return out
     else:
         raise ValueError(f"invalid coeff format {coeff.format}")
@@ -147,11 +147,10 @@ def load_coeff_bank_entry(coeff: CoeffDef, block_length: int, total_blocks: int,
 
 def build_bank(coeffs, block_length: int, n_blocks: int,
                real_dtype=np.float32) -> np.ndarray:
-    """[n_coeffs + 1, B, K] spectral bank; the last entry is the dirac
-    passthrough used for ``coeff: -1`` (bfrun.c:1779-1837)."""
+    """[n_coeffs + 1, B, N] packed spectral bank; the last entry is the
+    dirac passthrough used for ``coeff: -1`` (bfrun.c:1779-1837)."""
     cdtype = np.complex64 if real_dtype == np.float32 else np.complex128
-    K = block_length + 1
-    bank = np.zeros((len(coeffs) + 1, n_blocks, K), dtype=cdtype)
+    bank = np.zeros((len(coeffs) + 1, n_blocks, block_length), dtype=cdtype)
     for i, c in enumerate(coeffs):
         bank[i] = load_coeff_bank_entry(c, block_length, n_blocks, real_dtype)
     bank[len(coeffs)] = dirac_bank_entry(block_length, n_blocks, cdtype)

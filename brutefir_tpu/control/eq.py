@@ -26,7 +26,7 @@ import numpy as np
 
 from ..config.lexer import T
 from ..config.model import IN, OUT
-from ..ops.partconv import preprocess_coeffs
+from ..ops.partconv import preprocess_coeffs, np_c2p
 from . import register_logic_module
 
 MAX_BANDS = 128
@@ -288,9 +288,9 @@ class EqModule:
         n_blocks = self.conf.coeffs[inactive].n_blocks
         H = preprocess_coeffs(impulse, self.block_length, n_blocks,
                               1.0, self.engine.rd.type)
-        full = np.zeros((self.conf.n_blocks, self.block_length + 1), H.dtype)
+        full = np.zeros((self.conf.n_blocks, self.block_length), H.dtype)
         full[:n_blocks] = H
-        self.engine.update_bank_entry(inactive, full)
+        self.engine.update_bank_entry(inactive, np_c2p(full))
         eq.active = 1 - eq.active
         self.engine.control.mark_dirty()
 

@@ -11,7 +11,7 @@ cascade evaluation, output inverse FFTs -- becomes ONE traced function:
 * ``ctrl``: block-boundary snapshot of every runtime control (mix matrices,
   coefficient indices/masks, pre-delays, crossfade flags). Changing controls
   never recompiles.
-* ``bank``: the [n_entries, B, K] spectral coefficient bank. Device-resident;
+* ``bank``: the [n_entries, B, 2, N] packed dual-plane coefficient bank. Device-resident;
   hot-swapped by the EQ module via functional update outside the step.
 """
 
@@ -30,7 +30,7 @@ from .spec import GraphSpec
 
 class StepState(NamedTuple):
     prev_in: jax.Array    # [C_in, N] previous input block (overlap-save tails)
-    ring: jax.Array       # [F, B, K] complex mixed-input spectra ring
+    ring: jax.Array       # [F, B, 2, N] packed spectra ring (re/im planes)
     eval_prev: jax.Array  # [n_casc, N] cascade valid-output tails
     t: jax.Array          # scalar int32 block counter
 
@@ -60,7 +60,7 @@ class CompiledGraph:
         rd, cd = s.real_dtype, s.complex_dtype
         return StepState(
             prev_in=jnp.zeros((s.n_inputs, s.block_length), rd),
-            ring=jnp.zeros((s.n_filters, s.n_blocks, s.n_bins), cd),
+            ring=jnp.zeros((s.n_filters, s.n_blocks, 2, s.n_bins), rd),
             eval_prev=jnp.zeros((s.n_casc, s.block_length), rd),
             t=jnp.zeros((), jnp.int32),
         )
@@ -76,13 +76,14 @@ def _step_impl(spec: GraphSpec, state: StepState, ctrl: StepCtrl,
     B = spec.n_blocks
     K = spec.n_bins
     F = spec.n_filters
-    cd = spec.complex_dtype
+    rd = spec.real_dtype
 
-    X = partconv.frame_and_fft(state.prev_in, x)          # [C_in, K]
+    X = partconv.rfft_planes(
+        jnp.concatenate([state.prev_in, x], axis=-1))     # [C_in, 2, N]
     ring = state.ring
     eval_prev = state.eval_prev
     t = state.t
-    y_all = jnp.zeros((F, K), cd)
+    y_all = jnp.zeros((F, 2, K), rd)
 
     for stage in spec.stages:
         idx = stage.idx                                    # static np array
@@ -98,24 +99,24 @@ def _step_impl(spec: GraphSpec, state: StepState, ctrl: StepCtrl,
         wpos = jnp.mod(t + ctrl.delay[idx], B)             # [Fs]
         ring = ring.at[idx, wpos].set(mixed)
 
-        h = jnp.take(bank, ctrl.coeff_idx[idx], axis=0) * ctrl.mask[idx][:, :, None]
+        h = jnp.take(bank, ctrl.coeff_idx[idx], axis=0) * ctrl.mask[idx][:, :, None, None]
         y = partconv.spectral_mac(ring[idx], h, t)
 
         if stage.any_crossfade:
             def do_xfade(y, _idx=idx):
                 hp = (jnp.take(bank, ctrl.prev_idx[_idx], axis=0)
-                      * ctrl.prev_mask[_idx][:, :, None])
+                      * ctrl.prev_mask[_idx][:, :, None, None])
                 y_old = partconv.spectral_mac(ring[_idx], hp, t)
                 y_xf = partconv.crossfade_spectra(y_old, y, N)
-                sel = ctrl.xfade[_idx][:, None] > 0
+                sel = ctrl.xfade[_idx][:, None, None] > 0
                 return jnp.where(sel, y_xf, y)
 
             y = jax.lax.cond(ctrl.any_xfade, do_xfade, lambda v: v, y)
 
         y_all = y_all.at[idx].set(y)
 
-    out_spec = partconv.complex_mix(ctrl.out_mix, y_all)   # [C_out, K]
-    y_time = jnp.fft.irfft(out_spec, axis=-1)[:, :N]       # valid lower half
+    out_spec = partconv.complex_mix(ctrl.out_mix, y_all)   # [C_out, 2, N]
+    y_time = partconv.irfft_planes(out_spec)[:, :N]        # valid lower half
 
     new_state = StepState(prev_in=x, ring=ring, eval_prev=eval_prev, t=t + 1)
     return new_state, y_time

@@ -43,7 +43,8 @@ class GraphSpec:
 
     @property
     def n_bins(self) -> int:
-        return self.block_length + 1
+        """Packed spectral bins (Nyquist folded into bin 0) -- power of two."""
+        return self.block_length
 
     @property
     def complex_dtype(self):

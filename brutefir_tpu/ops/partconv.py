@@ -20,6 +20,16 @@ TPU-native formulation of the reference convolver (`fftw_convolver.c`,
   the reference's dirac_convolve multiplies by alternating-sign 1/n_fft
   (`fftw_convfuns.h:592-619`); in our normalization that is just (-1)^k.
 
+**Packed spectra.** Device-side spectra use a packed N-bin layout: the real
+Nyquist bin rides in the imaginary slot of the real DC bin
+(``Xp[0] = X[0].re + 1j X[N].re``), the same folding the reference's SIMD
+layout uses (`fftw_convfuns.h` stores Nyquist at index 4 of group 0 and
+special-cases bins 0/N in every convolve kernel). This keeps every spectral
+axis a power of two -- lane-aligned for the TPU (8192 bins = 64x128) and
+evenly shardable across devices. Bin 0 of a packed spectral product
+multiplies real and imaginary parts *separately* (two independent real
+spectra), exactly the d1s/d2s special case of the reference kernels.
+
 The dense jnp path below is the correctness baseline; the fused Pallas MAC
 kernel lives in :mod:`brutefir_tpu.ops.pallas_mac`.
 """
@@ -29,6 +39,65 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def pack_spectrum(H):
+    """[..., N+1] rfft spectrum -> packed [..., N] (numpy or jnp)."""
+    xp = jnp if isinstance(H, jax.Array) else np
+    dc = H[..., :1].real + 1j * H[..., -1:].real
+    return xp.concatenate([dc.astype(H.dtype), H[..., 1:-1]], axis=-1)
+
+
+def unpack_spectrum(Hp):
+    """packed [..., N] -> [..., N+1] rfft spectrum (numpy or jnp)."""
+    xp = jnp if isinstance(Hp, jax.Array) else np
+    dc = Hp[..., :1].real.astype(Hp.dtype)
+    nyq = Hp[..., :1].imag.astype(Hp.dtype)
+    return xp.concatenate([dc, Hp[..., 1:], nyq], axis=-1)
+
+
+def rfft_packed(x):
+    return pack_spectrum(jnp.fft.rfft(x, axis=-1))
+
+
+def irfft_packed(Xp):
+    return jnp.fft.irfft(unpack_spectrum(Xp), axis=-1)
+
+
+# --- dual-plane representation -------------------------------------------
+#
+# On device, spectra are carried as separate real/imag float planes,
+# shape [..., 2, N] (plane axis second-to-last), never as a complex dtype:
+# complex64 on TPU lowers to interleaved pairs with shuffle-heavy multiply,
+# while planes keep every op a plain f32 elementwise/matmul on lane-aligned
+# power-of-two rows, and feed the Pallas MAC kernel directly.
+
+def c2p(z: jnp.ndarray) -> jnp.ndarray:
+    """complex [..., N] -> float planes [..., 2, N]."""
+    return jnp.stack([z.real, z.imag], axis=-2)
+
+
+def p2c(p: jnp.ndarray) -> jnp.ndarray:
+    """float planes [..., 2, N] -> complex [..., N]."""
+    return jax.lax.complex(p[..., 0, :], p[..., 1, :])
+
+
+def np_c2p(z: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.stack([z.real, z.imag], axis=-2))
+
+
+def make_bank(entries) -> np.ndarray:
+    """Stack per-coeff packed complex entries [B, N] into the device bank
+    layout [n_entries, B, 2, N] float planes."""
+    return np_c2p(np.stack(entries))
+
+
+def rfft_planes(x: jnp.ndarray) -> jnp.ndarray:
+    return c2p(rfft_packed(x))
+
+
+def irfft_planes(p: jnp.ndarray) -> jnp.ndarray:
+    return irfft_packed(p2c(p))
 
 
 def preprocess_coeffs(
@@ -41,11 +110,11 @@ def preprocess_coeffs(
     """Host-side coefficient preprocessing.
 
     Splits ``taps`` (1-D) into ``n_blocks`` partitions of ``block_length``,
-    zero-padding the tail, and returns the spectral coefficient bank
-    ``H [n_blocks, block_length+1] complex`` in the engine's convention
-    (upper-half placement absorbed as the (-1)^k factor). ``scale`` is the
-    linear attenuation factor applied to the taps (`coeffs2cbuf` arg).
-    Raises ValueError on NaN/Inf taps like the reference.
+    zero-padding the tail, and returns the *packed* spectral coefficient
+    bank ``H [n_blocks, block_length] complex`` in the engine's convention
+    (upper-half placement absorbed as the (-1)^k factor; Nyquist packed
+    into bin 0). ``scale`` is the linear attenuation factor applied to the
+    taps (`coeffs2cbuf` arg). Raises ValueError on NaN/Inf taps.
     """
     N = block_length
     taps = np.asarray(taps, dtype=dtype) * dtype(scale) if scale != 1.0 else np.asarray(taps, dtype=dtype)
@@ -59,36 +128,48 @@ def preprocess_coeffs(
     buf = np.zeros((n_blocks, 2 * N), dtype=dtype)
     buf[:, N:] = parts
     ctype = np.complex64 if dtype == np.float32 else np.complex128
-    return np.fft.rfft(buf, axis=1).astype(ctype)
+    return pack_spectrum(np.fft.rfft(buf, axis=1).astype(ctype))
 
 
 def dirac_bank_entry(block_length: int, n_blocks: int, dtype=np.complex64) -> np.ndarray:
-    """Spectral bank entry for the pass-through ("dirac pulse") coefficient."""
+    """Packed bank entry for the pass-through ("dirac pulse") coefficient."""
     N = block_length
     H = np.zeros((n_blocks, N + 1), dtype=dtype)
     signs = np.where(np.arange(N + 1) % 2 == 0, 1.0, -1.0)
     H[0] = signs
-    return H
+    return pack_spectrum(H)
 
 
 def frame_and_fft(prev_tail: jnp.ndarray, new_block: jnp.ndarray) -> jnp.ndarray:
-    """[C, N] x [C, N] -> rfft of the 2N overlap-save frame, [C, N+1]."""
+    """[C, N] x [C, N] -> packed rfft of the 2N overlap-save frame, [C, N]."""
     frame = jnp.concatenate([prev_tail, new_block], axis=-1)
-    return jnp.fft.rfft(frame, axis=-1)
+    return rfft_packed(frame)
 
 
 def spectral_mac(ring: jnp.ndarray, H: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """Partitioned spectral multiply-accumulate.
+    """Partitioned spectral multiply-accumulate (dual-plane).
 
-    ring: [F, B, K] complex input-spectra ring per filter
-    H:    [F, B, K] complex coefficient partitions (already gathered/masked)
+    ring: [F, B, 2, N] packed input-spectra ring per filter (re/im planes)
+    H:    [F, B, 2, N] packed coefficient partitions (gathered/masked)
     t:    scalar int32 block counter
-    Returns Y [F, K] = sum_i ring[:, (t-i) % B] * H[:, i].
+    Returns packed planes Y [F, 2, N] = sum_i ring[:, (t-i) % B] (*) H[:, i],
+    where (*) is complex multiply except bin 0, whose real/imag parts (DC
+    and Nyquist) multiply separately (the d1s/d2s special case of
+    `fftw_convfuns.h:513-531`).
     """
     B = ring.shape[1]
     rpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B)
     rot = jnp.take(ring, rpos, axis=1)
-    return jnp.sum(rot * H, axis=1)
+    rr, ri = rot[:, :, 0], rot[:, :, 1]            # [F, B, N]
+    hr, hi = H[:, :, 0], H[:, :, 1]
+    yr = jnp.sum(rr * hr - ri * hi, axis=1)        # [F, N]
+    yi = jnp.sum(rr * hi + ri * hr, axis=1)
+    # bin 0: DC and Nyquist are independent real products
+    yr0 = jnp.sum(rr[..., 0] * hr[..., 0], axis=-1)
+    yi0 = jnp.sum(ri[..., 0] * hi[..., 0], axis=-1)
+    yr = yr.at[..., 0].set(yr0)
+    yi = yi.at[..., 0].set(yi0)
+    return jnp.stack([yr, yi], axis=1)             # [F, 2, N]
 
 
 def crossfade_spectra(y_old: jnp.ndarray, y_new: jnp.ndarray, n_fft2: int) -> jnp.ndarray:
@@ -98,32 +179,34 @@ def crossfade_spectra(y_old: jnp.ndarray, y_new: jnp.ndarray, n_fft2: int) -> jn
     (lower) half, keep the new upper half, and re-transform. Matches
     fftw_convolver.c:330-368 in our normalization.
     """
-    t_old = jnp.fft.irfft(y_old, axis=-1)
-    t_new = jnp.fft.irfft(y_new, axis=-1)
+    t_old = irfft_planes(y_old)
+    t_new = irfft_planes(y_new)
     dt = t_new.dtype
     f = jnp.arange(n_fft2, dtype=dt) / (n_fft2 - 1)
     ramped = t_old[..., :n_fft2] * (1.0 - f) + t_new[..., :n_fft2] * f
     mixed = jnp.concatenate([ramped, t_new[..., n_fft2:]], axis=-1)
-    return jnp.fft.rfft(mixed, axis=-1)
+    return rfft_planes(mixed)
 
 
 def convolve_eval(z: jnp.ndarray, eval_prev: jnp.ndarray, n_fft2: int):
     """Filter-cascade re-framing (`convolver_convolve_eval`, fftw 411-433).
 
-    ``z`` is the mixed output spectrum of upstream filters [Fc, K]. Returns
+    ``z`` is the packed mixed output spectrum of upstream filters [Fc, N].
+    Returns
     (E, new_eval_prev): the "input-like" spectrum obtained by taking the
     valid time-domain output, overlap-save framing it with the previous
     block's valid output, and re-transforming.
     """
-    t = jnp.fft.irfft(z, axis=-1)
+    t = irfft_planes(z)
     valid = t[..., :n_fft2]
     frame = jnp.concatenate([eval_prev, valid], axis=-1)
-    return jnp.fft.rfft(frame, axis=-1), valid
+    return rfft_planes(frame), valid
 
 
 def complex_mix(mix: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Real mixing matrix applied to complex spectra: [A,B]@[B,K] -> [A,K].
+    """Real mixing matrix applied to dual-plane spectra.
 
-    Two real matmuls (MXU) instead of a complex-promoted one.
+    [A, F] @ [F, 2, N] -> [A, 2, N]: one real matmul per plane (MXU).
     """
-    return jax.lax.complex(mix @ x.real, mix @ x.imag)
+    return jnp.einsum("af,fpn->apn", mix, x,
+                      preferred_element_type=x.dtype)

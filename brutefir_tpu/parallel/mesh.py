@@ -1,0 +1,101 @@
+"""Multi-chip sharding of the block step.
+
+The reference scales by forking filter processes and splitting filters and
+channel FFTs across CPUs with pipe barriers (`bfconf.c:2227-2318`,
+`bfrun.c:2311-2328`; SURVEY 2.3). The TPU-native equivalents here are
+sharding annotations on one jitted program -- XLA inserts the collectives:
+
+* **bin ("sequence") parallelism** ``sp``: the frequency-bin axis K of the
+  spectra ring, coefficient bank and MAC is embarrassingly parallel
+  (SURVEY 5.7); each device MACs its bin shard, one all-gather of the
+  [C_out, K] output spectra precedes the inverse FFT.
+* **filter parallelism** ``f``: the filter axis of the ring/MAC and of the
+  mixing matrices; the output mix contracts over F, so XLA inserts a
+  reduce (psum) over the ``f`` axis -- exactly the reference's constraint
+  that filters mixing into one output must synchronize (bfconf.c:2893-2931).
+
+Both compose on a 2D mesh. Batch/pipeline parallelism over *blocks* is not
+meaningful for a causal single-stream convolver (block k+1 needs block k's
+ring), matching the reference, whose pipeline axis is the host I/O overlap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graph.compile import CompiledGraph, StepState, StepCtrl
+
+
+def make_mesh(devices=None, f_axis: int = 1, sp_axis: int = None) -> Mesh:
+    """Build an ('f', 'sp') mesh over the given devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if sp_axis is None:
+        sp_axis = n // f_axis
+    if f_axis * sp_axis != n:
+        raise ValueError(f"mesh {f_axis}x{sp_axis} != {n} devices")
+    arr = np.array(devices).reshape(f_axis, sp_axis)
+    return Mesh(arr, ("f", "sp"))
+
+
+def step_shardings(mesh: Mesh):
+    """(state, ctrl, bank, x, out) sharding pytrees for the compiled step."""
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    state = StepState(
+        prev_in=ns(),                 # [C_in, N] replicated
+        ring=ns("f", None, None, "sp"),  # [F, B, 2, N]
+        eval_prev=ns(),               # [n_casc, N] replicated
+        t=ns(),
+    )
+    ctrl = StepCtrl(
+        in_mix=ns("f", None),         # [F, C_in]
+        fmix=ns("f", None),           # [F, F]
+        out_mix=ns(None, "f"),        # [C_out, F]
+        delay=ns("f"),
+        coeff_idx=ns("f"),
+        mask=ns("f", None),
+        prev_idx=ns("f"),
+        prev_mask=ns("f", None),
+        xfade=ns("f"),
+        any_xfade=ns(),
+    )
+    bank = ns(None, None, None, "sp")  # [E, B, 2, N]
+    x = ns()                          # [C_in, N] replicated
+    y = ns()                          # [C_out, N] replicated
+    return state, ctrl, bank, x, y
+
+
+class ShardedGraph:
+    """A CompiledGraph jitted with multi-device shardings."""
+
+    def __init__(self, cg: CompiledGraph, mesh: Mesh):
+        from ..graph.compile import _step_impl
+        import functools
+        self.cg = cg
+        self.mesh = mesh
+        st_s, ct_s, bank_s, x_s, y_s = step_shardings(mesh)
+        self.shardings = (st_s, ct_s, bank_s, x_s, y_s)
+        self._step = jax.jit(
+            functools.partial(_step_impl, cg.spec),
+            in_shardings=(st_s, ct_s, bank_s, x_s),
+            out_shardings=(st_s, y_s),
+            donate_argnums=(0,),
+        )
+
+    def init_state(self) -> StepState:
+        st = self.cg.init_state()
+        st_s = self.shardings[0]
+        return jax.tree.map(jax.device_put, st, st_s)
+
+    def place(self, ctrl: StepCtrl, bank, x):
+        _, ct_s, bank_s, x_s, _ = self.shardings
+        return (jax.tree.map(jax.device_put, ctrl, ct_s),
+                jax.device_put(bank, bank_s),
+                jax.device_put(x, x_s))
+
+    def step(self, state, ctrl, bank, x):
+        return self._step(state, ctrl, bank, x)

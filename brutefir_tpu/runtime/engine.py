@@ -55,6 +55,9 @@ class Engine:
         self.cg = CompiledGraph(self.spec)
         if bank is None:
             bank = build_bank(conf.coeffs, self.N, self.B, self.rd.type)
+        from ..ops.partconv import np_c2p
+        if np.iscomplexobj(bank):
+            bank = np_c2p(bank)
         self.bank = jnp.asarray(bank)
         self.control = RuntimeControl(conf, self.spec)
 
@@ -253,8 +256,15 @@ class Engine:
             if hook is not None:
                 hook(self.blockcounter)
 
-    def run(self, max_blocks: Optional[int] = None, setup: bool = True):
-        """Process until input EOF (or max_blocks). Returns run statistics."""
+    def run(self, max_blocks: Optional[int] = None, setup: bool = True,
+            sink_output: bool = False):
+        """Process until input EOF (or max_blocks). Returns run statistics.
+
+        ``sink_output`` skips the host-side encode/write path and only
+        synchronizes on device completion -- used for benchmarking on
+        runtimes where device->host transfers are unavailable (the output
+        would go to /dev/null anyway).
+        """
         if setup:
             self.setup()
             self.attach_logic()
@@ -288,7 +298,10 @@ class Engine:
             t2 = time.perf_counter()
             if pending is not None:
                 yk, fk = pending
-                self.write_block(np.asarray(yk), fk)
+                if sink_output:
+                    jax.block_until_ready(yk)
+                else:
+                    self.write_block(np.asarray(yk), fk)
                 frames_out += fk
             pending = (y_dev, frames) if (y_dev is not None and frames > 0) else None
             t3 = time.perf_counter()
@@ -304,7 +317,10 @@ class Engine:
 
         if pending is not None:
             yk, fk = pending
-            self.write_block(np.asarray(yk), fk)
+            if sink_output:
+                jax.block_until_ready(yk)
+            else:
+                self.write_block(np.asarray(yk), fk)
             frames_out += fk
 
         elapsed = time.perf_counter() - t_run0

@@ -7,6 +7,7 @@ import scipy.signal
 import jax.numpy as jnp
 
 from brutefir_tpu.ops import partconv
+from brutefir_tpu.ops.partconv import make_bank
 from brutefir_tpu.graph import build_graph_spec, CompiledGraph, make_ctrl
 
 
@@ -37,7 +38,7 @@ def test_partitioned_equals_direct(N, B, rng):
     x = rng.standard_normal(N * (B + 3)).astype(np.float32)
 
     spec = build_graph_spec(N, B, 1, 1, [[]], [False])
-    bank = np.stack([partconv.preprocess_coeffs(taps, N, B)])
+    bank = make_bank([partconv.preprocess_coeffs(taps, N, B)])
     cg = CompiledGraph(spec)
     ctrl = simple_ctrl(spec, 1)
     y = run_blocks(cg, ctrl, jnp.asarray(bank), x.reshape(-1, 1, N))
@@ -53,12 +54,12 @@ def test_partitioned_equals_single_partition(rng):
     x = rng.standard_normal(N * B * 2).astype(np.float32)
 
     spec_m = build_graph_spec(N, B, 1, 1, [[]], [False])
-    bank_m = np.stack([partconv.preprocess_coeffs(taps, N, B)])
+    bank_m = make_bank([partconv.preprocess_coeffs(taps, N, B)])
     y_m = run_blocks(CompiledGraph(spec_m), simple_ctrl(spec_m, 1),
                      jnp.asarray(bank_m), x.reshape(-1, 1, N))
 
     spec_1 = build_graph_spec(N * B, 1, 1, 1, [[]], [False])
-    bank_1 = np.stack([partconv.preprocess_coeffs(taps, N * B, 1)])
+    bank_1 = make_bank([partconv.preprocess_coeffs(taps, N * B, 1)])
     y_1 = run_blocks(CompiledGraph(spec_1), simple_ctrl(spec_1, 1),
                      jnp.asarray(bank_1), x.reshape(-1, 1, N * B))
 
@@ -69,7 +70,7 @@ def test_dirac_is_passthrough(rng):
     N, B = 64, 4
     x = rng.standard_normal(N * 6).astype(np.float32)
     spec = build_graph_spec(N, B, 1, 1, [[]], [False])
-    bank = np.stack([partconv.dirac_bank_entry(N, B)])
+    bank = make_bank([partconv.dirac_bank_entry(N, B)])
     y = run_blocks(CompiledGraph(spec), simple_ctrl(spec, 1),
                    jnp.asarray(bank), x.reshape(-1, 1, N))
     np.testing.assert_allclose(y[0], x, rtol=0, atol=1e-4 * np.abs(x).max())
@@ -81,7 +82,7 @@ def test_filter_predelay_blocks(rng):
     taps = rng.standard_normal(N).astype(np.float32)
     x = rng.standard_normal(N * 8).astype(np.float32)
     spec = build_graph_spec(N, B, 1, 1, [[]], [False])
-    bank = np.stack([partconv.preprocess_coeffs(taps, N, B)])
+    bank = make_bank([partconv.preprocess_coeffs(taps, N, B)])
     ctrl = simple_ctrl(spec, 1, delay=d, mask_blocks=1)
     y = run_blocks(CompiledGraph(spec), ctrl, jnp.asarray(bank),
                    x.reshape(-1, 1, N))
@@ -100,7 +101,7 @@ def test_mix_matrix_crosstalk(rng):
 
     # 4 filters: Ld, Lc, Rd, Rc  (direct/cross per side)
     spec = build_graph_spec(N, B, 2, 2, [[], [], [], []], [False] * 4)
-    bank = np.stack([
+    bank = make_bank([
         partconv.preprocess_coeffs(d_taps, N, B),
         partconv.preprocess_coeffs(c_taps, N, B),
     ])
@@ -128,7 +129,7 @@ def test_cascade_matches_sequential_convolution(rng):
 
     # filter 0: input -> filter 1; filter 1: -> output
     spec = build_graph_spec(N, B, 1, 1, [[], [0]], [False, False])
-    bank = np.stack([
+    bank = make_bank([
         partconv.preprocess_coeffs(t1, N, B),
         partconv.preprocess_coeffs(t2, N, B),
     ])
@@ -152,7 +153,7 @@ def test_crossfade_ramp(rng):
     x = rng.standard_normal(N * 6).astype(np.float32)
 
     spec = build_graph_spec(N, B, 1, 1, [[]], [True])
-    bank = np.stack([
+    bank = make_bank([
         partconv.preprocess_coeffs(t_old, N, B),
         partconv.preprocess_coeffs(t_new, N, B),
     ])
@@ -198,7 +199,7 @@ def test_short_coeff_mask(rng):
     taps = rng.standard_normal(N * 3).astype(np.float32)
     x = rng.standard_normal(N * 12).astype(np.float32)
     spec = build_graph_spec(N, B, 1, 1, [[]], [False])
-    bank = np.stack([partconv.preprocess_coeffs(taps, N, B)])
+    bank = make_bank([partconv.preprocess_coeffs(taps, N, B)])
     ctrl = simple_ctrl(spec, 1, mask_blocks=3)
     y = run_blocks(CompiledGraph(spec), ctrl, jnp.asarray(bank),
                    x.reshape(-1, 1, N))
