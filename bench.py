@@ -51,22 +51,22 @@ output {",".join(str(i) for i in range(CHANNELS))} {{
     for i in range(CHANNELS))
 
 
-def transfers_work(timeout_s: float = 20.0) -> bool:
-    """Probe device->host transfer with a timeout (it can hang forever)."""
-    import jax.numpy as jnp
-    result = {}
-
-    def probe():
-        try:
-            y = (jnp.ones((8, 128), jnp.float32) * 2).block_until_ready()
-            result["v"] = float(np.asarray(y)[0, 0])
-        except Exception:
-            result["v"] = None
-
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    return result.get("v") == 2.0
+def transfers_work(timeout_s: float = 60.0) -> bool:
+    """Probe device->host transfer in a subprocess (it can hang forever,
+    and a hung in-process RPC can wedge the whole PJRT client)."""
+    import subprocess
+    code = (
+        "import numpy as np, jax, jax.numpy as jnp\n"
+        "y = (jnp.ones((8, 128), jnp.float32) * 2).block_until_ready()\n"
+        "assert float(np.asarray(y)[0, 0]) == 2.0\n"
+        "print('TRANSFER_OK')\n"
+    )
+    try:
+        out = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                             capture_output=True, text=True)
+        return "TRANSFER_OK" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def measure_encode_cost(eng, blocks: int) -> float:

@@ -28,6 +28,16 @@ import numpy as np
 from .sampleformat import SampleFormat
 
 
+def _native():
+    try:
+        from . import native
+        if native.available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
 @dataclass
 class Overflow:
     """Per-output-channel clip/peak statistics (reference `bfmod.h:99-104`)."""
@@ -67,6 +77,10 @@ def raw_to_float(
     bytes. Returns [len(channel_selection), n_frames] float at integer scale.
     Matches `raw2real.h` instantiated per format.
     """
+    nat = _native()
+    if nat is not None and dtype == np.float32:
+        return nat.decode_f32(raw, fmt, n_frames, open_channels,
+                              channel_selection)
     sel = np.asarray(channel_selection, dtype=np.int64)
     nbytes = n_frames * open_channels * fmt.bytes
     buf = raw[:nbytes]
@@ -110,21 +124,26 @@ def quantize_no_dither(x: np.ndarray, fmt: SampleFormat, overflow: Overflow) -> 
 
     Returns int32 samples clipped to the format's range; updates ``overflow``.
     """
+    nat = _native()
+    if nat is not None and x.dtype == np.float32:
+        return nat.quantize_no_dither(x, fmt, overflow)
     shifted = x.astype(np.float64) + 0.5 if x.dtype == np.float64 else x + np.array(0.5, x.dtype)
     rmin = np.array(fmt.imin, x.dtype)
     rmax = np.array(fmt.imax, x.dtype)
 
     under = shifted <= rmin
     over = shifted > rmax
-    q = np.trunc(shifted)
-    q = np.where(shifted < 0, q - 1.0, q)
-    qi = q.astype(np.int32)
+    clipped = under | over
+    # trunc then decrement negatives in the *integer* domain (the reference
+    # casts to int32 before sample--, dither_funs.h:93-94; a float-domain
+    # decrement loses the -1 above 2^24)
+    qi = np.trunc(np.where(clipped, 0.0, shifted)).astype(np.int64)
+    qi = np.where(shifted < 0, qi - 1, qi).astype(np.int32)
     qi = np.where(under, np.int32(fmt.imin), qi)
     qi = np.where(over, np.int32(fmt.imax), qi)
 
     n_ovf = int(np.count_nonzero(under) + np.count_nonzero(over))
     overflow.n_overflows += n_ovf
-    clipped = under | over
     if n_ovf:
         mag = np.abs(shifted[clipped])
         overflow.largest = max(overflow.largest, float(mag.max()))
@@ -193,7 +212,12 @@ def float_to_raw(
     Float formats are written as-is with overflow accounting only.
     """
     n_frames = x.shape[1]
+    nat = _native() if x.dtype == np.float32 else None
     if fmt.is_float:
+        if nat is not None:
+            nat.encode_float(x, fmt, open_channels, channel_selection, out,
+                             overflows)
+            return
         for c in range(x.shape[0]):
             check_float_overflow(x[c], overflows[c])
         dt_base = np.float32 if fmt.bytes == 4 else np.float64
@@ -209,4 +233,7 @@ def float_to_raw(
             qrows[c] = dither_state[c].quantize(x[c], fmt, overflows[c])
         else:
             qrows[c] = quantize_no_dither(x[c], fmt, overflows[c])
+    if nat is not None:
+        nat.encode_int(qrows, fmt, open_channels, channel_selection, out)
+        return
     _pack_int(qrows, fmt, out, open_channels, channel_selection)

@@ -55,10 +55,10 @@ def tausrand_table(n: int, seed: int = 0) -> np.ndarray:
 
     for _ in range(6):
         step()
-    out = np.empty(n, dtype=np.int8)
+    out = np.empty(n, dtype=np.uint8)
     for i in range(n):
-        out[i] = np.int8(step() & 0xFF)
-    return out
+        out[i] = step() & 0xFF
+    return out.view(np.int8)  # (int8_t) cast wraps (dither.c:108)
 
 
 def build_randmap(dtype=np.float32) -> np.ndarray:
@@ -66,11 +66,16 @@ def build_randmap(dtype=np.float32) -> np.ndarray:
 
     Indexed by (tab[n] - tab[n-1]) + 256, covering [-256, 254].
     """
-    m = np.empty(511, dtype=dtype)
+    m = np.empty(512, dtype=dtype)
     m[0] = -0.5  # index -256
     n = np.arange(-255, 254, dtype=np.float64)
     m[1:510] = (0.5 + 1.0 / 255.0 + n / 255.0).astype(dtype)
     m[510] = 1.5  # index 254
+    # Index 255 *is* reachable (tab diff of 127 - (-128)) but the reference
+    # allocates only [-256, 254] and reads past the end there
+    # (dither.c:115-131) -- an upstream out-of-bounds read. We define it by
+    # continuing the line so the TPDF stays bounded.
+    m[511] = dtype(1.5 + 1.0 / 255.0)
     return m
 
 
@@ -128,12 +133,15 @@ class DitherState:
         """HP-TPDF dithered mid-tread quantization (`dither_funs.h:7-68`)."""
         n = x.shape[0]
         d = self._next_window(n)
-        try:
-            from . import native
-            if native.available():
-                return native.dither_quantize(x, d, self.sf, fmt, overflow)
-        except ImportError:
-            pass
+        if x.dtype == np.float32 and self.table.dtype == np.float32:
+            try:
+                from . import native
+                if native.available():
+                    return native.dither_quantize(
+                        np.ascontiguousarray(x, np.float32), d, self.sf,
+                        fmt, overflow)
+            except Exception:
+                pass
         return self._quantize_py(x, d, fmt, overflow)
 
     def _quantize_py(self, x: np.ndarray, d: np.ndarray, fmt: SampleFormat,

@@ -1,0 +1,254 @@
+// Native sample codec: the host-side hot loops of the engine.
+//
+// C++ counterpart of the reference's performance-critical C conversion
+// paths: raw2real.h / real2raw.h (interleaved raw <-> planar float at
+// integer scale, all PCM/float formats, byte-swapped variants) and
+// dither_funs.h (mid-tread requantization, with and without HP-TPDF dither
+// + {1,-1} error feedback -- the sequential recurrence that defeats numpy).
+//
+// Built as a plain shared object driven through ctypes (no pybind11 in the
+// image). All functions are single-threaded per call; the Python layer
+// parallelizes across channels/devices if needed.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+
+extern "C" {
+
+struct OvfStats {
+    uint32_t n_overflows;
+    int32_t intlargest;
+    double largest;
+};
+
+// ---------------------------------------------------------------- decode
+// raw (interleaved, n_frames x open_ch) -> out rows [n_sel][n_frames]
+// at integer scale, matching raw2real.h semantics.
+void bf_decode_f32(const uint8_t* raw, float* out, int64_t n_frames,
+                   int32_t open_ch, const int32_t* sel, int32_t n_sel,
+                   int32_t bytes, int32_t is_float, int32_t swap) {
+    for (int32_t c = 0; c < n_sel; c++) {
+        const int64_t ch = sel[c];
+        float* o = out + (int64_t)c * n_frames;
+        if (is_float) {
+            if (bytes == 4) {
+                const uint32_t* p = (const uint32_t*)raw + ch;
+                for (int64_t i = 0; i < n_frames; i++, p += open_ch) {
+                    uint32_t v = *p;
+                    if (swap) v = __builtin_bswap32(v);
+                    float f;
+                    std::memcpy(&f, &v, 4);
+                    o[i] = f;
+                }
+            } else {  // 8-byte float
+                const uint64_t* p = (const uint64_t*)raw + ch;
+                for (int64_t i = 0; i < n_frames; i++, p += open_ch) {
+                    uint64_t v = *p;
+                    if (swap) v = __builtin_bswap64(v);
+                    double d;
+                    std::memcpy(&d, &v, 8);
+                    o[i] = (float)d;
+                }
+            }
+        } else if (bytes == 1) {
+            const int8_t* p = (const int8_t*)raw + ch;
+            for (int64_t i = 0; i < n_frames; i++, p += open_ch)
+                o[i] = (float)*p;
+        } else if (bytes == 2) {
+            const uint16_t* p = (const uint16_t*)raw + ch;
+            for (int64_t i = 0; i < n_frames; i++, p += open_ch) {
+                uint16_t v = *p;
+                if (swap) v = __builtin_bswap16(v);
+                o[i] = (float)(int16_t)v;
+            }
+        } else if (bytes == 3) {
+            const uint8_t* p = raw + ch * 3;
+            const int64_t stride = (int64_t)open_ch * 3;
+            for (int64_t i = 0; i < n_frames; i++, p += stride) {
+                uint32_t v = swap
+                    ? ((uint32_t)p[2] | ((uint32_t)p[1] << 8) | ((uint32_t)p[0] << 16))
+                    : ((uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16));
+                o[i] = (float)((int32_t)(v << 8) >> 8);
+            }
+        } else {  // 4-byte int (S32 and S24_4: full int32 read)
+            const uint32_t* p = (const uint32_t*)raw + ch;
+            for (int64_t i = 0; i < n_frames; i++, p += open_ch) {
+                uint32_t v = *p;
+                if (swap) v = __builtin_bswap32(v);
+                o[i] = (float)(int32_t)v;
+            }
+        }
+    }
+}
+
+// -------------------------------------------------------------- quantize
+// Mid-tread, no dither (dither_funs.h:70-114). x -> q (int32), stats updated.
+void bf_quantize_nd(const float* x, int64_t n, int32_t bits, int32_t* q,
+                    OvfStats* st) {
+    const int32_t imax = (int32_t)((1u << (bits - 1)) - 1);
+    const int32_t imin = -imax - 1;
+    const float rmin = (float)imin, rmax = (float)imax;
+    uint32_t novf = st->n_overflows;
+    int32_t il = st->intlargest;
+    double lg = st->largest;
+    for (int64_t i = 0; i < n; i++) {
+        float v = x[i] + 0.5f;
+        int32_t s;
+        if (v < 0.0f) {
+            if (v <= rmin) {
+                s = imin;
+                novf++;
+                if (-v > lg) lg = -v;
+            } else {
+                s = (int32_t)v - 1;
+                if (-s > il) il = -s;
+            }
+        } else {
+            if (v > rmax) {
+                s = imax;
+                novf++;
+                if (v > lg) lg = v;
+            } else {
+                s = (int32_t)v;
+                if (s > il) il = s;
+            }
+        }
+        q[i] = s;
+    }
+    st->n_overflows = novf;
+    st->intlargest = il;
+    st->largest = lg;
+}
+
+// HP-TPDF dithered quantization with {1,-1} error feedback
+// (dither_funs.h:7-68). dith[] holds the precomputed randmap values.
+// sf[0], sf[1] carry the feedback state across blocks.
+void bf_quantize_dither(const float* x, const float* dith, int64_t n,
+                        int32_t bits, float* sf, int32_t* q, OvfStats* st) {
+    const int32_t imax = (int32_t)((1u << (bits - 1)) - 1);
+    const int32_t imin = -imax - 1;
+    const float rmin = (float)imin, rmax = (float)imax;
+    float sf0 = sf[0], sf1 = sf[1];
+    uint32_t novf = st->n_overflows;
+    int32_t il = st->intlargest;
+    double lg = st->largest;
+    for (int64_t i = 0; i < n; i++) {
+        float real = x[i] + sf0 - sf1;
+        sf1 = sf0;
+        float d = real + dith[i];
+        int32_t s;
+        if (d < 0.0f) {
+            if (d <= rmin) {
+                s = imin;
+                novf++;
+                if (real < -lg) lg = (double)-d;
+            } else {
+                s = (int32_t)d - 1;
+                if (-s > il) il = -s;
+            }
+        } else {
+            if (d > rmax) {
+                s = imax;
+                novf++;
+                if (real > lg) lg = (double)d;
+            } else {
+                s = (int32_t)d;
+                if (s > il) il = s;
+            }
+        }
+        sf0 = real - (float)s;
+        q[i] = s;
+    }
+    sf[0] = sf0;
+    sf[1] = sf1;
+    st->n_overflows = novf;
+    st->intlargest = il;
+    st->largest = lg;
+}
+
+// ---------------------------------------------------------------- encode
+// int32 rows [n_sel][n_frames] -> interleaved raw (real2raw.h packing).
+void bf_encode_int(const int32_t* rows, uint8_t* raw, int64_t n_frames,
+                   int32_t open_ch, const int32_t* sel, int32_t n_sel,
+                   int32_t bytes, int32_t swap) {
+    for (int32_t c = 0; c < n_sel; c++) {
+        const int64_t ch = sel[c];
+        const int32_t* r = rows + (int64_t)c * n_frames;
+        if (bytes == 1) {
+            int8_t* p = (int8_t*)raw + ch;
+            for (int64_t i = 0; i < n_frames; i++, p += open_ch)
+                *p = (int8_t)r[i];
+        } else if (bytes == 2) {
+            uint16_t* p = (uint16_t*)raw + ch;
+            for (int64_t i = 0; i < n_frames; i++, p += open_ch) {
+                uint16_t v = (uint16_t)(int16_t)r[i];
+                *p = swap ? __builtin_bswap16(v) : v;
+            }
+        } else if (bytes == 3) {
+            uint8_t* p = raw + ch * 3;
+            const int64_t stride = (int64_t)open_ch * 3;
+            for (int64_t i = 0; i < n_frames; i++, p += stride) {
+                uint32_t v = (uint32_t)r[i];
+                if (swap) {
+                    p[0] = (uint8_t)(v >> 16);
+                    p[1] = (uint8_t)(v >> 8);
+                    p[2] = (uint8_t)v;
+                } else {
+                    p[0] = (uint8_t)v;
+                    p[1] = (uint8_t)(v >> 8);
+                    p[2] = (uint8_t)(v >> 16);
+                }
+            }
+        } else {
+            uint32_t* p = (uint32_t*)raw + ch;
+            for (int64_t i = 0; i < n_frames; i++, p += open_ch) {
+                uint32_t v = (uint32_t)r[i];
+                *p = swap ? __builtin_bswap32(v) : v;
+            }
+        }
+    }
+}
+
+// float rows -> interleaved raw floats, with overflow accounting
+// (real2raw.h float path; ovfmax is overflow->max per channel).
+void bf_encode_float(const float* rows, uint8_t* raw, int64_t n_frames,
+                     int32_t open_ch, const int32_t* sel, int32_t n_sel,
+                     int32_t bytes, int32_t swap, const double* ovfmax,
+                     OvfStats* stats) {
+    for (int32_t c = 0; c < n_sel; c++) {
+        const int64_t ch = sel[c];
+        const float* r = rows + (int64_t)c * n_frames;
+        OvfStats* st = stats + c;
+        const float mx = (float)ovfmax[c];
+        uint32_t novf = st->n_overflows;
+        double lg = st->largest;
+        if (bytes == 4) {
+            uint32_t* p = (uint32_t*)raw + ch;
+            for (int64_t i = 0; i < n_frames; i++, p += open_ch) {
+                float v = r[i];
+                float a = std::fabs(v);
+                if (a > mx) novf++;
+                if (a > lg) lg = a;
+                uint32_t u;
+                std::memcpy(&u, &v, 4);
+                *p = swap ? __builtin_bswap32(u) : u;
+            }
+        } else {
+            uint64_t* p = (uint64_t*)raw + ch;
+            for (int64_t i = 0; i < n_frames; i++, p += open_ch) {
+                double v = (double)r[i];
+                double a = std::fabs(v);
+                if (a > mx) novf++;
+                if (a > lg) lg = a;
+                uint64_t u;
+                std::memcpy(&u, &v, 8);
+                *p = swap ? __builtin_bswap64(u) : u;
+            }
+        }
+        st->n_overflows = novf;
+        st->largest = lg;
+    }
+}
+
+}  // extern "C"
