@@ -55,8 +55,13 @@ def transfers_work(timeout_s: float = 60.0) -> bool:
     """Probe device->host transfer in a subprocess (it can hang forever,
     and a hung in-process RPC can wedge the whole PJRT client)."""
     import subprocess
+    import jax
+    backend = jax.default_backend()
+    force = (f"jax.config.update('jax_platforms', '{backend}')\n"
+             if backend == "cpu" else "")
     code = (
-        "import numpy as np, jax, jax.numpy as jnp\n"
+        "import numpy as np, jax\n" + force +
+        "import jax.numpy as jnp\n"
         "y = (jnp.ones((8, 128), jnp.float32) * 2).block_until_ready()\n"
         "assert float(np.asarray(y)[0, 0]) == 2.0\n"
         "print('TRANSFER_OK')\n"

@@ -227,6 +227,11 @@ def float_to_raw(
         view[:, sel] = x.T.astype(dt_base)
         return
 
+    no_dither = dither_state is None or all(d is None for d in dither_state)
+    if nat is not None and no_dither:
+        qrows = nat.quantize_rows_no_dither(x, fmt, overflows)
+        nat.encode_int(qrows, fmt, open_channels, channel_selection, out)
+        return
     qrows = np.empty((x.shape[0], n_frames), dtype=np.int32)
     for c in range(x.shape[0]):
         if dither_state is not None and dither_state[c] is not None:

@@ -32,7 +32,7 @@ def _build() -> bool:
     try:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+            cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
                    "-o", _SO + ".tmp", _SRC]
             subprocess.run(cmd, check=True, capture_output=True)
             os.replace(_SO + ".tmp", _SO)
@@ -61,6 +61,8 @@ def _load():
                                    c.POINTER(OvfStatsC)]
     lib.bf_quantize_dither.argtypes = [f32p, f32p, c.c_int64, c.c_int32,
                                        f32p, i32p, c.POINTER(OvfStatsC)]
+    lib.bf_quantize_nd_rows.argtypes = [f32p, c.c_int32, c.c_int64, c.c_int32,
+                                        i32p, c.POINTER(OvfStatsC)]
     lib.bf_encode_int.argtypes = [i32p, u8p, c.c_int64, c.c_int32, i32p,
                                   c.c_int32, c.c_int32, c.c_int32]
     lib.bf_encode_float.argtypes = [f32p, u8p, c.c_int64, c.c_int32, i32p,
@@ -118,6 +120,19 @@ def dither_quantize(x: np.ndarray, dith: np.ndarray, sf: np.ndarray, fmt,
                            np.ascontiguousarray(dith, np.float32),
                            x.shape[0], fmt.bits, sf, q, ctypes.byref(cst))
     _sync_stats(cst, overflow)
+    return q
+
+
+def quantize_rows_no_dither(x: np.ndarray, fmt, overflows) -> np.ndarray:
+    """Quantize [n_rows, n] in one call; overflows is one Overflow per row."""
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32)
+    q = np.empty(x.shape, dtype=np.int32)
+    stats = (OvfStatsC * len(overflows))(*[_make_stats(o) for o in overflows])
+    lib.bf_quantize_nd_rows(x, x.shape[0], x.shape[1], fmt.bits,
+                            q, ctypes.cast(stats, ctypes.POINTER(OvfStatsC)))
+    for i, o in enumerate(overflows):
+        _sync_stats(stats[i], o)
     return q
 
 

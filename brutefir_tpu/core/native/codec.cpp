@@ -167,6 +167,52 @@ void bf_quantize_dither(const float* x, const float* dith, int64_t n,
     st->largest = lg;
 }
 
+// Batched row variants: one call per device instead of one per channel,
+// with per-row stats. The no-dither inner loop is written branch-light so
+// the compiler can vectorize it.
+void bf_quantize_nd_rows(const float* x, int32_t n_rows, int64_t n,
+                         int32_t bits, int32_t* q, OvfStats* stats) {
+    const int32_t imax = (int32_t)((1u << (bits - 1)) - 1);
+    const int32_t imin = -imax - 1;
+    const float rmin = (float)imin, rmax = (float)imax;
+    for (int32_t r = 0; r < n_rows; r++) {
+        const float* xr = x + (int64_t)r * n;
+        int32_t* qr = q + (int64_t)r * n;
+        OvfStats* st = stats + r;
+        uint32_t novf = 0;
+        int32_t il = st->intlargest;
+        float lgc = 0.0f;  // max |v| among clipped samples this block
+        for (int64_t i = 0; i < n; i++) {
+            float v = xr[i] + 0.5f;
+            int32_t s = (int32_t)v;
+            s -= (v < 0.0f);
+            const bool under = v <= rmin;
+            const bool over = v > rmax;
+            const bool clip = under | over;
+            s = under ? imin : s;
+            s = over ? imax : s;
+            novf += clip;
+            float a = v < 0.0f ? -v : v;
+            lgc = (clip && a > lgc) ? a : lgc;
+            int32_t sa = s < 0 ? -s : s;
+            il = (!clip && sa > il) ? sa : il;
+            qr[i] = s;
+        }
+        st->n_overflows += novf;
+        st->intlargest = il;
+        if ((double)lgc > st->largest) st->largest = (double)lgc;
+    }
+}
+
+void bf_quantize_dither_rows(const float* x, const float* dith, int32_t n_rows,
+                             int64_t n, int32_t bits, float* sf /* [rows][2] */,
+                             int32_t* q, OvfStats* stats) {
+    for (int32_t r = 0; r < n_rows; r++) {
+        bf_quantize_dither(x + (int64_t)r * n, dith + (int64_t)r * n, n, bits,
+                           sf + 2 * r, q + (int64_t)r * n, stats + r);
+    }
+}
+
 // ---------------------------------------------------------------- encode
 // int32 rows [n_sel][n_frames] -> interleaved raw (real2raw.h packing).
 void bf_encode_int(const int32_t* rows, uint8_t* raw, int64_t n_frames,

@@ -129,6 +129,12 @@ class Engine:
         self._stage_blocks = 0
         self._stopped = False
 
+        self._v2p_in = np.asarray(conf.virt2phys[IN], dtype=np.int64)
+        self._out_is_permutation = all(n == 1 for n in conf.n_virtperphys[OUT])
+        if self._out_is_permutation:
+            self._p2v_out = np.asarray(
+                [conf.phys2virt[OUT][p][0]
+                 for p in range(conf.n_physical_channels[OUT])], dtype=np.int64)
         self._in_framebytes = [
             d.sample_format.bytes * d.open_channels for d in conf.iodevs[IN]]
         self._out_framebytes = [
@@ -172,6 +178,8 @@ class Engine:
                                 dev.channel_selection, self.rd)
             phys[dev.phys_base: dev.phys_base + dev.used_channels] = rows
         # map to virtual channels with per-virtual delay and mute
+        if self._plain_path(IN):
+            return np.ascontiguousarray(phys[self._v2p_in]), frames
         x = np.zeros((conf.n_channels[IN], N), self.rd)
         for ch in range(conf.n_channels[IN]):
             if self.control.mute[IN][ch]:
@@ -185,6 +193,16 @@ class Engine:
                                             self.control.subdelay[IN][ch])
             x[ch] = row
         return x, frames
+
+    def _plain_path(self, io: int) -> bool:
+        """True when no delay/mute/subdelay is active on any channel of this
+        side, so the virtual mapping reduces to a gather (the common case and
+        the whole path for the benchmark configs)."""
+        ctrl = self.control
+        return (self.subdelay is None
+                and not any(ctrl.mute[io])
+                and all(d == 0 for d in ctrl.delay[io])
+                and all(dl.delay == 0 for dl in self.dlines[io]))
 
     def _total_delay(self, io: int, ch: int) -> int:
         d = self.control.delay[io][ch]
@@ -200,18 +218,21 @@ class Engine:
         if y.shape[0] and not np.all(np.isfinite(y[:, 0])):
             raise EngineError("NaN or Inf values in the system! Invalid input?")
 
-        phys = np.zeros((conf.n_physical_channels[OUT], N), self.rd)
-        for ch in range(conf.n_channels[OUT]):
-            row = y[ch]
-            if self.subdelay is not None:
-                row = self.subdelay.process(OUT, ch, row,
-                                            self.control.subdelay[OUT][ch])
-            dl = self.dlines[OUT][ch]
-            dl.set_delay(self._total_delay(OUT, ch))
-            row = dl.process(row)
-            if self.control.mute[OUT][ch]:
-                continue
-            phys[conf.virt2phys[OUT][ch]] += row
+        if self._plain_path(OUT) and self._out_is_permutation:
+            phys = np.ascontiguousarray(y[self._p2v_out])
+        else:
+            phys = np.zeros((conf.n_physical_channels[OUT], N), self.rd)
+            for ch in range(conf.n_channels[OUT]):
+                row = y[ch]
+                if self.subdelay is not None:
+                    row = self.subdelay.process(OUT, ch, row,
+                                                self.control.subdelay[OUT][ch])
+                dl = self.dlines[OUT][ch]
+                dl.set_delay(self._total_delay(OUT, ch))
+                row = dl.process(row)
+                if self.control.mute[OUT][ch]:
+                    continue
+                phys[conf.virt2phys[OUT][ch]] += row
 
         limit = conf.safety_limit
         for di, dev in enumerate(conf.iodevs[OUT]):
