@@ -281,10 +281,12 @@ class Engine:
             sink_output: bool = False):
         """Process until input EOF (or max_blocks). Returns run statistics.
 
-        ``sink_output`` skips the host-side encode/write path and only
-        synchronizes on device completion -- used for benchmarking on
-        runtimes where device->host transfers are unavailable (the output
-        would go to /dev/null anyway).
+        ``sink_output`` is for runtimes where device->host transfers are
+        unavailable: the writer thread synchronizes on device completion
+        and runs the full encode/write path on a host staging buffer of the
+        same shape (so the cost is real and overlapped), but the actual
+        device samples never leave the chip. Only meaningful when the
+        outputs are sinks (/dev/null); meters reflect the staging data.
         """
         if setup:
             self.setup()
@@ -292,20 +294,50 @@ class Engine:
         N = self.N
         budget = N / self.conf.sampling_rate  # seconds per block
         t_run0 = time.perf_counter()
-        frames_out = 0
-        pending = None  # (y_device, frames)
         eof = False
         show = self.conf.benchmark or self.conf.debug
 
+        # The output stage runs on its own thread (the analog of the
+        # reference's forked output process, bfrun.c:846-964): it fetches
+        # the device result and encodes/writes block k while the main
+        # thread decodes block k+1. The C codec and BLAS release the GIL,
+        # so the stages genuinely overlap. Queue depth 2 bounds latency.
+        import queue
+        wq: "queue.Queue" = queue.Queue(maxsize=2)
+        wstats = {"frames": 0, "err": None}
+
+        def writer():
+            while True:
+                item = wq.get()
+                if item is None:
+                    return
+                yk, fk = item
+                try:
+                    if sink_output:
+                        jax.block_until_ready(yk)
+                        self.write_block(sink_stage, fk)
+                    else:
+                        self.write_block(np.asarray(yk), fk)
+                    wstats["frames"] += fk
+                except Exception as e:  # propagate to the main loop
+                    wstats["err"] = e
+                    return
+
+        sink_stage = np.zeros((self.conf.n_channels[OUT], N), self.rd)
+        wth = threading.Thread(target=writer, daemon=True)
+        wth.start()
+
         while not self._stopped and not eof:
             if max_blocks is not None and self.blockcounter >= max_blocks:
+                break
+            if wstats["err"] is not None:
                 break
             t0 = time.perf_counter()
             self._block_start_hooks()
             x, frames = self.read_block()
             if frames < N:
                 eof = True
-                if frames == 0 and pending is None and self.blockcounter == 0:
+                if frames == 0 and self.blockcounter == 0:
                     break
             t1 = time.perf_counter()
             if frames > 0 or self.blockcounter == 0:
@@ -317,14 +349,8 @@ class Engine:
             else:
                 y_dev = None
             t2 = time.perf_counter()
-            if pending is not None:
-                yk, fk = pending
-                if sink_output:
-                    jax.block_until_ready(yk)
-                else:
-                    self.write_block(np.asarray(yk), fk)
-                frames_out += fk
-            pending = (y_dev, frames) if (y_dev is not None and frames > 0) else None
+            if y_dev is not None and frames > 0:
+                wq.put((y_dev, frames))
             t3 = time.perf_counter()
 
             period = t3 - t0
@@ -336,13 +362,11 @@ class Engine:
             if show and self._stage_blocks % 10 == 0:
                 self._print_stage_table()
 
-        if pending is not None:
-            yk, fk = pending
-            if sink_output:
-                jax.block_until_ready(yk)
-            else:
-                self.write_block(np.asarray(yk), fk)
-            frames_out += fk
+        wq.put(None)
+        wth.join()
+        if wstats["err"] is not None:
+            raise wstats["err"]
+        frames_out = wstats["frames"]
 
         elapsed = time.perf_counter() - t_run0
         stats = {
