@@ -9,10 +9,10 @@ reference ran at ~1.1x realtime on its published hardware
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 If device->host transfers are unavailable (some remote TPU runtimes), the
-run switches to sink mode: the full input decode + device pipeline runs and
-is synchronized per block, but the host encode path is skipped (its cost is
-measured separately on synthetic data and added to the reported per-block
-time) -- flagged in the JSON as "sink_mode": true.
+run switches to sink mode: the full pipeline runs (decode, device step,
+and the real encode path on a host staging buffer in the writer thread);
+only the device-to-host sample copy is skipped. Flagged in the JSON as
+"sink_mode": true.
 """
 
 import json
@@ -51,38 +51,44 @@ output {",".join(str(i) for i in range(CHANNELS))} {{
     for i in range(CHANNELS))
 
 
-def transfers_work(timeout_s: float = 60.0) -> bool:
+def transfers_work(timeout_s: float = 90.0) -> bool:
     """Probe device->host transfer in a subprocess (it can hang forever,
-    and a hung in-process RPC can wedge the whole PJRT client)."""
+    and a hung in-process RPC can wedge the whole PJRT client).
+
+    Requires not just *working* but *plausible* d2h bandwidth: one output
+    block ([26, 8192] f32, ~0.85 MB) must fetch in under 10 ms (real PCIe
+    does it in <0.2 ms). Remote-tunneled runtimes that stream device
+    buffers over a relay at tens of ms/block would otherwise turn the
+    benchmark into a network test; those run in sink mode instead.
+    """
     import subprocess
     import jax
     backend = jax.default_backend()
     force = (f"jax.config.update('jax_platforms', '{backend}')\n"
              if backend == "cpu" else "")
     code = (
-        "import numpy as np, jax\n" + force +
+        "import time, numpy as np, jax\n" + force +
         "import jax.numpy as jnp\n"
-        "y = (jnp.ones((8, 128), jnp.float32) * 2).block_until_ready()\n"
-        "assert float(np.asarray(y)[0, 0]) == 2.0\n"
-        "print('TRANSFER_OK')\n"
+        f"y = (jnp.ones(({CHANNELS}, {N}), jnp.float32) * 2).block_until_ready()\n"
+        "np.asarray(y)  # warm the path\n"
+        "ts = []\n"
+        "for _ in range(3):\n"
+        "    t0 = time.perf_counter()\n"
+        "    v = np.asarray((y + 1).block_until_ready())\n"
+        "    ts.append(time.perf_counter() - t0)\n"
+        "print('TRANSFER_MS', sorted(ts)[1] * 1e3)\n"
     )
     try:
         out = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
                              capture_output=True, text=True)
-        return "TRANSFER_OK" in out.stdout
+        for line in out.stdout.splitlines():
+            if line.startswith("TRANSFER_MS"):
+                ms = float(line.split()[1])
+                sys.stderr.write(f"bench: d2h block transfer {ms:.2f} ms\n")
+                return ms < 10.0
+        return False
     except subprocess.TimeoutExpired:
         return False
-
-
-def measure_encode_cost(eng, blocks: int) -> float:
-    """Host encode cost per block, measured on synthetic device-free data."""
-    rng = np.random.default_rng(0)
-    y = (rng.standard_normal((CHANNELS, N)) * 1000).astype(np.float32)
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        eng.write_block(y, N)
-    return (time.perf_counter() - t0) / reps
 
 
 def main():
@@ -95,11 +101,9 @@ def main():
     eng.setup()
 
     sink = not transfers_work()
-    encode_cost = 0.0
     if sink:
         sys.stderr.write("bench: device->host transfers unavailable; "
-                         "sink mode (encode cost added synthetically)\n")
-        encode_cost = measure_encode_cost(eng, 3)
+                         "sink mode (encode runs on a staging buffer)\n")
 
     # warmup / compile
     eng.run(max_blocks=WARMUP, setup=False, sink_output=sink)
@@ -109,7 +113,7 @@ def main():
     elapsed = time.perf_counter() - t0
     eng.teardown()
 
-    per_block = elapsed / BLOCKS + (encode_cost if sink else 0.0)
+    per_block = elapsed / BLOCKS
     budget = N / RATE
     xrt = budget / per_block
     taps_ch_per_s = CHANNELS * N * B * xrt * RATE / RATE  # taps*ch "realtime equivalents"

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import partconv
+from ..ops.pallas_mac import pallas_spectral_mac, pallas_available
 from .spec import GraphSpec
 
 
@@ -49,11 +50,22 @@ class StepCtrl(NamedTuple):
 
 
 class CompiledGraph:
-    """Owns the jitted step and state initialization for one GraphSpec."""
+    """Owns the jitted step and state initialization for one GraphSpec.
 
-    def __init__(self, spec: GraphSpec):
+    ``mac``: "jnp" (dense gather + reduce), "pallas" (fused TPU kernel),
+    "pallas-interpret" (kernel in interpreter mode, for CPU tests), or
+    "auto" (pallas on TPU backends when shapes allow).
+    """
+
+    def __init__(self, spec: GraphSpec, mac: str = "auto"):
         self.spec = spec
-        self._step = jax.jit(functools.partial(_step_impl, spec), donate_argnums=(0,))
+        if mac == "auto":
+            on_tpu = jax.default_backend() not in ("cpu",)
+            mac = ("pallas" if on_tpu and pallas_available(
+                spec.n_bins, spec.real_dtype) else "jnp")
+        self.mac = mac
+        self._step = jax.jit(functools.partial(_step_impl, spec, mac),
+                             donate_argnums=(0,))
 
     def init_state(self) -> StepState:
         s = self.spec
@@ -70,8 +82,16 @@ class CompiledGraph:
         return self._step(state, ctrl, bank, x)
 
 
-def _step_impl(spec: GraphSpec, state: StepState, ctrl: StepCtrl,
+def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
                bank: jax.Array, x: jax.Array):
+    def run_mac(ring_s, idx_arr, coeff_idx, msk, t):
+        if mac.startswith("pallas"):
+            return pallas_spectral_mac(
+                ring_s, bank, coeff_idx, msk, t,
+                interpret=(mac == "pallas-interpret"))
+        h = jnp.take(bank, coeff_idx, axis=0) * msk[:, :, None, None]
+        return partconv.spectral_mac(ring_s, h, t)
+
     N = spec.block_length
     B = spec.n_blocks
     K = spec.n_bins
@@ -99,14 +119,15 @@ def _step_impl(spec: GraphSpec, state: StepState, ctrl: StepCtrl,
         wpos = jnp.mod(t + ctrl.delay[idx], B)             # [Fs]
         ring = ring.at[idx, wpos].set(mixed)
 
-        h = jnp.take(bank, ctrl.coeff_idx[idx], axis=0) * ctrl.mask[idx][:, :, None, None]
-        y = partconv.spectral_mac(ring[idx], h, t)
+        # when the stage covers every filter in order, skip the gather copy
+        full = idx.size == F and np.array_equal(idx, np.arange(F))
+        ring_s = ring if full else ring[idx]
+        y = run_mac(ring_s, idx, ctrl.coeff_idx[idx], ctrl.mask[idx], t)
 
         if stage.any_crossfade:
-            def do_xfade(y, _idx=idx):
-                hp = (jnp.take(bank, ctrl.prev_idx[_idx], axis=0)
-                      * ctrl.prev_mask[_idx][:, :, None, None])
-                y_old = partconv.spectral_mac(ring[_idx], hp, t)
+            def do_xfade(y, _idx=idx, _ring_s=ring_s):
+                y_old = run_mac(_ring_s, _idx, ctrl.prev_idx[_idx],
+                                ctrl.prev_mask[_idx], t)
                 y_xf = partconv.crossfade_spectra(y_old, y, N)
                 sel = ctrl.xfade[_idx][:, None, None] > 0
                 return jnp.where(sel, y_xf, y)

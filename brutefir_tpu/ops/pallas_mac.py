@@ -1,0 +1,102 @@
+"""Fused Pallas TPU kernel for the partitioned spectral MAC.
+
+This is the engine's hot loop -- the counterpart of the reference's
+hand-vectorized SSE complex-MAC kernels (`convolver_xmm.c:11-62`, dispatched
+from fftw_convolver.c:253-328). The dense jnp path materializes two
+[F, B, 2, N] temporaries per block (the rotated ring gather and the
+coefficient-bank gather); at 26 filters x 16 partitions x 8k bins that is
+~80 MB of HBM traffic per block. This kernel fuses all of it:
+
+  grid (F, N/TILE, B), with the partition axis innermost so the output
+  tile accumulates in VMEM across partitions;
+  * the ring-rotation index (t - b) mod B arrives as a prefetched scalar
+    vector, so the ring tile is DMA'd straight from its rotated position;
+  * the coefficient tile is DMA'd straight from the *bank* at the filter's
+    prefetched coefficient index -- the per-filter gather never exists;
+  * the partition-validity mask (the reference's cblocks clamp) is a
+    prefetched scalar multiplied into the accumulation.
+
+Bin 0 packs DC and Nyquist as independent real products (see partconv);
+the kernel computes it as a normal complex lane and the caller patches the
+single bin afterwards with a tiny [F, B] contraction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mac_kernel(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref, out_ref):
+    b = pl.program_id(2)
+    m = mask_ref[pl.program_id(0), b]
+    rr = ring_ref[0, 0, 0, :]
+    ri = ring_ref[0, 0, 1, :]
+    hr = bank_ref[0, 0, 0, :] * m
+    hi = bank_ref[0, 0, 1, :] * m
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[0, 0, :] = rr * hr - ri * hi
+        out_ref[0, 1, :] = rr * hi + ri * hr
+
+    @pl.when(b > 0)
+    def _():
+        out_ref[0, 0, :] += rr * hr - ri * hi
+        out_ref[0, 1, :] += rr * hi + ri * hr
+
+
+def pallas_spectral_mac(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
+                        mask: jax.Array, t: jax.Array,
+                        tile: int = 8192, interpret: bool = False) -> jax.Array:
+    """Y[f] = sum_b ring[f, (t-b)%B] (*) (bank[coeff_idx[f], b] * mask[f, b]).
+
+    ring: [F, B, 2, N] f32   bank: [E, B, 2, N] f32
+    coeff_idx: [F] i32       mask: [F, B] f32     t: scalar i32
+    Returns [F, 2, N] f32 (packed spectra, bin 0 fixed up here).
+    """
+    F, B, _, N = ring.shape
+    tile = min(tile, N)
+    rpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(F, N // tile, B),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 2, tile),
+                lambda f, k, b, idx, rp, mk: (f, rp[b], 0, k),
+            ),
+            pl.BlockSpec(
+                (1, 1, 2, tile),
+                lambda f, k, b, idx, rp, mk: (idx[f], b, 0, k),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, tile),
+            lambda f, k, b, idx, rp, mk: (f, 0, k),
+        ),
+    )
+    y = pl.pallas_call(
+        _mac_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, 2, N), ring.dtype),
+        interpret=interpret,
+    )(coeff_idx.astype(jnp.int32), rpos, mask.astype(ring.dtype), ring, bank)
+
+    # bin 0: DC and Nyquist multiply real/imag planes independently
+    rot0 = jnp.take(ring[:, :, :, 0], rpos, axis=1)          # [F, B, 2]
+    h0 = jnp.take(bank[:, :, :, 0], coeff_idx, axis=0) * mask[:, :, None]
+    y0r = jnp.sum(rot0[:, :, 0] * h0[:, :, 0], axis=1)
+    y0i = jnp.sum(rot0[:, :, 1] * h0[:, :, 1], axis=1)
+    return y.at[:, 0, 0].set(y0r).at[:, 1, 0].set(y0i)
+
+
+def pallas_available(n_bins: int, dtype) -> bool:
+    """The kernel needs lane-aligned f32 tiles and a TPU (or interpret)."""
+    return (dtype == np.float32 and n_bins % 128 == 0 and n_bins >= 256)
