@@ -60,9 +60,13 @@ class CompiledGraph:
     def __init__(self, spec: GraphSpec, mac: str = "auto"):
         self.spec = spec
         if mac == "auto":
-            on_tpu = jax.default_backend() not in ("cpu",)
-            mac = ("pallas" if on_tpu and pallas_available(
-                spec.n_bins, spec.real_dtype) else "jnp")
+            # XLA's fusion of the dense MAC is at/near HBM speed-of-light
+            # for typical shapes (see ops/pallas_mac.py); the kernel is
+            # opt-in for shapes where the dense gathers materialize.
+            mac = "jnp"
+        if mac.startswith("pallas") and not pallas_available(
+                spec.n_bins, spec.real_dtype):
+            mac = "jnp"
         self.mac = mac
         self._step = jax.jit(functools.partial(_step_impl, spec, mac),
                              donate_argnums=(0,))

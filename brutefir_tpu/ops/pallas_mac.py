@@ -19,6 +19,15 @@ coefficient-bank gather); at 26 filters x 16 partitions x 8k bins that is
 Bin 0 packs DC and Nyquist as independent real products (see partconv);
 the kernel computes it as a normal complex lane and the caller patches the
 single bin afterwards with a tiny [F, B] contraction.
+
+Status: numerically verified identical to the dense path on TPU v5e. At
+the flagship shape (26x16x8192) XLA's fusion of the dense formulation
+already runs within ~70% of HBM speed-of-light (0.056 ms/block, the
+broadcastable bank gather never materializes), while this kernel's
+(1, 1, 2, tile) blocks pay sublane padding and per-step grid overhead
+(0.71 ms/block). It therefore stays opt-in (`CompiledGraph(mac="pallas")`)
+as the scaling path for shapes where the dense gathers do materialize
+(many distinct coefficient sets, crossfades on wide filter banks).
 """
 
 from __future__ import annotations
