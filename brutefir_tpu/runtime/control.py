@@ -61,6 +61,7 @@ class RuntimeControl:
 
         self._coeff_nblocks = [c.n_blocks for c in conf.coeffs]
         self._dirty = True
+        self.mute_version = 0
         self._cached: Optional[StepCtrl] = None
         self._cached_has_xfade = False
 
@@ -80,6 +81,7 @@ class RuntimeControl:
     def set_mute(self, io: int, ch: int, mute: bool):
         if 0 <= ch < self.conf.n_channels[io]:
             self.mute[io][ch] = mute
+            self.mute_version += 1
             self._dirty = True
 
     def set_delay(self, io: int, ch: int, delay: int) -> bool:

@@ -1,0 +1,101 @@
+"""Device-side I/O path: the whole block program including sample codecs.
+
+When every device format is word-addressable, no dither is configured and
+no delay lines are in play (see ops/device_codec.py), the engine swaps its
+host codec for this wrapper: one jitted function takes the raw input words
+of every input device and returns the raw output words of every output
+device plus per-channel meters. Host work per block collapses to file
+reads/writes and transfers shrink to wire format width.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config.model import BFConfig, IN, OUT
+from ..graph.compile import CompiledGraph, _step_impl
+from ..ops.device_codec import device_format_word, decode_words, encode_words
+
+
+def eligible(conf: BFConfig) -> bool:
+    for io in (IN, OUT):
+        for dev in conf.iodevs[io]:
+            if device_format_word(dev.sample_format) is None:
+                return False
+        if any(d != 0 for d in conf.delay[io]):
+            return False
+        if any(md >= 0 for md in conf.maxdelay[io]):
+            return False  # runtime-changeable delays need host delay lines
+    if conf.use_subdelay[IN] or conf.use_subdelay[OUT]:
+        return False
+    for dev in conf.iodevs[OUT]:
+        fmt = dev.sample_format
+        if dev.apply_dither and not fmt.is_float and fmt.sbytes < 4:
+            return False
+    return True
+
+
+class DeviceIO:
+    def __init__(self, engine):
+        conf = engine.conf
+        self.conf = conf
+        self.N = engine.N
+        self.rd = engine.rd
+        spec = engine.spec
+        mac = engine.cg.mac
+
+        self.in_words = [device_format_word(d.sample_format)
+                         for d in conf.iodevs[IN]]
+        self.out_words = [device_format_word(d.sample_format)
+                          for d in conf.iodevs[OUT]]
+
+        # static per-device decode/encode wiring
+        in_devs = []
+        for dev in conf.iodevs[IN]:
+            sel = np.asarray(dev.channel_selection, np.int32)
+            vmap = np.asarray(dev.virt2phys_local, np.int32)
+            in_devs.append((sel, vmap))
+        out_devs = []
+        for dev in conf.iodevs[OUT]:
+            sel = np.asarray(dev.channel_selection, np.int32)
+            # virtual rows summing into each used physical row
+            rows = []
+            for i in range(dev.used_channels):
+                phys = dev.phys_base + i
+                rows.append(np.asarray(conf.phys2virt[OUT][phys], np.int64))
+            mix = np.zeros((dev.used_channels, conf.n_channels[OUT]),
+                           engine.rd)
+            for i, virts in enumerate(rows):
+                mix[i, virts] = 1.0
+            out_devs.append((sel, mix, dev.open_channels,
+                             dev.sample_format))
+
+        spec_ = spec
+
+        def full_step(state, ctrl, in_gain, out_gain, bank, in_words):
+            xs = []
+            for di, (sel, vmap) in enumerate(in_devs):
+                xs.append(decode_words(in_words[di], sel, vmap, spec_.real_dtype))
+            x = jnp.concatenate(xs, axis=0) * in_gain[:, None]
+            state, y = _step_impl(spec_, mac, state, ctrl, bank, x)
+            nan_ok = jnp.all(jnp.isfinite(y[:, 0])) if y.shape[0] else jnp.bool_(True)
+            y = y * out_gain[:, None]
+            outs = []
+            meters = []
+            for (sel, mixm, open_ch, fmt), wdt in zip(out_devs, self.out_words):
+                phys = mixm @ y
+                peak = jnp.max(jnp.abs(phys), axis=1)
+                words, m = encode_words(phys, fmt, sel, open_ch, wdt)
+                outs.append(words)
+                meters.append(jnp.concatenate([m, peak[:, None]], axis=1))
+            return state, tuple(outs), tuple(meters), nan_ok
+
+        self._step = jax.jit(full_step, donate_argnums=(0,))
+
+    def step(self, state, ctrl, in_gain, out_gain, bank, in_words):
+        return self._step(state, ctrl, in_gain, out_gain, bank, in_words)

@@ -129,6 +129,11 @@ class Engine:
         self._stage_blocks = 0
         self._stopped = False
 
+        from .device_io import eligible as _dio_eligible, DeviceIO
+        self.dio = DeviceIO(self) if _dio_eligible(conf) else None
+        self._gain_version = -1
+        self._in_gain = self._out_gain = None
+
         self._v2p_in = np.asarray(conf.virt2phys[IN], dtype=np.int64)
         self._out_is_permutation = all(n == 1 for n in conf.n_virtperphys[OUT])
         if self._out_is_permutation:
@@ -271,6 +276,61 @@ class Engine:
                 inst.stop()
                 inst.close()
 
+    def _mute_gains(self):
+        ver = getattr(self.control, "mute_version", 0)
+        if ver != self._gain_version:
+            self._in_gain = jnp.asarray(
+                [0.0 if m else 1.0 for m in self.control.mute[IN]], self.rd)
+            self._out_gain = jnp.asarray(
+                [0.0 if m else 1.0 for m in self.control.mute[OUT]], self.rd)
+            self._gain_version = ver
+        return self._in_gain, self._out_gain
+
+    def read_block_dio(self):
+        """Read raw words per input device for the device-side codec path."""
+        conf = self.conf
+        N = self.N
+        frames = N
+        words = []
+        for di, dev in enumerate(conf.iodevs[IN]):
+            inst = self.devices[IN][di]
+            want = N * self._in_framebytes[di]
+            raw = inst.read(want)
+            got = len(raw) // self._in_framebytes[di]
+            if got < N:
+                frames = min(frames, got)
+            if len(raw) < want:
+                raw = raw + b"\0" * (want - len(raw))
+            wdt = self.dio.in_words[di]
+            words.append(np.frombuffer(raw, dtype=wdt).reshape(
+                N, dev.open_channels))
+        return words, frames
+
+    def write_block_dio(self, outs, meters, nan_ok, frames):
+        conf = self.conf
+        if not bool(nan_ok):
+            raise EngineError("NaN or Inf values in the system! Invalid input?")
+        limit = conf.safety_limit
+        for di, dev in enumerate(conf.iodevs[OUT]):
+            m = np.asarray(meters[di])
+            fmt = dev.sample_format
+            for i in range(dev.used_channels):
+                ovf = self._phys_overflow[dev.phys_base + i]
+                ovf.n_overflows += int(m[i, 0])
+                if fmt.is_float:
+                    ovf.largest = max(ovf.largest, float(m[i, 1]))
+                else:
+                    ovf.largest = max(ovf.largest, float(m[i, 1]))
+                    ovf.intlargest = max(ovf.intlargest, int(m[i, 2]))
+                if limit != 0.0 and float(m[i, 3]) > limit * ovf.max:
+                    raise EngineError(
+                        f"safety limit exceeded on output "
+                        f"({20 * np.log10(float(m[i, 3]) / ovf.max):.2f} > "
+                        f"{20 * np.log10(limit):.2f} dB)")
+            raw = np.asarray(outs[di])
+            self.devices[OUT][di].write(
+                raw[:frames].tobytes())
+
     def _block_start_hooks(self):
         for mod in self.logic:
             hook = getattr(mod, "block_start", None)
@@ -311,13 +371,20 @@ class Engine:
                 item = wq.get()
                 if item is None:
                     return
-                yk, fk = item
                 try:
-                    if sink_output:
-                        jax.block_until_ready(yk)
-                        self.write_block(sink_stage, fk)
+                    if item[0] == "dio":
+                        _, outs, meters, nan_ok, fk = item
+                        if sink_output:
+                            jax.block_until_ready(outs)
+                        else:
+                            self.write_block_dio(outs, meters, nan_ok, fk)
                     else:
-                        self.write_block(np.asarray(yk), fk)
+                        _, yk, fk = item
+                        if sink_output:
+                            jax.block_until_ready(yk)
+                            self.write_block(sink_stage, fk)
+                        else:
+                            self.write_block(np.asarray(yk), fk)
                     wstats["frames"] += fk
                 except Exception as e:  # propagate to the main loop
                     wstats["err"] = e
@@ -334,23 +401,33 @@ class Engine:
                 break
             t0 = time.perf_counter()
             self._block_start_hooks()
-            x, frames = self.read_block()
+            if self.dio is not None:
+                xw, frames = self.read_block_dio()
+            else:
+                x, frames = self.read_block()
             if frames < N:
                 eof = True
                 if frames == 0 and self.blockcounter == 0:
                     break
             t1 = time.perf_counter()
+            pending_item = None
             if frames > 0 or self.blockcounter == 0:
                 with self.control_mutex:
                     ctrl = self.control.snapshot()
-                self.state, y_dev = self.cg.step(
-                    self.state, ctrl, self.bank, jnp.asarray(x))
+                    gains = self._mute_gains()
+                if self.dio is not None:
+                    self.state, outs, meters, nan_ok = self.dio.step(
+                        self.state, ctrl, gains[0], gains[1], self.bank,
+                        [jnp.asarray(w) for w in xw])
+                    pending_item = ("dio", outs, meters, nan_ok, frames)
+                else:
+                    self.state, y_dev = self.cg.step(
+                        self.state, ctrl, self.bank, jnp.asarray(x))
+                    pending_item = ("host", y_dev, frames)
                 self.blockcounter += 1
-            else:
-                y_dev = None
             t2 = time.perf_counter()
-            if y_dev is not None and frames > 0:
-                wq.put((y_dev, frames))
+            if pending_item is not None and frames > 0:
+                wq.put(pending_item)
             t3 = time.perf_counter()
 
             period = t3 - t0
