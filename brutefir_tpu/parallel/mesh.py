@@ -80,7 +80,7 @@ class ShardedGraph:
         st_s, ct_s, bank_s, x_s, y_s = step_shardings(mesh)
         self.shardings = (st_s, ct_s, bank_s, x_s, y_s)
         self._step = jax.jit(
-            functools.partial(_step_impl, cg.spec),
+            functools.partial(_step_impl, cg.spec, cg.mac),
             in_shardings=(st_s, ct_s, bank_s, x_s),
             out_shardings=(st_s, y_s),
             donate_argnums=(0,),

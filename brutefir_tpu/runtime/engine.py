@@ -354,6 +354,10 @@ class Engine:
         N = self.N
         budget = N / self.conf.sampling_rate  # seconds per block
         t_run0 = time.perf_counter()
+        self._last_progress = t_run0
+        clocked = any(inst.uses_sample_clock for inst in self.devices[IN])
+        self._monitor_clock = ((t_run0, self.blockcounter)
+                               if self.conf.monitor_rate and clocked else None)
         eof = False
         show = self.conf.benchmark or self.conf.debug
 
@@ -438,6 +442,22 @@ class Engine:
             self._stage_blocks += 1
             if show and self._stage_blocks % 10 == 0:
                 self._print_stage_table()
+            if self.conf.show_progress and t3 - self._last_progress > 1.0:
+                self._last_progress = t3
+                sys.stderr.write(f"rti: {rti:.3f}\n")
+            if self._monitor_clock is not None:
+                # sample-rate drift abort at +-2% (dai.c:1336-1369)
+                w = t3 - self._monitor_clock[0]
+                if w > 4.0:
+                    measured = (self.blockcounter - self._monitor_clock[1]) \
+                        * N / w
+                    self._monitor_clock = (t3, self.blockcounter)
+                    drift = measured / self.conf.sampling_rate
+                    if not (0.98 < drift < 1.02):
+                        raise EngineError(
+                            f"sample rate drift detected: measured "
+                            f"{measured:.0f} Hz, configured "
+                            f"{self.conf.sampling_rate} Hz")
 
         wq.put(None)
         wth.join()
@@ -446,6 +466,8 @@ class Engine:
         frames_out = wstats["frames"]
 
         elapsed = time.perf_counter() - t_run0
+        if self.conf.overflow_warnings:
+            self._print_overflow_warnings()
         stats = {
             "blocks": self.blockcounter,
             "frames": frames_out,
@@ -459,6 +481,15 @@ class Engine:
         if setup:
             self.teardown()
         return stats
+
+    def _print_overflow_warnings(self):
+        """Per-channel clip summary (print_overflows, bfrun.c:555-587)."""
+        lines = []
+        for n, o in enumerate(self.overflow):
+            if o.n_overflows > 0:
+                lines.append(f"{n}/{o.n_overflows}/{o.peak_db():+.2f}")
+        if lines:
+            sys.stderr.write("Overflow warnings: " + " ".join(lines) + "\n")
 
     def _print_stage_table(self):
         t = self._stage_t / max(self._stage_blocks, 1) * 1e3
