@@ -130,6 +130,7 @@ def main():
             "ms_per_block": round(per_block * 1e3, 3),
             "block_budget_ms": round(budget * 1e3, 3),
             "taps_x_channels": CHANNELS * N * B,
+            "p50_block_ms": stats.get("p50_block_ms", 0.0) and round(stats["p50_block_ms"], 3),
             "sink_mode": sink,
             "backend": jax.default_backend(),
             "rti": round(1.0 / xrt, 5),

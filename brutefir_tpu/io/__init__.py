@@ -79,14 +79,31 @@ def register_io_module(name: str, cls: Type[IoDevice]) -> None:
     _REGISTRY[name] = cls
 
 
-def get_io_module(name: str) -> Type[IoDevice]:
+def get_io_module(name: str, modules_path: str = "") -> Type[IoDevice]:
     if name not in _REGISTRY:
         # lazily import built-ins so optional backends do not break import
         if name == "file":
             from . import file_module  # noqa: F401
         elif name in ("alsa", "oss", "jack", "pulse"):
             from . import sound_backends  # noqa: F401
+        else:
+            _load_external(name, modules_path)
     try:
         return _REGISTRY[name]
     except KeyError:
         raise IoModuleError(f"unknown I/O module: {name}") from None
+
+
+def _load_external(name: str, modules_path: str) -> None:
+    """Search modules_path for bfio_<name>.py -- the analog of the
+    reference's dlopen module search (bfconf.c:2069-2170). The module file
+    must call register_io_module(name, cls)."""
+    import importlib.util
+    import os
+    for d in filter(None, (modules_path or "").split(":")):
+        path = os.path.join(os.path.expanduser(d), f"bfio_{name}.py")
+        if os.path.exists(path):
+            spec = importlib.util.spec_from_file_location(f"bfio_{name}", path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            return

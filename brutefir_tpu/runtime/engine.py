@@ -65,7 +65,7 @@ class Engine:
         self.devices: List[list] = [[], []]
         for io in (IN, OUT):
             for dev in conf.iodevs[io]:
-                cls = get_io_module(dev.device_name)
+                cls = get_io_module(dev.device_name, conf.modules_path)
                 inst = cls(dev.device_params, io, dev.sample_format,
                            conf.sampling_rate, dev.open_channels)
                 if dev.sample_format is None:
@@ -354,6 +354,7 @@ class Engine:
         N = self.N
         budget = N / self.conf.sampling_rate  # seconds per block
         t_run0 = time.perf_counter()
+        self._periods = []
         self._last_progress = t_run0
         clocked = any(inst.uses_sample_clock for inst in self.devices[IN])
         self._monitor_clock = ((t_run0, self.blockcounter)
@@ -435,6 +436,7 @@ class Engine:
             t3 = time.perf_counter()
 
             period = t3 - t0
+            self._periods.append(period)
             rti = period / budget
             self.realtime_index = rti
             self._rti_max = max(self._rti_max, rti)
@@ -475,6 +477,8 @@ class Engine:
             "xrt": (frames_out / self.conf.sampling_rate) / elapsed
             if elapsed > 0 else 0.0,
             "rti_max": self._rti_max,
+            "p50_block_ms": float(np.median(self._periods) * 1e3)
+            if self._periods else 0.0,
             "overflows": [o.n_overflows for o in self.overflow],
             "peak_db": [o.peak_db() for o in self.overflow],
         }

@@ -166,3 +166,51 @@ filter 0 { from_inputs: 0, 1; to_outputs: 0, 1; coeff: 0; };
     assert conf.maxdelay[IN][:2] == [100, 100]
     assert conf.mute[OUT][:2] == [True, False]
     assert conf.use_subdelay[IN] is True
+
+
+def test_processed_roundtrip(rng):
+    """PROCESSED on-disk layout round-trips through our spectral form."""
+    from brutefir_tpu.config.coeffs import (
+        processed_to_spectral, spectral_to_processed)
+    N = 64
+    H = (rng.standard_normal((3, N + 1)) +
+         1j * rng.standard_normal((3, N + 1))).astype(np.complex64)
+    H[:, 0] = H[:, 0].real
+    H[:, -1] = H[:, -1].real
+    cbuf = spectral_to_processed(H)
+    assert cbuf.shape == (3, 2 * N)
+    back = processed_to_spectral(cbuf)
+    np.testing.assert_allclose(back, H, rtol=0, atol=2e-4 * np.abs(H).max())
+
+
+def test_processed_file_load(tmp_path, rng):
+    """A PROCESSED coeff file equals preprocessing the equivalent taps."""
+    from brutefir_tpu.config.coeffs import (
+        spectral_to_processed, load_coeff_bank_entry)
+    from brutefir_tpu.config.model import CoeffDef
+    from brutefir_tpu.ops.partconv import preprocess_coeffs, unpack_spectrum
+    N, B = 64, 2
+    taps = rng.standard_normal(N * B).astype(np.float32) * 0.3
+    Hp = preprocess_coeffs(taps, N, B)            # packed [B, N]
+    H = unpack_spectrum(Hp)                       # [B, N+1]
+    path = tmp_path / "c.proc"
+    spectral_to_processed(H).astype(np.float32).tofile(path)
+    c = CoeffDef(name="p", intname=0, format="PROCESSED",
+                 filename=str(path), n_blocks=B)
+    got = load_coeff_bank_entry(c, N, B)
+    np.testing.assert_allclose(got, Hp, rtol=0, atol=2e-3 * np.abs(Hp).max())
+
+
+def test_external_io_module(tmp_path):
+    from brutefir_tpu.io import get_io_module, IoModuleError
+    mod = tmp_path / "bfio_mymod.py"
+    mod.write_text("""
+from brutefir_tpu.io import IoDevice, register_io_module
+class MyDev(IoDevice):
+    pass
+register_io_module("mymod", MyDev)
+""")
+    cls = get_io_module("mymod", str(tmp_path))
+    assert cls.__name__ == "MyDev"
+    with pytest.raises(IoModuleError):
+        get_io_module("nonexistent", str(tmp_path))
