@@ -44,6 +44,17 @@ class EngineError(RuntimeError):
 class Engine:
     def __init__(self, conf: BFConfig, bank: Optional[np.ndarray] = None):
         self.conf = conf
+        if conf.convolver_config:
+            # the FFTW-wisdom analog (fftw_convolver.c:809-848): persist
+            # compiled programs so later runs skip compilation
+            import os
+            cache_dir = conf.convolver_config + ".xla_cache"
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            except Exception:
+                pass
         self.N = conf.filter_length
         self.B = conf.n_blocks
         self.rd = np.dtype(np.float32 if conf.realsize == 4 else np.float64)
