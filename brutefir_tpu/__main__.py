@@ -73,8 +73,16 @@ def main(argv=None) -> int:
     if daemon and os.fork() != 0:
         return BF_EXIT_OK
 
+    import signal
+    eng = Engine(conf)
+
+    def _stop(signum, frame):
+        eng.stop()
+
+    signal.signal(signal.SIGINT, _stop)
+    signal.signal(signal.SIGTERM, _stop)
     try:
-        stats = Engine(conf).run()
+        stats = eng.run()
     except EngineError as e:
         sys.stderr.write(f"{e}\n")
         return BF_EXIT_OTHER

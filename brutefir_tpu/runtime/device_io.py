@@ -95,7 +95,38 @@ class DeviceIO:
                 meters.append(jnp.concatenate([m, peak[:, None]], axis=1))
             return state, tuple(outs), tuple(meters), nan_ok
 
+        self._full_step = full_step
         self._step = jax.jit(full_step, donate_argnums=(0,))
+        self._multi = {}
 
     def step(self, state, ctrl, in_gain, out_gain, bank, in_words):
         return self._step(state, ctrl, in_gain, out_gain, bank, in_words)
+
+    def multi_step(self, m: int):
+        """A scan over m blocks per dispatch (offline throughput mode).
+
+        Controls are frozen across the m blocks; the host amortizes the
+        dispatch/transfer round trip. Inputs are per-device stacked words
+        [m, N, open_ch]; outputs stacked likewise, meters aggregated.
+        """
+        if m not in self._multi:
+            fs = self._full_step
+
+            def multi(state, ctrl, in_gain, out_gain, bank, in_words):
+                def body(st, words):
+                    st, outs, meters, nan = fs(st, ctrl, in_gain, out_gain,
+                                               bank, list(words))
+                    return st, (outs, meters, nan)
+
+                state, (outs, meters, nans) = jax.lax.scan(
+                    body, state, tuple(in_words))
+                agg = tuple(
+                    jnp.concatenate([
+                        jnp.sum(md[:, :, :1], axis=0),      # clip counts
+                        jnp.max(md[:, :, 1:], axis=0),      # peaks
+                    ], axis=1)
+                    for md in meters)
+                return state, outs, agg, jnp.all(nans)
+
+            self._multi[m] = jax.jit(multi, donate_argnums=(0,))
+        return self._multi[m]

@@ -139,6 +139,9 @@ class Engine:
         self._stage_t = np.zeros(4)  # decode, device, encode, total
         self._stage_blocks = 0
         self._stopped = False
+        # debug timeline ring (print_debug analog, bfrun.c:230-434):
+        # (wall time, event, blockcounter) per pipeline event, dumped at exit
+        self._debug_ring = [] if conf.debug else None
 
         from .device_io import eligible as _dio_eligible, DeviceIO
         self.dio = DeviceIO(self) if _dio_eligible(conf) else None
@@ -416,6 +419,9 @@ class Engine:
             if wstats["err"] is not None:
                 break
             t0 = time.perf_counter()
+            if self._debug_ring is not None:
+                self._debug_ring.append((t0, "r_input", self.blockcounter))
+                del self._debug_ring[:-4096]
             self._block_start_hooks()
             if self.dio is not None:
                 xw, frames = self.read_block_dio()
@@ -479,6 +485,8 @@ class Engine:
         frames_out = wstats["frames"]
 
         elapsed = time.perf_counter() - t_run0
+        if self._debug_ring is not None:
+            self._dump_debug_timeline()
         if self.conf.overflow_warnings:
             self._print_overflow_warnings()
         stats = {
@@ -496,6 +504,143 @@ class Engine:
         if setup:
             self.teardown()
         return stats
+
+    def run_offline(self, max_blocks=None, batch_blocks: int = 8,
+                    sink_output: bool = False, setup: bool = True):
+        """File-to-file throughput mode: scan-batched device dispatch.
+
+        Freezes controls across each batch of ``batch_blocks`` blocks and
+        dispatches them as one device program (lax.scan), amortizing the
+        host->device round trip. Requires the device-IO path and no logic
+        modules (block-paced scripts need per-block control); falls back
+        to run() otherwise. Offline only: block latency becomes
+        batch_blocks * N samples.
+        """
+        if self.dio is None or self.conf.logic_modules or batch_blocks <= 1:
+            return self.run(max_blocks, setup=setup, sink_output=sink_output)
+        if setup:
+            self.setup()
+        conf = self.conf
+        N = self.N
+        M = batch_blocks
+        mstep = self.dio.multi_step(M)
+        t_run0 = time.perf_counter()
+        self._periods = []
+        frames_out = 0
+        eof = False
+
+        import queue
+        wq: "queue.Queue" = queue.Queue(maxsize=2)
+        wstats = {"frames": 0, "err": None}
+
+        def writer():
+            while True:
+                item = wq.get()
+                if item is None:
+                    return
+                outs, meters, nan_ok, fk = item
+                try:
+                    if sink_output:
+                        jax.block_until_ready(outs)
+                    else:
+                        if not bool(nan_ok):
+                            raise EngineError(
+                                "NaN or Inf values in the system! "
+                                "Invalid input?")
+                        for di, dev in enumerate(conf.iodevs[OUT]):
+                            raw = np.asarray(outs[di]).reshape(
+                                -1, dev.open_channels)
+                            self.devices[OUT][di].write(raw[:fk].tobytes())
+                            m = np.asarray(meters[di])
+                            for i in range(dev.used_channels):
+                                ovf = self._phys_overflow[dev.phys_base + i]
+                                ovf.n_overflows += int(m[i, 0])
+                                ovf.largest = max(ovf.largest, float(m[i, 1]))
+                                if not dev.sample_format.is_float:
+                                    ovf.intlargest = max(ovf.intlargest,
+                                                         int(m[i, 2]))
+                    wstats["frames"] += fk
+                except Exception as e:
+                    wstats["err"] = e
+                    return
+
+        wth = threading.Thread(target=writer, daemon=True)
+        wth.start()
+
+        while not self._stopped and not eof and wstats["err"] is None:
+            if max_blocks is not None and self.blockcounter + M > max_blocks:
+                break
+            t0 = time.perf_counter()
+            stacks = [np.empty((M, N, dev.open_channels),
+                               self.dio.in_words[di])
+                      for di, dev in enumerate(conf.iodevs[IN])]
+            got_blocks = 0
+            frames = M * N
+            for b in range(M):
+                words, f = self.read_block_dio()
+                for di in range(len(stacks)):
+                    stacks[di][b] = words[di]
+                got_blocks += 1
+                if f < N:
+                    frames = b * N + f
+                    eof = True
+                    break
+            if got_blocks < M or frames < M * N:
+                # EOF inside the batch: finish the already-read blocks
+                # one at a time so no samples are dropped
+                with self.control_mutex:
+                    ctrl = self.control.snapshot()
+                    gains = self._mute_gains()
+                left = frames if frames < M * N else got_blocks * N
+                for b in range(got_blocks):
+                    f = min(N, left - b * N)
+                    if f <= 0:
+                        break
+                    self.state, outs1, meters1, nan1 = self.dio.step(
+                        self.state, ctrl, gains[0], gains[1], self.bank,
+                        [jnp.asarray(st[b]) for st in stacks])
+                    self.blockcounter += 1
+                    wq.put((tuple(o[None] for o in outs1), meters1, nan1, f))
+                break
+            with self.control_mutex:
+                ctrl = self.control.snapshot()
+                gains = self._mute_gains()
+            self.state, outs, meters, nan_ok = mstep(
+                self.state, ctrl, gains[0], gains[1], self.bank,
+                [jnp.asarray(st) for st in stacks])
+            self.blockcounter += M
+            wq.put((outs, meters, nan_ok, min(frames, M * N)))
+            self._periods.append((time.perf_counter() - t0) / M)
+
+        wq.put(None)
+        wth.join()
+        if wstats["err"] is not None:
+            raise wstats["err"]
+        frames_out = wstats["frames"]
+        elapsed = time.perf_counter() - t_run0
+        stats = {
+            "blocks": self.blockcounter,
+            "frames": frames_out,
+            "elapsed_s": elapsed,
+            "xrt": (frames_out / conf.sampling_rate) / elapsed
+            if elapsed > 0 else 0.0,
+            "p50_block_ms": float(np.median(self._periods) * 1e3)
+            if self._periods else 0.0,
+            "rti_max": self._rti_max,
+            "overflows": [o.n_overflows for o in self.overflow],
+            "peak_db": [o.peak_db() for o in self.overflow],
+        }
+        if setup:
+            self.teardown()
+        return stats
+
+    def _dump_debug_timeline(self):
+        t0 = self._debug_ring[0][0] if self._debug_ring else 0.0
+        sys.stderr.write("debug timeline (last %d events):\n"
+                         % len(self._debug_ring))
+        for ts, ev, blk in self._debug_ring[-64:]:
+            sys.stderr.write(f"  {1e3 * (ts - t0):12.3f} ms  {ev:<10s} "
+                             f"block {blk}\n")
 
     def _print_overflow_warnings(self):
         """Per-channel clip summary (print_overflows, bfrun.c:555-587)."""

@@ -161,3 +161,37 @@ filter 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };
     stats = Engine(conf).run(max_blocks=25)
     assert stats["blocks"] == 25
     assert stats["frames"] == 25 * 128
+
+
+def test_run_offline_batched_matches_per_block(tmp_path, rng):
+    """The scan-batched offline mode produces identical output."""
+    N, B, M = 128, 4, 4
+    taps = (rng.standard_normal(N * B) * 0.1).astype(np.float32)
+    tap_file = tmp_path / "t.txt"
+    tap_file.write_text("\n".join(repr(float(v)) for v in taps))
+    x = rng.standard_normal(N * 16).astype(np.float32)
+
+    outs = {}
+    for mode in ("per_block", "batched"):
+        inp = tmp_path / f"in_{mode}.f32"
+        outp = tmp_path / f"out_{mode}.f32"
+        x.astype("<f4").tofile(inp)
+        conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+coeff 0 {{ filename: "{tap_file}"; format: "TEXT"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+        eng = Engine(conf)
+        assert eng.dio is not None
+        if mode == "batched":
+            stats = eng.run_offline(batch_blocks=4)
+        else:
+            stats = eng.run()
+        outs[mode] = np.fromfile(outp, dtype="<f4")
+    # batched path drops the non-multiple tail by design; compare overlap
+    nb = len(outs["batched"])
+    assert nb == 16 * N  # 16 blocks = 4 full batches
+    np.testing.assert_array_equal(outs["batched"], outs["per_block"][:nb])
