@@ -29,7 +29,11 @@ B = 16
 RATE = 44100
 BLOCKS = 120
 WARMUP = 6
-BATCH = 8  # offline throughput mode: blocks per device dispatch
+# Offline batch factor (run_offline lax.scan batching). On direct-attached
+# hardware batching amortizes dispatch; through a remote relay it serializes
+# the input transfer that per-block pipelining otherwise hides -- measured
+# 131x (BATCH=1) vs 9.6x (BATCH=8) on the tunneled v5e. Keep per-block.
+BATCH = 1
 
 CONFIG = f"""
 sampling_rate: {RATE};
