@@ -139,6 +139,7 @@ class Engine:
         self._stage_t = np.zeros(4)  # decode, device, encode, total
         self._stage_blocks = 0
         self._stopped = False
+        self._has_timed_hooks = False  # set when a logic module defines them
         # debug timeline ring (print_debug analog, bfrun.c:230-434):
         # (wall time, event, blockcounter) per pipeline event, dumped at exit
         self._debug_ring = [] if conf.debug else None
@@ -164,6 +165,13 @@ class Engine:
         from ..control import load_logic_module
         for name, params in self.conf.logic_modules:
             self.logic.append(load_logic_module(name, params, self))
+        self._has_timed_hooks = any(
+            getattr(m, "input_timed", None) is not None
+            or getattr(m, "output_timed", None) is not None
+            for m in self.logic)
+        if self._has_timed_hooks and self.dio is not None:
+            # timed hooks need host-side sample blocks
+            self.dio = None
 
     def stop(self):
         self._stopped = True
@@ -197,7 +205,7 @@ class Engine:
                                 dev.channel_selection, self.rd)
             phys[dev.phys_base: dev.phys_base + dev.used_channels] = rows
         # map to virtual channels with per-virtual delay and mute
-        if self._plain_path(IN):
+        if self._plain_path(IN) and not self._has_timed_hooks:
             return np.ascontiguousarray(phys[self._v2p_in]), frames
         x = np.zeros((conf.n_channels[IN], N), self.rd)
         for ch in range(conf.n_channels[IN]):
@@ -211,6 +219,11 @@ class Engine:
                 row = self.subdelay.process(IN, ch, row,
                                             self.control.subdelay[IN][ch])
             x[ch] = row
+        for mod in self.logic:
+            hook = getattr(mod, "input_timed", None)
+            if hook is not None:
+                for ch in range(conf.n_channels[IN]):
+                    hook(x[ch], ch)
         return x, frames
 
     def _plain_path(self, io: int) -> bool:
@@ -233,6 +246,11 @@ class Engine:
     def write_block(self, y: np.ndarray, frames: int):
         conf = self.conf
         N = self.N
+        for mod in self.logic:
+            hook = getattr(mod, "output_timed", None)
+            if hook is not None:
+                for ch in range(conf.n_channels[OUT]):
+                    hook(y[ch], ch)
         # NaN guard (bfrun.c:1900-1911): check one sample per channel
         if y.shape[0] and not np.all(np.isfinite(y[:, 0])):
             raise EngineError("NaN or Inf values in the system! Invalid input?")
