@@ -243,9 +243,19 @@ class Engine:
         return d
 
     # ----- host-side output path --------------------------------------------
-    def write_block(self, y: np.ndarray, frames: int):
+    def write_block(self, y: np.ndarray, frames: int, out_snap=None):
+        """Encode and write one block. ``out_snap`` is the output-side
+        control snapshot (delay, mute, subdelay lists) taken at the block's
+        dispatch time, so deferred writes in the pipeline apply the control
+        state of *their own* block, matching the reference's per-block icomm
+        snapshot (bfrun.c:1460-1484)."""
         conf = self.conf
         N = self.N
+        if out_snap is None:
+            out_snap = (list(self.control.delay[OUT]),
+                        list(self.control.mute[OUT]),
+                        list(self.control.subdelay[OUT]))
+        snap_delay, snap_mute, snap_subdelay = out_snap
         for mod in self.logic:
             hook = getattr(mod, "output_timed", None)
             if hook is not None:
@@ -255,7 +265,11 @@ class Engine:
         if y.shape[0] and not np.all(np.isfinite(y[:, 0])):
             raise EngineError("NaN or Inf values in the system! Invalid input?")
 
-        if self._plain_path(OUT) and self._out_is_permutation:
+        plain = (self.subdelay is None
+                 and not any(snap_mute)
+                 and all(d == 0 for d in snap_delay)
+                 and all(dl.delay == 0 for dl in self.dlines[OUT]))
+        if plain and self._out_is_permutation:
             phys = np.ascontiguousarray(y[self._p2v_out])
         else:
             phys = np.zeros((conf.n_physical_channels[OUT], N), self.rd)
@@ -263,11 +277,14 @@ class Engine:
                 row = y[ch]
                 if self.subdelay is not None:
                     row = self.subdelay.process(OUT, ch, row,
-                                                self.control.subdelay[OUT][ch])
+                                                snap_subdelay[ch])
                 dl = self.dlines[OUT][ch]
-                dl.set_delay(self._total_delay(OUT, ch))
+                d = snap_delay[ch]
+                if self.subdelay is not None:
+                    d += self.subdelay.extra_delay(OUT, ch)
+                dl.set_delay(d)
                 row = dl.process(row)
-                if self.control.mute[OUT][ch]:
+                if snap_mute[ch]:
                     continue
                 phys[conf.virt2phys[OUT][ch]] += row
 
@@ -416,12 +433,12 @@ class Engine:
                         else:
                             self.write_block_dio(outs, meters, nan_ok, fk)
                     else:
-                        _, yk, fk = item
+                        _, yk, fk, osnap = item
                         if sink_output:
                             jax.block_until_ready(yk)
-                            self.write_block(sink_stage, fk)
+                            self.write_block(sink_stage, fk, osnap)
                         else:
-                            self.write_block(np.asarray(yk), fk)
+                            self.write_block(np.asarray(yk), fk, osnap)
                     wstats["frames"] += fk
                 except Exception as e:  # propagate to the main loop
                     wstats["err"] = e
@@ -461,9 +478,12 @@ class Engine:
                         [jnp.asarray(w) for w in xw])
                     pending_item = ("dio", outs, meters, nan_ok, frames)
                 else:
+                    out_snap = (list(self.control.delay[OUT]),
+                                list(self.control.mute[OUT]),
+                                list(self.control.subdelay[OUT]))
                     self.state, y_dev = self.cg.step(
                         self.state, ctrl, self.bank, jnp.asarray(x))
-                    pending_item = ("host", y_dev, frames)
+                    pending_item = ("host", y_dev, frames, out_snap)
                 self.blockcounter += 1
             t2 = time.perf_counter()
             if pending_item is not None and frames > 0:

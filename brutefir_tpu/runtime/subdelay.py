@@ -59,17 +59,24 @@ class SubsampleDelay:
             buf[self.blocklen: self.blocklen + L] = taps
             self.H[sd + steps - 1] = (np.fft.rfft(buf) / 1.0).astype(self.H.dtype)
         self.steps = steps
-        # per-channel overlap "rest" buffers, allocated lazily for channels
-        # with a defined config-time subdelay
+        # per-channel overlap "rest" buffers: only sides where subdelay is
+        # in use get filtering at all (bfrun allocates sd_rest per side
+        # under bfconf->use_subdelay), and within such a side only channels
+        # with a defined subdelay are filtered -- undefined ones get the
+        # compensating integer delay instead.
         self.rest = [{}, {}]
         for io in (IN, OUT):
+            if not conf.use_subdelay[io]:
+                continue
             for ch in range(conf.n_channels[io]):
                 if conf.subdelay[io][ch] != BF_UNDEFINED_SUBDELAY:
                     self.rest[io][ch] = np.zeros(self.blocklen, dtype=rd.type)
 
     def extra_delay(self, io: int, ch: int) -> int:
-        """Compensating integer delay for channels without a subdelay filter."""
-        if self.conf.subdelay[io][ch] == BF_UNDEFINED_SUBDELAY:
+        """Compensating integer delay for channels without a subdelay filter
+        on a side where subdelay is active (bfrun.c:1512-1516)."""
+        if (self.conf.use_subdelay[io]
+                and self.conf.subdelay[io][ch] == BF_UNDEFINED_SUBDELAY):
             return self.half
         return 0
 

@@ -1,0 +1,192 @@
+"""Subsample delay, runtime delay/mute changes, file-module modes, guards."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from brutefir_tpu.config import parse_config
+from brutefir_tpu.core.firwindow import sample_sinc
+from brutefir_tpu.runtime import Engine, EngineError
+from brutefir_tpu.runtime.engine import IN, OUT
+
+
+def run_simple(tmp_path, rng, body, x=None, N=128, B=2, n_blocks=6,
+               in_extra="", out_extra="", extra=""):
+    if x is None:
+        x = rng.standard_normal(N * n_blocks).astype(np.float32) * 0.5
+    inp, outp = tmp_path / "in.f32", tmp_path / "out.f32"
+    x.astype("<f4").tofile(inp)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+{extra}
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: 1; {in_extra} }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 1; {out_extra} }};
+{body}
+""")
+    eng = Engine(conf)
+    return eng, x, outp
+
+
+def test_subsample_delay_matches_sinc_oracle(tmp_path, rng):
+    """subdelay: n applies the reference's windowed-sinc fractional delay."""
+    N = 128
+    sd = 37  # 37/100 of a sample
+    eng, x, outp = run_simple(
+        tmp_path, rng,
+        "filter 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };",
+        N=N, B=1, extra="sdf_length: 15;", in_extra=f"subdelay: {sd};")
+    eng.run()
+    y = np.fromfile(outp, dtype="<f4")
+    # oracle: 31-tap windowed sinc (beta 9, reference quirk) with offset
+    # sd/100, latency sdf_length samples
+    taps = sample_sinc(15, sd / 100.0, 9.0, np.float32)
+    ref = scipy.signal.fftconvolve(x.astype(np.float64), taps)[: len(x)]
+    np.testing.assert_allclose(y, ref, rtol=0, atol=3e-4)
+
+
+def test_subdelay_undefined_gets_compensating_delay(tmp_path, rng):
+    """On a side with subdelay active, channels left undefined get the
+    compensating sdf_length integer delay (bfrun.c:1512-1516)."""
+    N = 128
+    n = N * 6
+    x = rng.standard_normal((2, n)).astype(np.float32) * 0.5
+    inp, outp = tmp_path / "in2.f32", tmp_path / "out2.f32"
+    np.ascontiguousarray(x.T.astype("<f4")).tofile(inp)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N};
+sdf_length: 16;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0,1 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: 2;
+          subdelay: 0, -100; }};
+output 0,1 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 2; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
+""")
+    Engine(conf).run()
+    y = np.fromfile(outp, dtype="<f4").reshape(-1, 2).T
+    # both channels end up delayed by exactly sdf_length samples: channel 0
+    # through the delta subdelay filter, channel 1 through the integer delay
+    expect0 = np.concatenate([np.zeros(16, np.float32), x[0][:-16]])
+    expect1 = np.concatenate([np.zeros(16, np.float32), x[1][:-16]])
+    np.testing.assert_allclose(y[0], expect0, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(y[1], expect1, rtol=0, atol=1e-4)
+
+
+def test_runtime_delay_change_lands_on_block_boundary(tmp_path, rng):
+    N = 128
+    eng, x, outp = run_simple(
+        tmp_path, rng,
+        "filter 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };",
+        N=N, n_blocks=6, out_extra="maxdelay: 64;")
+    blocks_seen = []
+
+    class Hook:
+        def block_start(self, k):
+            blocks_seen.append(k)
+            if k == 3:
+                assert eng.control.set_delay(OUT, 0, 10)
+
+    eng.setup()
+    eng.attach_logic()
+    eng.logic.append(Hook())
+    eng.run(setup=False)
+    eng.teardown()
+    y = np.fromfile(outp, dtype="<f4")
+    # blocks 0..2 pass through; from block 3 the output is delayed 10
+    np.testing.assert_allclose(y[: 3 * N], x[: 3 * N], atol=1e-4)
+    np.testing.assert_allclose(y[3 * N + 10: 6 * N], x[3 * N: 6 * N - 10],
+                               atol=1e-4)
+    np.testing.assert_allclose(y[3 * N: 3 * N + 10], 0.0, atol=1e-4)
+
+
+def test_runtime_mute_toggle(tmp_path, rng):
+    N = 128
+    eng, x, outp = run_simple(
+        tmp_path, rng,
+        "filter 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };",
+        N=N, n_blocks=4)
+
+    class Hook:
+        def block_start(self, k):
+            if k == 2:
+                eng.control.set_mute(OUT, 0, True)
+
+    eng.setup()
+    eng.attach_logic()
+    eng.logic.append(Hook())
+    eng.run(setup=False)
+    eng.teardown()
+    y = np.fromfile(outp, dtype="<f4")
+    np.testing.assert_allclose(y[: 2 * N], x[: 2 * N], atol=1e-4)
+    np.testing.assert_allclose(y[2 * N:], 0.0, atol=0)
+
+
+def test_safety_limit_aborts(tmp_path, rng):
+    N = 128
+    x = np.full(N * 2, 1000.0, np.float32)
+    eng, _, _ = run_simple(
+        tmp_path, rng,
+        "filter 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };",
+        x=x, N=N, extra="safety_limit: 20;")
+    with pytest.raises(EngineError, match="safety limit"):
+        eng.run()
+
+
+def test_nan_input_aborts(tmp_path, rng):
+    N = 128
+    x = rng.standard_normal(N * 2).astype(np.float32)
+    x[5] = np.nan
+    eng, _, _ = run_simple(
+        tmp_path, rng,
+        "filter 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };",
+        x=x, N=N)
+    with pytest.raises(EngineError, match="NaN or Inf"):
+        eng.run()
+
+
+def test_file_loop_mode(tmp_path, rng):
+    """loop: true seeks back to the skip offset at EOF (bfio_file.c:429-450)."""
+    N = 64
+    seg = rng.standard_normal(N).astype(np.float32)
+    inp, outp = tmp_path / "in.f32", tmp_path / "out.f32"
+    seg.astype("<f4").tofile(inp)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N};
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; loop: true; }}; sample: "FLOAT_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    eng = Engine(conf)
+    eng.run(max_blocks=5)
+    y = np.fromfile(outp, dtype="<f4")
+    assert len(y) == 5 * N
+    for b in range(5):
+        np.testing.assert_allclose(y[b * N: (b + 1) * N], seg, atol=1e-4)
+
+
+def test_file_skip_and_append(tmp_path, rng):
+    N = 64
+    junk = np.arange(10, dtype="<f4")
+    x = rng.standard_normal(N).astype(np.float32)
+    inp, outp = tmp_path / "in.f32", tmp_path / "out.f32"
+    with open(inp, "wb") as fh:
+        fh.write(junk.tobytes())
+        fh.write(x.astype("<f4").tobytes())
+    outp.write_bytes(np.float32([7.0]).tobytes())
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N};
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; skip: 40; }}; sample: "FLOAT_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; append: true; }}; sample: "FLOAT_LE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    Engine(conf).run()
+    y = np.fromfile(outp, dtype="<f4")
+    assert y[0] == 7.0  # appended after preexisting content
+    np.testing.assert_allclose(y[1:], x, atol=1e-4)
