@@ -400,6 +400,10 @@ class Engine:
         if setup:
             self.setup()
             self.attach_logic()
+        import os
+        profile_dir = os.environ.get("BRUTEFIR_TPU_PROFILE")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         N = self.N
         budget = N / self.conf.sampling_rate  # seconds per block
         t_run0 = time.perf_counter()
@@ -522,6 +526,8 @@ class Engine:
             raise wstats["err"]
         frames_out = wstats["frames"]
 
+        if profile_dir:
+            jax.profiler.stop_trace()
         elapsed = time.perf_counter() - t_run0
         if self._debug_ring is not None:
             self._dump_debug_timeline()

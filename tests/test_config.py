@@ -214,3 +214,38 @@ register_io_module("mymod", MyDev)
     assert cls.__name__ == "MyDev"
     with pytest.raises(IoModuleError):
         get_io_module("nonexistent", str(tmp_path))
+
+
+def test_benchmark_requires_nodefault():
+    from brutefir_tpu.config.defaults import DEFAULT_CONFIG_TEXT
+    with pytest.raises(ConfigParseError, match="nodefault"):
+        parse_config("""
+benchmark: true;
+coeff 0 { filename: "dirac pulse"; format: "PROCESSED"; };
+input 0 { device: "file" { path: "/dev/zero"; }; sample: "S16_LE"; channels: 1; };
+output 0 { device: "file" { path: "/dev/null"; }; sample: "S16_LE"; channels: 1; };
+filter 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };
+""", defaults_text=DEFAULT_CONFIG_TEXT)
+
+
+def test_benchmark_powersave_exclusive():
+    with pytest.raises(ConfigParseError, match="cannot both"):
+        parse_config("""
+sampling_rate: 44100; filter_length: 256;
+benchmark: true; powersave: true;
+coeff 0 { filename: "dirac pulse"; };
+input 0 { device: "file" { path: "/dev/zero"; }; sample: "S16_LE"; channels: 1; };
+output 0 { device: "file" { path: "/dev/null"; }; sample: "S16_LE"; channels: 1; };
+filter 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };
+""")
+
+
+def test_route_alias():
+    conf = parse_config("""
+sampling_rate: 44100; filter_length: 256;
+coeff 0 { filename: "dirac pulse"; };
+input 0 { device: "file" { path: "/dev/zero"; }; sample: "S16_LE"; channels: 1; };
+output 0 { device: "file" { path: "/dev/null"; }; sample: "S16_LE"; channels: 1; };
+route 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };
+""")
+    assert len(conf.filters) == 1

@@ -99,3 +99,34 @@ def test_eq_double_buffer_swap(tmp_path, rng):
     assert eqmod._coeff_final(0, 0) == eq.coeff[1 - a0]
     assert eqmod._coeff_final(0, 5) == 5  # unrelated coeff untouched
     eng.teardown()
+
+
+def test_eq_braced_multi_equaliser_syntax(tmp_path, rng):
+    """The reference's brace-block syntax with two equalizers."""
+    N, B = 64, 2
+    x = rng.standard_normal(N * 4).astype(np.float32) * 0.25
+    inp, outp = tmp_path / "in.f32", tmp_path / "out.f32"
+    x.astype("<f4").tofile(inp)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+logic: "eq" {{
+    {{ coeff: 0, 1; bands: 1000, 8000; }};
+    {{ coeff: 2; bands: "ISO octave"; magnitude: 1000/-6; }};
+}};
+coeff 0 {{ filename: "dirac pulse"; shared_mem: true; }};
+coeff 1 {{ filename: "dirac pulse"; shared_mem: true; }};
+coeff 2 {{ filename: "dirac pulse"; shared_mem: true; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    eng = Engine(conf)
+    eng.setup()
+    eng.attach_logic()
+    eqmod = eng.logic[0]
+    assert len(eqmod.equalisers) == 2
+    assert eqmod.equalisers[0].coeff == [0, 1]
+    assert eqmod.equalisers[1].coeff == [2, 2]  # single coeff doubles up
+    eng.run(setup=False)
+    eng.teardown()
