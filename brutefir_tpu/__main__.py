@@ -55,8 +55,6 @@ def main(argv=None) -> int:
                 sys.stderr.write("No configuration file given.\n")
                 return BF_EXIT_INVALID_CONFIG
             # the defaults file's config_file setting decides
-            from .config.parser import parse_config
-            from .config.defaults import DEFAULT_CONFIG_TEXT
             with open(defaults_path) as fh:
                 dtext = fh.read()
             probe = parse_config_probe(dtext)

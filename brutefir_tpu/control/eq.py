@@ -25,7 +25,6 @@ import math
 import numpy as np
 
 from ..config.lexer import T
-from ..config.model import IN, OUT
 from ..ops.partconv import preprocess_coeffs, np_c2p
 from . import register_logic_module
 

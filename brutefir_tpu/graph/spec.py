@@ -9,7 +9,7 @@ each block, so control changes never recompile (reference analog: the
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Sequence
 
 import numpy as np

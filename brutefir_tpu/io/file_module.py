@@ -13,7 +13,6 @@ reads return short counts at EOF, loop mode seeks back and keeps reading.
 from __future__ import annotations
 
 import os
-import sys
 
 import numpy as np
 

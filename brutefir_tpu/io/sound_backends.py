@@ -26,7 +26,7 @@ import ctypes.util
 import os
 
 from ..config.lexer import T
-from . import IoDevice, IoModuleError, register_io_module, IN, OUT
+from . import IoDevice, IoModuleError, register_io_module, IN
 
 
 def _parse_fields(params, spec):

@@ -28,7 +28,6 @@ come back as a small side output.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 _WORD_DTYPES = {

@@ -32,8 +32,6 @@ as the scaling path for shapes where the dense gathers do materialize
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

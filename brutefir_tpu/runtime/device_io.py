@@ -10,15 +10,12 @@ reads/writes and transfers shrink to wire format width.
 
 from __future__ import annotations
 
-import functools
-from typing import List
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..config.model import BFConfig, IN, OUT
-from ..graph.compile import CompiledGraph, _step_impl
+from ..graph.compile import _step_impl
 from ..ops.device_codec import device_format_word, decode_words, encode_words
 
 
