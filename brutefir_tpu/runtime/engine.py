@@ -58,6 +58,9 @@ class Engine:
         self.N = conf.filter_length
         self.B = conf.n_blocks
         self.rd = np.dtype(np.float32 if conf.realsize == 4 else np.float64)
+        if conf.realsize == 8 and not jax.config.jax_enable_x64:
+            # float_bits: 64 needs 64-bit jax types engine-wide
+            jax.config.update("jax_enable_x64", True)
 
         filter_inputs = [[src for src, _ in f.in_filters] for f in conf.filters]
         self.spec = build_graph_spec(
