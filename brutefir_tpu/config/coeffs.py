@@ -65,6 +65,30 @@ def spectral_to_processed(H: np.ndarray, real_dtype=np.float32) -> np.ndarray:
     return out[0] if squeeze else out
 
 
+def read_shm_processed(shmid: int, offset: int, blocks: int,
+                       block_length: int) -> np.ndarray:
+    """Attach a SysV shared-memory segment and read PROCESSED partitions.
+
+    The reference accepts ``filename: shmid/offset/blocks`` triples so
+    external tools can hand over preprocessed coefficients
+    (bfconf.c:795-818, get_sharedmem 1824-1865).
+    """
+    import ctypes
+    libc = ctypes.CDLL(None, use_errno=True)
+    libc.shmat.restype = ctypes.c_void_p
+    SHM_RDONLY = 0o10000
+    ptr = libc.shmat(shmid, None, SHM_RDONLY)
+    if ptr is None or ptr == ctypes.c_void_p(-1).value:
+        raise OSError(
+            f"failed to attach to shared memory with id {shmid}")
+    try:
+        nbytes = blocks * 2 * block_length * 4  # float32 internal layout
+        buf = ctypes.string_at(ptr + offset, nbytes)
+        return np.frombuffer(buf, dtype=np.float32).copy()
+    finally:
+        libc.shmdt(ctypes.c_void_p(ptr))
+
+
 def _read_text_taps(path: str, skip: int, max_items: int, dtype) -> np.ndarray:
     vals = []
     with open(path, "rt") as fh:
@@ -122,11 +146,17 @@ def load_coeff_bank_entry(coeff: CoeffDef, block_length: int, total_blocks: int,
                               coeff.rawformat, real_dtype)
     elif coeff.format == "PROCESSED":
         if coeff.shm_parts:
-            raise NotImplementedError(
-                "shared-memory coefficient segments are handled by the "
-                "engine's coefficient manager")
-        raw = np.fromfile(coeff.filename, dtype=np.float32,
-                          offset=max(coeff.skip, 0))
+            total = sum(b for _, _, b in coeff.shm_parts)
+            if total != coeff.n_blocks:
+                raise ValueError(
+                    f"shared memory block count mismatch in coeff "
+                    f"{coeff.intname}")
+            segs = [read_shm_processed(shmid, off, blocks, N)
+                    for shmid, off, blocks in coeff.shm_parts]
+            raw = np.concatenate(segs).reshape(-1)
+        else:
+            raw = np.fromfile(coeff.filename, dtype=np.float32,
+                              offset=max(coeff.skip, 0))
         expect = coeff.n_blocks * 2 * N
         if raw.size != expect:
             raise ValueError(

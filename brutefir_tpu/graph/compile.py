@@ -47,6 +47,7 @@ class StepCtrl(NamedTuple):
     prev_mask: jax.Array  # [F, B]
     xfade: jax.Array      # [F] 1.0 where a crossfade happens this block
     any_xfade: jax.Array  # scalar bool
+    ps_thresh: jax.Array  # [C_in] analog-powersave gate threshold (0 = off)
 
 
 class CompiledGraph:
@@ -102,8 +103,16 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
     F = spec.n_filters
     rd = spec.real_dtype
 
-    X = partconv.rfft_planes(
-        jnp.concatenate([state.prev_in, x], axis=-1))     # [C_in, 2, N]
+    frame = jnp.concatenate([state.prev_in, x], axis=-1)
+    if spec.powersave:
+        # analog powersave gate (test_silent, bfrun.c:722-772): the whole
+        # 2N overlap-save frame must be quiet; it is then made truly zero
+        # for this transform (history in the double buffer is untouched)
+        peak = jnp.max(jnp.abs(frame), axis=1, keepdims=True)
+        frame = jnp.where((ctrl.ps_thresh[:, None] > 0)
+                          & (peak < ctrl.ps_thresh[:, None]),
+                          jnp.zeros_like(frame), frame)
+    X = partconv.rfft_planes(frame)                       # [C_in, 2, N]
     ring = state.ring
     eval_prev = state.eval_prev
     t = state.t
@@ -158,6 +167,7 @@ def make_ctrl(
     prev_idx=None,
     prev_mask=None,
     xfade=None,
+    ps_thresh=None,
 ) -> StepCtrl:
     """Assemble a StepCtrl from host arrays (defaults: no crossfade)."""
     rd = spec.real_dtype
@@ -168,6 +178,8 @@ def make_ctrl(
         prev_mask = mask
     if xfade is None:
         xfade = np.zeros(F, rd)
+    if ps_thresh is None:
+        ps_thresh = np.zeros(spec.n_inputs, rd)
     any_xfade = bool(np.any(np.asarray(xfade) > 0))
     return StepCtrl(
         in_mix=jnp.asarray(in_mix, rd),
@@ -180,4 +192,5 @@ def make_ctrl(
         prev_mask=jnp.asarray(prev_mask, rd),
         xfade=jnp.asarray(xfade, rd),
         any_xfade=jnp.asarray(any_xfade),
+        ps_thresh=jnp.asarray(ps_thresh, rd),
     )

@@ -36,6 +36,7 @@ class GraphSpec:
     n_casc: int                # filters with filter inputs (eval_prev rows)
     any_crossfade: bool
     real_dtype: np.dtype = np.dtype(np.float32)
+    powersave: bool = False  # trace the analog-powersave input gate
 
     @property
     def n_fft(self) -> int:
@@ -59,6 +60,7 @@ def build_graph_spec(
     filter_inputs: Sequence[Sequence[int]],
     crossfade_flags: Sequence[bool],
     real_dtype=np.float32,
+    powersave: bool = False,
 ) -> GraphSpec:
     """Topologically stage the filter DAG.
 
@@ -109,4 +111,5 @@ def build_graph_spec(
         n_casc=len(casc_slot),
         any_crossfade=any(crossfade_flags),
         real_dtype=np.dtype(real_dtype),
+        powersave=powersave,
     )

@@ -62,6 +62,7 @@ def step_shardings(mesh: Mesh):
         prev_mask=ns("f", None),
         xfade=ns("f"),
         any_xfade=ns(),
+        ps_thresh=ns(),
     )
     bank = ns(None, None, None, "sp")  # [E, B, 2, N]
     x = ns()                          # [C_in, N] replicated

@@ -176,9 +176,15 @@ class RuntimeControl:
             if xfade_now[n]:
                 xfade[n] = 1.0
 
+        ps_thresh = None
+        if spec.powersave:
+            # scale * max|x| < analog  <=>  max|x| < analog / scale
+            ps_thresh = (conf.analog_powersave
+                         / np.maximum(self.virtscale[IN], 1e-30)).astype(rd)
         self.prev_coeff = final_coeff
         self._dirty = False
         self._cached = make_ctrl(spec, in_mix, fmix, out_mix, delay,
-                                 coeff_idx, mask, prev_idx, prev_mask, xfade)
+                                 coeff_idx, mask, prev_idx, prev_mask, xfade,
+                                 ps_thresh)
         self._cached_has_xfade = any(xfade_now)
         return self._cached

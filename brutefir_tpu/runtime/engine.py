@@ -65,7 +65,8 @@ class Engine:
         filter_inputs = [[src for src, _ in f.in_filters] for f in conf.filters]
         self.spec = build_graph_spec(
             self.N, self.B, conf.n_channels[IN], conf.n_channels[OUT],
-            filter_inputs, [f.crossfade for f in conf.filters], self.rd)
+            filter_inputs, [f.crossfade for f in conf.filters], self.rd,
+            powersave=conf.powersave and conf.analog_powersave < 1.0)
         self.cg = CompiledGraph(self.spec)
         if bank is None:
             bank = build_bank(conf.coeffs, self.N, self.B, self.rd.type)
@@ -318,9 +319,35 @@ class Engine:
         for io in (IN, OUT):
             for inst in self.devices[io]:
                 inst.init(self.N)
+        self._maybe_go_realtime()
         for io in (IN, OUT):
             for inst in self.devices[io]:
                 inst.start()
+
+    def _maybe_go_realtime(self):
+        """SCHED_FIFO + mlockall when clocked devices demand it, with the
+        reference's graceful EPERM fallback (bf_make_realtime,
+        bfrun.c:2735-2788)."""
+        import os as _os
+        clocked = any(inst.uses_sample_clock
+                      for io in (IN, OUT) for inst in self.devices[io])
+        if not clocked:
+            return
+        try:
+            _os.sched_setscheduler(
+                0, _os.SCHED_FIFO, _os.sched_param(4))
+        except (PermissionError, OSError):
+            sys.stderr.write(
+                "Warning: failed to set realtime priority (not permitted); "
+                "continuing with default scheduling.\n")
+            return
+        if self.conf.lock_memory:
+            try:
+                import ctypes
+                libc = ctypes.CDLL(None, use_errno=True)
+                libc.mlockall(3)  # MCL_CURRENT | MCL_FUTURE
+            except OSError:
+                pass
 
     def teardown(self):
         for io in (IN, OUT):

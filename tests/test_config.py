@@ -249,3 +249,35 @@ output 0 { device: "file" { path: "/dev/null"; }; sample: "S16_LE"; channels: 1;
 route 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };
 """)
     assert len(conf.filters) == 1
+
+
+def test_shm_processed_coefficients(rng):
+    """filename: shmid/offset/blocks reads PROCESSED data from SysV shm."""
+    import ctypes
+    from brutefir_tpu.config.coeffs import (
+        spectral_to_processed, load_coeff_bank_entry)
+    from brutefir_tpu.config.model import CoeffDef
+    from brutefir_tpu.ops.partconv import preprocess_coeffs, unpack_spectrum
+
+    libc = ctypes.CDLL(None, use_errno=True)
+    libc.shmat.restype = ctypes.c_void_p
+    IPC_CREAT, IPC_RMID = 0o1000, 0
+    N, B = 64, 2
+    taps = rng.standard_normal(N * B).astype(np.float32) * 0.3
+    Hp = preprocess_coeffs(taps, N, B)
+    payload = spectral_to_processed(unpack_spectrum(Hp)).astype(np.float32)
+    data = payload.tobytes()
+    shmid = libc.shmget(0, len(data), IPC_CREAT | 0o600)
+    if shmid < 0:
+        pytest.skip("SysV shm unavailable")
+    try:
+        ptr = libc.shmat(shmid, None, 0)
+        ctypes.memmove(ptr, data, len(data))
+        libc.shmdt(ctypes.c_void_p(ptr))
+        c = CoeffDef(name="shm", intname=0, format="PROCESSED",
+                     shm_parts=[(shmid, 0, B)], n_blocks=B, is_shared=True)
+        got = load_coeff_bank_entry(c, N, B)
+        np.testing.assert_allclose(got, Hp, rtol=0,
+                                   atol=2e-3 * np.abs(Hp).max())
+    finally:
+        libc.shmctl(shmid, IPC_RMID, None)

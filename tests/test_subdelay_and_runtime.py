@@ -190,3 +190,24 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
     y = np.fromfile(outp, dtype="<f4")
     assert y[0] == 7.0  # appended after preexisting content
     np.testing.assert_allclose(y[1:], x, atol=1e-4)
+
+
+def test_analog_powersave_gates_quiet_channels(tmp_path, rng):
+    """powersave: -40 (dB) zeroes blocks whose peak is below the threshold
+    (test_silent, bfrun.c:722-772: scale * max|x| < analog)."""
+    N = 128
+    loud = rng.standard_normal(N).astype(np.float32) * 0.5
+    quiet = rng.standard_normal(N).astype(np.float32) * 1e-4  # ~ -80 dB
+    x = np.concatenate([loud, quiet, quiet, loud])
+    eng, _, outp = run_simple(
+        tmp_path, rng,
+        "filter 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };",
+        x=x, N=N, B=1, extra="powersave: -40;")
+    eng.run()
+    y = np.fromfile(outp, dtype="<f4")
+    np.testing.assert_allclose(y[:N], loud, atol=1e-4)
+    # block 1's frame is [loud, quiet] -> not silent -> passes through
+    np.testing.assert_allclose(y[N: 2 * N], quiet, atol=1e-5)
+    # block 2's frame is [quiet, quiet] -> gated to exactly zero
+    np.testing.assert_allclose(y[2 * N: 3 * N], 0.0, atol=0)
+    np.testing.assert_allclose(y[3 * N:], loud, atol=1e-4)
