@@ -17,6 +17,12 @@ sharding annotations on one jitted program -- XLA inserts the collectives:
 Both compose on a 2D mesh. Batch/pipeline parallelism over *blocks* is not
 meaningful for a causal single-stream convolver (block k+1 needs block k's
 ring), matching the reference, whose pipeline axis is the host I/O overlap.
+
+Known limitation: filter-cascade graphs (from_filters) under explicit
+sharding trip an XLA:CPU runtime layout check in its fft thunk
+(fft_thunk.cc RET_CHECK IsMonotonicWithDim0Major) on the virtual-device
+test backend; the TPU backend lowers ffts differently. Cascades on a
+single device and non-cascade graphs on meshes are covered by tests.
 """
 
 from __future__ import annotations

@@ -48,3 +48,48 @@ def test_sharded_equals_single(rng):
 def test_mesh_axes():
     mesh = make_mesh(jax.devices()[:8], f_axis=4)
     assert mesh.shape["f"] == 4 and mesh.shape["sp"] == 2
+
+
+@pytest.mark.xfail(
+    reason="XLA:CPU fft thunk rejects the layout produced for the cascade "
+           "re-framing under explicit sharding (fft_thunk.cc RET_CHECK "
+           "IsMonotonicWithDim0Major); TPU lowers fft differently. "
+           "Single-device cascades and multi-device non-cascade graphs pass.",
+    strict=False)
+def test_sharded_cascade_graph(rng):
+    """Cascaded filters (staged DAG) compile and match under sharding."""
+    N, B, C = 128, 2, 4
+    t1 = rng.standard_normal(N * B).astype(np.float32) * 0.2
+    t2 = rng.standard_normal(N * B).astype(np.float32) * 0.2
+    # filters 0..3: 0,1 source; 2 takes from 0; 3 takes from 1
+    spec = build_graph_spec(N, B, C, C, [[], [], [0], [1]], [False] * 4)
+    bank = make_bank([partconv.preprocess_coeffs(t1, N, B),
+                      partconv.preprocess_coeffs(t2, N, B)])
+    in_mix = np.zeros((4, C), np.float32)
+    in_mix[0, 0] = 1.0
+    in_mix[1, 1] = 1.0
+    fmix = np.zeros((4, 4), np.float32)
+    fmix[2, 0] = 1.0
+    fmix[3, 1] = 0.5
+    out_mix = np.zeros((C, 4), np.float32)
+    out_mix[0, 2] = 1.0
+    out_mix[1, 3] = 1.0
+    ctrl = make_ctrl(spec, in_mix, fmix, out_mix, np.zeros(4, np.int32),
+                     np.array([0, 1, 1, 0], np.int32),
+                     np.ones((4, B), np.float32))
+    xs = rng.standard_normal((4, C, N)).astype(np.float32)
+
+    cg = CompiledGraph(spec)
+    st = cg.init_state()
+    single = []
+    for xb in xs:
+        st, y = cg.step(st, ctrl, jnp.asarray(bank), jnp.asarray(xb))
+        single.append(np.asarray(y))
+
+    mesh = make_mesh(jax.devices()[:8], f_axis=2)
+    sg = ShardedGraph(cg, mesh)
+    sst = sg.init_state()
+    sctrl, sbank, _ = sg.place(ctrl, jnp.asarray(bank), jnp.asarray(xs[0]))
+    for xb, ref in zip(xs, single):
+        sst, y = sg.step(sst, sctrl, sbank, jnp.asarray(xb))
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-4)
