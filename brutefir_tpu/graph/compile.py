@@ -116,15 +116,26 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
     ring = state.ring
     eval_prev = state.eval_prev
     t = state.t
-    y_all = jnp.zeros((F, 2, K), rd)
+
+    # Per-stage filter-output spectra, concatenated once at the end instead
+    # of scattered into a preallocated array (fewer copies, friendlier
+    # layouts under sharding). stage_idx/stage_ys run in stage order; the
+    # final permutation restores global filter order.
+    stage_ys = []
+    done_idx = []
 
     for stage in spec.stages:
         idx = stage.idx                                    # static np array
-        mixed = partconv.complex_mix(ctrl.in_mix[idx], X)  # [Fs, K]
+        mixed = partconv.complex_mix(ctrl.in_mix[idx], X)  # [Fs, 2, N]
 
         if stage.casc_local.size:
+            # upstream spectra from already-computed stages: contract each
+            # prior stage's block against its static column slice of fmix
             cidx = idx[stage.casc_local]
-            z = partconv.complex_mix(ctrl.fmix[cidx], y_all)
+            z = None
+            for pidx, py in zip(done_idx, stage_ys):
+                zc = partconv.complex_mix(ctrl.fmix[cidx][:, pidx], py)
+                z = zc if z is None else z + zc
             e, tails = partconv.convolve_eval(z, eval_prev[stage.casc_slots], N)
             eval_prev = eval_prev.at[stage.casc_slots].set(tails)
             mixed = mixed.at[stage.casc_local].add(e)
@@ -147,7 +158,18 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
 
             y = jax.lax.cond(ctrl.any_xfade, do_xfade, lambda v: v, y)
 
-        y_all = y_all.at[idx].set(y)
+        stage_ys.append(y)
+        done_idx.append(idx)
+
+    if len(stage_ys) == 1:
+        y_all = stage_ys[0]
+        order = done_idx[0]
+    else:
+        y_all = jnp.concatenate(stage_ys, axis=0)
+        order = np.concatenate(done_idx)
+    inv = np.argsort(order)
+    if not np.array_equal(order, np.arange(F)):
+        y_all = y_all[inv]
 
     out_spec = partconv.complex_mix(ctrl.out_mix, y_all)   # [C_out, 2, N]
     y_time = partconv.irfft_planes(out_spec)[:, :N]        # valid lower half
