@@ -122,8 +122,10 @@ def test_socket_mode(tmp_path, rng):
     c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     c.connect(sock_path)
     c.sendall(b"lc\n")
-    time.sleep(0.2)
-    data = c.recv(65536).decode()
+    c.settimeout(5.0)
+    data = ""
+    while "Coefficient sets:" not in data:
+        data += c.recv(65536).decode()
     assert "Coefficient sets:" in data
     c.sendall(b"quit\n")
     c.close()
