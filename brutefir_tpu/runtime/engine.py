@@ -521,7 +521,12 @@ class Engine:
                 self.blockcounter += 1
             t2 = time.perf_counter()
             if pending_item is not None and frames > 0:
-                wq.put(pending_item)
+                while wstats["err"] is None:
+                    try:
+                        wq.put(pending_item, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
             t3 = time.perf_counter()
 
             period = t3 - t0
@@ -683,7 +688,13 @@ class Engine:
                 self.state, ctrl, gains[0], gains[1], self.bank,
                 [jnp.asarray(st) for st in stacks])
             self.blockcounter += M
-            wq.put((outs, meters, nan_ok, min(frames, M * N)))
+            while wstats["err"] is None:
+                try:
+                    wq.put((outs, meters, nan_ok, min(frames, M * N)),
+                           timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
             self._periods.append((time.perf_counter() - t0) / M)
 
         wq.put(None)
