@@ -679,7 +679,13 @@ class Engine:
                         self.state, ctrl, gains[0], gains[1], self.bank,
                         [jnp.asarray(st[b]) for st in stacks])
                     self.blockcounter += 1
-                    wq.put((tuple(o[None] for o in outs1), meters1, nan1, f))
+                    while wstats["err"] is None:
+                        try:
+                            wq.put((tuple(o[None] for o in outs1), meters1,
+                                    nan1, f), timeout=1.0)
+                            break
+                        except queue.Full:
+                            continue
                 break
             with self.control_mutex:
                 ctrl = self.control.snapshot()
