@@ -88,7 +88,7 @@ class CompiledGraph:
 
 
 def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
-               bank: jax.Array, x: jax.Array):
+               bank: jax.Array, x: jax.Array, constrain=None):
     def run_mac(ring_s, idx_arr, coeff_idx, msk, t):
         if mac.startswith("pallas"):
             return pallas_spectral_mac(
@@ -136,7 +136,8 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
             for pidx, py in zip(done_idx, stage_ys):
                 zc = partconv.complex_mix(ctrl.fmix[cidx][:, pidx], py)
                 z = zc if z is None else z + zc
-            e, tails = partconv.convolve_eval(z, eval_prev[stage.casc_slots], N)
+            e, tails = partconv.convolve_eval(z, eval_prev[stage.casc_slots], N,
+                                              constrain)
             eval_prev = eval_prev.at[stage.casc_slots].set(tails)
             mixed = mixed.at[stage.casc_local].add(e)
 

@@ -188,7 +188,8 @@ def crossfade_spectra(y_old: jnp.ndarray, y_new: jnp.ndarray, n_fft2: int) -> jn
     return rfft_planes(mixed)
 
 
-def convolve_eval(z: jnp.ndarray, eval_prev: jnp.ndarray, n_fft2: int):
+def convolve_eval(z: jnp.ndarray, eval_prev: jnp.ndarray, n_fft2: int,
+                  constrain=None):
     """Filter-cascade re-framing (`convolver_convolve_eval`, fftw 411-433).
 
     ``z`` is the packed mixed output spectrum of upstream filters [Fc, N].
@@ -196,11 +197,18 @@ def convolve_eval(z: jnp.ndarray, eval_prev: jnp.ndarray, n_fft2: int):
     (E, new_eval_prev): the "input-like" spectrum obtained by taking the
     valid time-domain output, overlap-save framing it with the previous
     block's valid output, and re-transforming.
+
+    ``constrain`` (optional) pins intermediate shardings when the step runs
+    over a device mesh: the cascade tensors are tiny ([Fc, ...]) and
+    keeping them replicated both avoids pointless collectives and works
+    around an XLA:CPU fft layout RET_CHECK that trips when the partitioner
+    shards these transforms.
     """
-    t = irfft_planes(z)
+    c = constrain if constrain is not None else (lambda a: a)
+    t = irfft_planes(c(z))
     valid = t[..., :n_fft2]
-    frame = jnp.concatenate([eval_prev, valid], axis=-1)
-    return rfft_planes(frame), valid
+    frame = c(jnp.concatenate([c(eval_prev), valid], axis=-1))
+    return c(rfft_planes(frame)), valid
 
 
 def complex_mix(mix: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

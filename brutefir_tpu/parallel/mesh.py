@@ -18,11 +18,10 @@ Both compose on a 2D mesh. Batch/pipeline parallelism over *blocks* is not
 meaningful for a causal single-stream convolver (block k+1 needs block k's
 ring), matching the reference, whose pipeline axis is the host I/O overlap.
 
-Known limitation: filter-cascade graphs (from_filters) under explicit
-sharding trip an XLA:CPU runtime layout check in its fft thunk
-(fft_thunk.cc RET_CHECK IsMonotonicWithDim0Major) on the virtual-device
-test backend; the TPU backend lowers ffts differently. Cascades on a
-single device and non-cascade graphs on meshes are covered by tests.
+Cascade (from_filters) intermediates are pinned to replicated shardings:
+they are tiny per-stage tensors, and letting the partitioner shard their
+transforms both wastes collectives and trips an XLA:CPU fft layout
+RET_CHECK on the virtual-device test backend.
 """
 
 from __future__ import annotations
@@ -86,8 +85,15 @@ class ShardedGraph:
         self.mesh = mesh
         st_s, ct_s, bank_s, x_s, y_s = step_shardings(mesh)
         self.shardings = (st_s, ct_s, bank_s, x_s, y_s)
+
+        def replicate(a):
+            # cascade intermediates stay replicated (see convolve_eval)
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P(*([None] * a.ndim))))
+
         self._step = jax.jit(
-            functools.partial(_step_impl, cg.spec, cg.mac),
+            functools.partial(_step_impl, cg.spec, cg.mac,
+                              constrain=replicate),
             in_shardings=(st_s, ct_s, bank_s, x_s),
             out_shardings=(st_s, y_s),
             donate_argnums=(0,),

@@ -50,12 +50,6 @@ def test_mesh_axes():
     assert mesh.shape["f"] == 4 and mesh.shape["sp"] == 2
 
 
-@pytest.mark.xfail(
-    reason="XLA:CPU fft thunk rejects the layout produced for the cascade "
-           "re-framing under explicit sharding (fft_thunk.cc RET_CHECK "
-           "IsMonotonicWithDim0Major); TPU lowers fft differently. "
-           "Single-device cascades and multi-device non-cascade graphs pass.",
-    strict=False)
 def test_sharded_cascade_graph(rng):
     """Cascaded filters (staged DAG) compile and match under sharding."""
     N, B, C = 128, 2, 4
