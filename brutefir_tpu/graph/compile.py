@@ -6,7 +6,7 @@ cascade evaluation, output inverse FFTs -- becomes ONE traced function:
 
     step(state, ctrl, x) -> (state', y)
 
-* ``state`` (donated): overlap-save tails, the [F, B, K] spectra ring, the
+* ``state`` (donated): overlap-save tails, the [F, B, 2, N] spectra ring, the
   cascade tails, and the block counter -- all device-resident.
 * ``ctrl``: block-boundary snapshot of every runtime control (mix matrices,
   coefficient indices/masks, pre-delays, crossfade flags). Changing controls
@@ -74,7 +74,7 @@ class CompiledGraph:
 
     def init_state(self) -> StepState:
         s = self.spec
-        rd, cd = s.real_dtype, s.complex_dtype
+        rd = s.real_dtype
         return StepState(
             prev_in=jnp.zeros((s.n_inputs, s.block_length), rd),
             ring=jnp.zeros((s.n_filters, s.n_blocks, 2, s.n_bins), rd),
