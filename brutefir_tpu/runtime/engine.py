@@ -538,7 +538,9 @@ class Engine:
             self._stage_blocks += 1
             if show and self._stage_blocks % 10 == 0:
                 self._print_stage_table()
-            if self.conf.show_progress and t3 - self._last_progress > 1.0:
+            if (self.conf.show_progress
+                    and not getattr(self.conf, "quiet", False)
+                    and t3 - self._last_progress > 1.0):
                 self._last_progress = t3
                 sys.stderr.write(f"rti: {rti:.3f}\n")
             if self._monitor_clock is not None:
@@ -566,7 +568,7 @@ class Engine:
         elapsed = time.perf_counter() - t_run0
         if self._debug_ring is not None:
             self._dump_debug_timeline()
-        if self.conf.overflow_warnings:
+        if self.conf.overflow_warnings and not getattr(self.conf, "quiet", False):
             self._print_overflow_warnings()
         stats = {
             "blocks": self.blockcounter,
