@@ -150,6 +150,25 @@ def main():
     eng.run_offline(max_blocks=WARMUP * BATCH, batch_blocks=BATCH,
                     setup=False, sink_output=sink)
 
+    # device-only step rate (no host I/O): dispatch a tight loop
+    import jax.numpy as jnp
+    if eng.dio is not None:
+        with eng.control_mutex:
+            c0 = eng.control.snapshot()
+            g0 = eng._mute_gains()
+        words = [jnp.zeros((N, d.open_channels), eng.dio.in_words[i])
+                 for i, d in enumerate(conf.iodevs[0])]
+        st = eng.state
+        t0 = time.perf_counter()
+        for _ in range(60):
+            st, outs, meters, nan = eng.dio.step(st, c0, g0[0], g0[1],
+                                                 eng.bank, words)
+        jax.block_until_ready(outs)
+        device_step_ms = (time.perf_counter() - t0) / 60 * 1e3
+        eng.state = st
+    else:
+        device_step_ms = None
+
     t0 = time.perf_counter()
     stats = eng.run_offline(max_blocks=(WARMUP + BLOCKS) * BATCH,
                             batch_blocks=BATCH, setup=False, sink_output=sink)
@@ -175,6 +194,7 @@ def main():
             "block_budget_ms": round(budget * 1e3, 3),
             "taps_x_channels": CHANNELS * N * B,
             "p50_block_ms": stats.get("p50_block_ms", 0.0) and round(stats["p50_block_ms"], 3),
+            "device_step_ms": device_step_ms and round(device_step_ms, 4),
             "sink_mode": sink,
             "backend": jax.default_backend(),
             "rti": round(1.0 / xrt, 5),
