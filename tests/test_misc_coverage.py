@@ -130,3 +130,31 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
     dphi = np.angle(fb[k] / fa[k])
     expect = 90.0 / (180.0 * np.pi)  # the reference's unit conversion
     assert abs(dphi - expect) < 0.02
+
+
+def test_device_io_with_virtual_mapping(tmp_path, rng):
+    """The on-device codec handles many-virtual-per-physical mapping on
+    both sides (input duplication, output mixing)."""
+    N = 128
+    x = (rng.standard_normal((2, N * 3)) * 100000).astype(np.int32)
+    inp, outp = tmp_path / "in.raw", tmp_path / "out.raw"
+    np.ascontiguousarray(x.T.astype("<i4")).tofile(inp)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N};
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0,1,2,3 {{ device: "file" {{ path: "{inp}"; }}; sample: "S32_LE";
+             channels: 2; mapping: 0,1,0,1; }};
+output 0,1,2 {{ device: "file" {{ path: "{outp}"; }}; sample: "S32_LE";
+             channels: 2; mapping: 0,1,0; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
+filter 2 {{ from_inputs: 2//0.5; to_outputs: 2; coeff: 0; }};
+""")
+    eng = Engine(conf)
+    assert eng.dio is not None
+    eng.run()
+    y = np.fromfile(outp, dtype="<i4").reshape(-1, 2).T
+    # phys 0 = virt out 0 + virt out 2 = x0 + 0.5*x0 = 1.5 x0 (quantized)
+    np.testing.assert_allclose(y[0], np.round(1.5 * x[0]), atol=1)
+    np.testing.assert_allclose(y[1], x[1], atol=1)
