@@ -169,13 +169,18 @@ def main():
     else:
         device_step_ms = None
 
-    t0 = time.perf_counter()
-    stats = eng.run_offline(max_blocks=(WARMUP + BLOCKS) * BATCH,
-                            batch_blocks=BATCH, setup=False, sink_output=sink)
-    elapsed = time.perf_counter() - t0
+    # median-of-windows: robust against transient host/relay contention
+    windows = []
+    blocks_done = WARMUP * BATCH
+    for _ in range(6):
+        t0 = time.perf_counter()
+        blocks_done += (BLOCKS // 6) * BATCH
+        stats = eng.run_offline(max_blocks=blocks_done, batch_blocks=BATCH,
+                                setup=False, sink_output=sink)
+        windows.append((time.perf_counter() - t0) / ((BLOCKS // 6) * BATCH))
     eng.teardown()
 
-    per_block = elapsed / (BLOCKS * BATCH)
+    per_block = sorted(windows)[len(windows) // 2]
     budget = N / RATE
     xrt = budget / per_block
     latency = xtc_latency(sink)

@@ -42,7 +42,13 @@ class EngineError(RuntimeError):
 
 
 class Engine:
-    def __init__(self, conf: BFConfig, bank: Optional[np.ndarray] = None):
+    """Runs a parsed config. ``mesh``: an optional jax.sharding.Mesh with
+    ('f', 'sp') axes -- the block step then shards the filter and
+    frequency-bin axes across the mesh's devices (parallel/mesh.py); the
+    host I/O paths are unchanged."""
+
+    def __init__(self, conf: BFConfig, bank: Optional[np.ndarray] = None,
+                 mesh=None):
         self.conf = conf
         if conf.convolver_config:
             # the FFTW-wisdom analog (fftw_convolver.c:809-848): persist
@@ -68,6 +74,7 @@ class Engine:
             filter_inputs, [f.crossfade for f in conf.filters], self.rd,
             powersave=conf.powersave and conf.analog_powersave < 1.0)
         self.cg = CompiledGraph(self.spec)
+        self.mesh = mesh
         if bank is None:
             bank = build_bank(conf.coeffs, self.N, self.B, self.rd.type)
         from ..ops.partconv import np_c2p
@@ -134,8 +141,17 @@ class Engine:
         for ch in range(conf.n_channels[OUT]):
             self.overflow.append(self._phys_overflow[conf.virt2phys[OUT][ch]])
 
-        self.state = self.cg.init_state()
+        if mesh is not None:
+            from ..parallel.mesh import ShardedGraph
+            self._sharded = ShardedGraph(self.cg, mesh)
+            _, _, bank_s, _, _ = self._sharded.shardings
+            self.bank = jax.device_put(self.bank, bank_s)
+            self.state = self._sharded.init_state()
+        else:
+            self.state = self.cg.init_state()
         self.control_mutex = threading.RLock()
+        self._placed_ctrl = None
+        self._placed_ctrl_src = None
         self.blockcounter = 0
         self.realtime_index = 0.0
         self._rti_max = 0.0
@@ -149,7 +165,10 @@ class Engine:
         self._debug_ring = [] if conf.debug else None
 
         from .device_io import eligible as _dio_eligible, DeviceIO
-        self.dio = DeviceIO(self) if _dio_eligible(conf) else None
+        # the device-IO wrapper is single-device; the sharded path uses
+        # the host codec (transfers are replicated either way)
+        self.dio = (DeviceIO(self)
+                    if mesh is None and _dio_eligible(conf) else None)
         self._gain_version = -1
         self._in_gain = self._out_gain = None
 
@@ -515,8 +534,18 @@ class Engine:
                     out_snap = (list(self.control.delay[OUT]),
                                 list(self.control.mute[OUT]),
                                 list(self.control.subdelay[OUT]))
-                    self.state, y_dev = self.cg.step(
-                        self.state, ctrl, self.bank, jnp.asarray(x))
+                    if self.mesh is not None:
+                        if ctrl is not self._placed_ctrl_src:
+                            self._placed_ctrl, _, _ = self._sharded.place(
+                                ctrl, self.bank, jnp.asarray(x))
+                            self._placed_ctrl_src = ctrl
+                        _, _, bank_s, x_s, _ = self._sharded.shardings
+                        sx = jax.device_put(jnp.asarray(x), x_s)
+                        self.state, y_dev = self._sharded.step(
+                            self.state, self._placed_ctrl, self.bank, sx)
+                    else:
+                        self.state, y_dev = self.cg.step(
+                            self.state, ctrl, self.bank, jnp.asarray(x))
                     pending_item = ("host", y_dev, frames, out_snap)
                 self.blockcounter += 1
             t2 = time.perf_counter()

@@ -87,3 +87,37 @@ def test_sharded_cascade_graph(rng):
     for xb, ref in zip(xs, single):
         sst, y = sg.step(sst, sctrl, sbank, jnp.asarray(xb))
         np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-4)
+
+
+def test_engine_on_mesh(tmp_path, rng):
+    """Engine(conf, mesh=...) runs the whole file pipeline sharded."""
+    import pathlib
+    from brutefir_tpu.config import parse_config
+    from brutefir_tpu.runtime import Engine
+    import scipy.signal
+
+    N, B, C = 128, 4, 8
+    taps = (rng.standard_normal(N * B) * 0.1).astype(np.float32)
+    tap_file = tmp_path / "t.txt"
+    tap_file.write_text("\n".join(repr(float(v)) for v in taps))
+    x = rng.standard_normal((C, N * 5)).astype(np.float32)
+    inp, outp = tmp_path / "in.f32", tmp_path / "out.f32"
+    np.ascontiguousarray(x.T.astype("<f4")).tofile(inp)
+    chans = ",".join(str(i) for i in range(C))
+    filters = "\n".join(
+        f"filter {i} {{ from_inputs: {i}; to_outputs: {i}; coeff: 0; }};"
+        for i in range(C))
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+coeff 0 {{ filename: "{tap_file}"; format: "TEXT"; }};
+input {chans} {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: {C}; }};
+output {chans} {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: {C}; }};
+{filters}
+""")
+    mesh = make_mesh(jax.devices()[:8], f_axis=2)
+    Engine(conf, mesh=mesh).run()
+    y = np.fromfile(outp, dtype="<f4").reshape(-1, C).T
+    for c in range(C):
+        ref = scipy.signal.fftconvolve(x[c], taps)[: x.shape[1]]
+        np.testing.assert_allclose(y[c], ref, rtol=0, atol=2e-3)
