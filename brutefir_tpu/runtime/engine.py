@@ -501,6 +501,13 @@ class Engine:
         wth = threading.Thread(target=writer, daemon=True)
         wth.start()
 
+        def shutdown_writer():
+            try:
+                wq.put(None, timeout=5.0)
+            except queue.Full:
+                pass
+            wth.join(timeout=30.0)
+
         while not self._stopped and not eof:
             if max_blocks is not None and self.blockcounter >= max_blocks:
                 break
@@ -586,8 +593,7 @@ class Engine:
                             f"{measured:.0f} Hz, configured "
                             f"{self.conf.sampling_rate} Hz")
 
-        wq.put(None)
-        wth.join()
+        shutdown_writer()
         if wstats["err"] is not None:
             raise wstats["err"]
         frames_out = wstats["frames"]
@@ -734,8 +740,11 @@ class Engine:
                     continue
             self._periods.append((time.perf_counter() - t0) / M)
 
-        wq.put(None)
-        wth.join()
+        try:
+            wq.put(None, timeout=5.0)
+        except queue.Full:
+            pass
+        wth.join(timeout=30.0)
         if wstats["err"] is not None:
             raise wstats["err"]
         frames_out = wstats["frames"]
