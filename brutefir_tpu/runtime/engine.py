@@ -508,6 +508,41 @@ class Engine:
                 pass
             wth.join(timeout=30.0)
 
+        try:
+            self._run_loop(max_blocks, sink_output, wq, wstats, N, budget,
+                           show)
+        finally:
+            shutdown_writer()
+        if wstats["err"] is not None:
+            raise wstats["err"]
+        frames_out = wstats["frames"]
+
+        if profile_dir:
+            jax.profiler.stop_trace()
+        elapsed = time.perf_counter() - t_run0
+        if self._debug_ring is not None:
+            self._dump_debug_timeline()
+        if self.conf.overflow_warnings and not getattr(self.conf, "quiet", False):
+            self._print_overflow_warnings()
+        stats = {
+            "blocks": self.blockcounter,
+            "frames": frames_out,
+            "elapsed_s": elapsed,
+            "xrt": (frames_out / self.conf.sampling_rate) / elapsed
+            if elapsed > 0 else 0.0,
+            "rti_max": self._rti_max,
+            "p50_block_ms": float(np.median(self._periods) * 1e3)
+            if self._periods else 0.0,
+            "overflows": [o.n_overflows for o in self.overflow],
+            "peak_db": [o.peak_db() for o in self.overflow],
+        }
+        if setup:
+            self.teardown()
+        return stats
+
+    def _run_loop(self, max_blocks, sink_output, wq, wstats, N, budget, show):
+        import queue
+        eof = False
         while not self._stopped and not eof:
             if max_blocks is not None and self.blockcounter >= max_blocks:
                 break
@@ -592,34 +627,6 @@ class Engine:
                             f"sample rate drift detected: measured "
                             f"{measured:.0f} Hz, configured "
                             f"{self.conf.sampling_rate} Hz")
-
-        shutdown_writer()
-        if wstats["err"] is not None:
-            raise wstats["err"]
-        frames_out = wstats["frames"]
-
-        if profile_dir:
-            jax.profiler.stop_trace()
-        elapsed = time.perf_counter() - t_run0
-        if self._debug_ring is not None:
-            self._dump_debug_timeline()
-        if self.conf.overflow_warnings and not getattr(self.conf, "quiet", False):
-            self._print_overflow_warnings()
-        stats = {
-            "blocks": self.blockcounter,
-            "frames": frames_out,
-            "elapsed_s": elapsed,
-            "xrt": (frames_out / self.conf.sampling_rate) / elapsed
-            if elapsed > 0 else 0.0,
-            "rti_max": self._rti_max,
-            "p50_block_ms": float(np.median(self._periods) * 1e3)
-            if self._periods else 0.0,
-            "overflows": [o.n_overflows for o in self.overflow],
-            "peak_db": [o.peak_db() for o in self.overflow],
-        }
-        if setup:
-            self.teardown()
-        return stats
 
     def run_offline(self, max_blocks=None, batch_blocks: int = 8,
                     sink_output: bool = False, setup: bool = True):
