@@ -7,27 +7,33 @@ from fftw_convolver.c:253-328). The dense jnp path materializes two
 coefficient-bank gather); at 26 filters x 16 partitions x 8k bins that is
 ~80 MB of HBM traffic per block. This kernel fuses all of it:
 
-  grid (F, N/TILE, B), with the partition axis innermost so the output
-  tile accumulates in VMEM across partitions;
-  * the ring-rotation index (t - b) mod B arrives as a prefetched scalar
-    vector, so the ring tile is DMA'd straight from its rotated position;
-  * the coefficient tile is DMA'd straight from the *bank* at the filter's
-    prefetched coefficient index -- the per-filter gather never exists;
-  * the partition-validity mask (the reference's cblocks clamp) is a
-    prefetched scalar multiplied into the accumulation.
+* the bin axis is reshaped N -> (N/128, 128) so every block is a fully
+  populated (sublane, lane) tile -- no relayout padding;
+* grid = (filters,): each step DMAs one filter's whole [B, 2, N] ring row
+  and its coefficient row -- fetched straight from the *bank* at the
+  prefetched coefficient index, so the per-filter gather never exists;
+* the partition loop runs inside the kernel with the ring rotation
+  (t - b) mod B as a prefetched index vector resolved by dynamic VMEM
+  indexing, accumulating in registers/VMEM;
+* the partition-validity mask (the reference's cblocks clamp) multiplies
+  each partition's contribution.
 
 Bin 0 packs DC and Nyquist as independent real products (see partconv);
 the kernel computes it as a normal complex lane and the caller patches the
 single bin afterwards with a tiny [F, B] contraction.
 
-Status: numerically verified identical to the dense path on TPU v5e. At
-the flagship shape (26x16x8192) XLA's fusion of the dense formulation
-already runs within ~70% of HBM speed-of-light (0.056 ms/block, the
-broadcastable bank gather never materializes), while this kernel's
-(1, 1, 2, tile) blocks pay sublane padding and per-step grid overhead
-(0.71 ms/block). It therefore stays opt-in (`CompiledGraph(mac="pallas")`)
-as the scaling path for shapes where the dense gathers do materialize
-(many distinct coefficient sets, crossfades on wide filter banks).
+Measured on TPU v5e at the flagship shape (26 filters x 16 partitions x
+8192 bins, identical checksums both paths):
+
+| case | dense jnp | this kernel |
+|---|---|---|
+| one shared coefficient set | 0.034 ms (gather broadcasts; HBM-bound) | 1.13 ms |
+| distinct set per filter    | 1.05 ms (gather materializes)           | 0.79 ms |
+
+So the kernel wins ~25% exactly where the dense path's gathers
+materialize (per-channel correction filters, EQ-heavy configs) and loses
+where XLA's broadcast fusion is already at speed-of-light -- hence it is
+opt-in (`CompiledGraph(mac="pallas")`) and "auto" resolves to jnp.
 """
 
 from __future__ import annotations
@@ -39,28 +45,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _mac_kernel(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref, out_ref):
-    b = pl.program_id(2)
-    m = mask_ref[pl.program_id(0), b]
-    rr = ring_ref[0, 0, 0, :]
-    ri = ring_ref[0, 0, 1, :]
-    hr = bank_ref[0, 0, 0, :] * m
-    hi = bank_ref[0, 0, 1, :] * m
-
-    @pl.when(b == 0)
-    def _():
-        out_ref[0, 0, :] = rr * hr - ri * hi
-        out_ref[0, 1, :] = rr * hi + ri * hr
-
-    @pl.when(b > 0)
-    def _():
-        out_ref[0, 0, :] += rr * hr - ri * hi
-        out_ref[0, 1, :] += rr * hi + ri * hr
+def _mac_kernel(B, idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref, out_ref):
+    # scalar-prefetch: idx [F], rpos [B], mask [F, B] (SMEM)
+    # ring_ref/bank_ref: (1, B, 2, R, 128); out (1, 2, R, 128)
+    f = pl.program_id(0)
+    rr = ring_ref[0, rpos_ref[0], 0]
+    ri = ring_ref[0, rpos_ref[0], 1]
+    m = mask_ref[f, 0]
+    hr = bank_ref[0, 0, 0] * m
+    hi = bank_ref[0, 0, 1] * m
+    acc_r = rr * hr - ri * hi
+    acc_i = rr * hi + ri * hr
+    for b in range(1, B):  # statically unrolled partition loop
+        rp = rpos_ref[b]
+        rr = ring_ref[0, rp, 0]
+        ri = ring_ref[0, rp, 1]
+        m = mask_ref[f, b]
+        hr = bank_ref[0, b, 0] * m
+        hi = bank_ref[0, b, 1] * m
+        acc_r += rr * hr - ri * hi
+        acc_i += rr * hi + ri * hr
+    out_ref[0, 0] = acc_r
+    out_ref[0, 1] = acc_i
 
 
 def pallas_spectral_mac(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
                         mask: jax.Array, t: jax.Array,
-                        tile: int = 8192, interpret: bool = False) -> jax.Array:
+                        interpret: bool = False) -> jax.Array:
     """Y[f] = sum_b ring[f, (t-b)%B] (*) (bank[coeff_idx[f], b] * mask[f, b]).
 
     ring: [F, B, 2, N] f32   bank: [E, B, 2, N] f32
@@ -68,33 +79,33 @@ def pallas_spectral_mac(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
     Returns [F, 2, N] f32 (packed spectra, bin 0 fixed up here).
     """
     F, B, _, N = ring.shape
-    tile = min(tile, N)
+    E = bank.shape[0]
+    R = N // 128
     rpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B).astype(jnp.int32)
+    ring5 = ring.reshape(F, B, 2, R, 128)
+    bank5 = bank.reshape(E, B, 2, R, 128)
+    maskf = mask.astype(ring.dtype)
 
+    import functools
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(F, N // tile, B),
+        grid=(F,),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, 2, tile),
-                lambda f, k, b, idx, rp, mk: (f, rp[b], 0, k),
-            ),
-            pl.BlockSpec(
-                (1, 1, 2, tile),
-                lambda f, k, b, idx, rp, mk: (idx[f], b, 0, k),
-            ),
+            pl.BlockSpec((1, B, 2, R, 128),
+                         lambda f, idx, rp, mk: (f, 0, 0, 0, 0)),
+            pl.BlockSpec((1, B, 2, R, 128),
+                         lambda f, idx, rp, mk: (idx[f], 0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 2, tile),
-            lambda f, k, b, idx, rp, mk: (f, 0, k),
-        ),
+        out_specs=pl.BlockSpec((1, 2, R, 128),
+                               lambda f, idx, rp, mk: (f, 0, 0, 0)),
     )
-    y = pl.pallas_call(
-        _mac_kernel,
+    y5 = pl.pallas_call(
+        functools.partial(_mac_kernel, B),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, 2, N), ring.dtype),
+        out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring.dtype),
         interpret=interpret,
-    )(coeff_idx.astype(jnp.int32), rpos, mask.astype(ring.dtype), ring, bank)
+    )(coeff_idx.astype(jnp.int32), rpos, maskf, ring5, bank5)
+    y = y5.reshape(F, 2, N)
 
     # bin 0: DC and Nyquist multiply real/imag planes independently
     rot0 = jnp.take(ring[:, :, :, 0], rpos, axis=1)          # [F, B, 2]

@@ -21,6 +21,6 @@ def test_pallas_matches_dense(rng):
                                     jnp.int32(t))
         got = pallas_spectral_mac(jnp.asarray(ring), jnp.asarray(bank),
                                   jnp.asarray(idx), jnp.asarray(mask),
-                                  jnp.int32(t), tile=128, interpret=True)
+                                  jnp.int32(t), interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=0, atol=1e-5)
