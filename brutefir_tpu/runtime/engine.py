@@ -73,7 +73,18 @@ class Engine:
             self.N, self.B, conf.n_channels[IN], conf.n_channels[OUT],
             filter_inputs, [f.crossfade for f in conf.filters], self.rd,
             powersave=conf.powersave and conf.analog_powersave < 1.0)
-        self.cg = CompiledGraph(self.spec)
+        # MAC implementation: the fused Pallas kernel wins when filters
+        # select many distinct coefficient sets (the dense path's gathers
+        # materialize); XLA's broadcast fusion wins for few shared sets.
+        # See ops/pallas_mac.py for measurements.
+        from ..ops.pallas_mac import pallas_available
+        many_distinct = (len(conf.coeffs) >= max(8, len(conf.filters) // 2)
+                         and len(conf.filters) >= 8)
+        mac = ("pallas" if (jax.default_backend() not in ("cpu",)
+                            and many_distinct
+                            and pallas_available(self.spec.n_bins, self.rd))
+               else "auto")
+        self.cg = CompiledGraph(self.spec, mac=mac)
         self.mesh = mesh
         if bank is None:
             bank = build_bank(conf.coeffs, self.N, self.B, self.rd.type)
@@ -195,6 +206,10 @@ class Engine:
         if self._has_timed_hooks and self.dio is not None:
             # timed hooks need host-side sample blocks
             self.dio = None
+        for m in self.logic:
+            hook = getattr(m, "initialised", None)
+            if hook is not None:  # bfevents.initialised analog
+                hook()
 
     def stop(self):
         self._stopped = True
