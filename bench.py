@@ -137,6 +137,15 @@ def main():
     from brutefir_tpu.runtime import Engine
     import jax
 
+    try:
+        jax.default_backend()
+    except RuntimeError as e:
+        # transiently unreachable accelerator runtime: still produce a
+        # number rather than nothing (the JSON carries the backend used)
+        sys.stderr.write(f"bench: accelerator backend unavailable ({e}); "
+                         "falling back to CPU\n")
+        jax.config.update("jax_platforms", "cpu")
+
     conf = parse_config(CONFIG)
     eng = Engine(conf)
     eng.setup()

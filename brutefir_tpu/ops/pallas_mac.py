@@ -27,13 +27,15 @@ Measured on TPU v5e at the flagship shape (26 filters x 16 partitions x
 
 | case | dense jnp | this kernel |
 |---|---|---|
-| one shared coefficient set | 0.034 ms (gather broadcasts; HBM-bound) | 1.13 ms |
-| distinct set per filter    | 1.05 ms (gather materializes)           | 0.79 ms |
+| one shared coefficient set | 0.034 ms (gather broadcasts; HBM-bound) | ~0.07 ms |
+| distinct set per filter    | 1.05 ms (gathers materialize)           | **0.065 ms** |
 
-So the kernel wins ~25% exactly where the dense path's gathers
-materialize (per-channel correction filters, EQ-heavy configs) and loses
-where XLA's broadcast fusion is already at speed-of-light -- hence it is
-opt-in (`CompiledGraph(mac="pallas")`) and "auto" resolves to jnp.
+The kernel reads exactly ring+bank once (54 MB at the flagship shape,
+~HBM speed-of-light) regardless of coefficient diversity -- a 16x win
+over the dense path wherever filters select distinct coefficient sets
+(per-channel room correction, EQ-heavy configs). The engine picks it
+automatically for coefficient-diverse configs on TPU backends
+(`runtime/engine.py`); `CompiledGraph(mac=...)` overrides.
 """
 
 from __future__ import annotations
@@ -45,28 +47,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _mac_kernel(B, idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref, out_ref):
+def _mac_kernel(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref, out_ref):
     # scalar-prefetch: idx [F], rpos [B], mask [F, B] (SMEM)
-    # ring_ref/bank_ref: (1, B, 2, R, 128); out (1, 2, R, 128)
+    # blocks: ring/bank (1, 1, 2, R, 128) at the rotated / gathered rows;
+    # out (1, 2, R, 128), accumulated across the innermost partition axis
     f = pl.program_id(0)
-    rr = ring_ref[0, rpos_ref[0], 0]
-    ri = ring_ref[0, rpos_ref[0], 1]
-    m = mask_ref[f, 0]
+    b = pl.program_id(1)
+    m = mask_ref[f, b]
+    rr = ring_ref[0, 0, 0]
+    ri = ring_ref[0, 0, 1]
     hr = bank_ref[0, 0, 0] * m
     hi = bank_ref[0, 0, 1] * m
-    acc_r = rr * hr - ri * hi
-    acc_i = rr * hi + ri * hr
-    for b in range(1, B):  # statically unrolled partition loop
-        rp = rpos_ref[b]
-        rr = ring_ref[0, rp, 0]
-        ri = ring_ref[0, rp, 1]
-        m = mask_ref[f, b]
-        hr = bank_ref[0, b, 0] * m
-        hi = bank_ref[0, b, 1] * m
-        acc_r += rr * hr - ri * hi
-        acc_i += rr * hi + ri * hr
-    out_ref[0, 0] = acc_r
-    out_ref[0, 1] = acc_i
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[0, 0] = rr * hr - ri * hi
+        out_ref[0, 1] = rr * hi + ri * hr
+
+    @pl.when(b > 0)
+    def _():
+        out_ref[0, 0] += rr * hr - ri * hi
+        out_ref[0, 1] += rr * hi + ri * hr
 
 
 def pallas_spectral_mac(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
@@ -86,21 +87,20 @@ def pallas_spectral_mac(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
     bank5 = bank.reshape(E, B, 2, R, 128)
     maskf = mask.astype(ring.dtype)
 
-    import functools
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(F,),
+        grid=(F, B),
         in_specs=[
-            pl.BlockSpec((1, B, 2, R, 128),
-                         lambda f, idx, rp, mk: (f, 0, 0, 0, 0)),
-            pl.BlockSpec((1, B, 2, R, 128),
-                         lambda f, idx, rp, mk: (idx[f], 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 2, R, 128),
+                         lambda f, b, idx, rp, mk: (f, rp[b], 0, 0, 0)),
+            pl.BlockSpec((1, 1, 2, R, 128),
+                         lambda f, b, idx, rp, mk: (idx[f], b, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 2, R, 128),
-                               lambda f, idx, rp, mk: (f, 0, 0, 0)),
+                               lambda f, b, idx, rp, mk: (f, 0, 0, 0)),
     )
     y5 = pl.pallas_call(
-        functools.partial(_mac_kernel, B),
+        _mac_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring.dtype),
         interpret=interpret,
