@@ -27,7 +27,7 @@ Measured on TPU v5e at the flagship shape (26 filters x 16 partitions x
 
 | case | dense jnp | this kernel |
 |---|---|---|
-| one shared coefficient set | 0.034 ms (gather broadcasts; HBM-bound) | ~0.07 ms |
+| one shared coefficient set | 0.034 ms (gather broadcasts; HBM-bound) | 0.043 ms |
 | distinct set per filter    | 1.05 ms (gathers materialize)           | **0.065 ms** |
 
 The kernel reads exactly ring+bank once (54 MB at the flagship shape,
