@@ -111,6 +111,31 @@ filter 3 { from_inputs: 0; to_outputs: 1/0.0; coeff: 1; };
 """
 
 
+def make_probe(eng):
+    """Forced-completion probe: a tiny *data-dependent* scalar fetch.
+
+    Some remote TPU runtimes ack block_until_ready before execution
+    completes; only a fetch whose value depends on the queued work
+    actually drains the device. Returns (probe(salt), round_trip_cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _probe_fn(ring, salt):
+        return jnp.sum(ring[0, 0, :, :4]) + salt
+
+    def probe(k):
+        return float(np.asarray(_probe_fn(eng.state.ring, jnp.float32(k))))
+
+    probe(0)                                   # compile + drain warmup
+    cal = []
+    for k in range(1, 4):
+        t0 = time.perf_counter()
+        probe(1000 + k)
+        cal.append(time.perf_counter() - t0)
+    return probe, sorted(cal)[1]
+
+
 def xtc_latency(sink):
     """The reference's minimum-latency benchmark shape (brutefir.html
     latency table: 64-sample partitions x 128 -> 3 ms at 60% CPU on its
@@ -121,12 +146,17 @@ def xtc_latency(sink):
     eng = Engine(conf)
     eng.setup()
     eng.run(max_blocks=30, setup=False, sink_output=sink)      # warm
+    probe, probe_cost = make_probe(eng)
+    t0 = time.perf_counter()
     stats = eng.run(max_blocks=530, setup=False, sink_output=sink)
+    probe(1)
+    forced_mean = (time.perf_counter() - t0 - probe_cost) / 500
     eng.teardown()
     budget_ms = 64 / RATE * 1e3
     return {
         "partition": "64x64 (2.9 ms I/O delay)",
         "p50_block_ms": round(stats["p50_block_ms"], 3),
+        "mean_block_ms_forced": round(forced_mean * 1e3, 3),
         "block_budget_ms": round(budget_ms, 3),
         "rti_p50": round(stats["p50_block_ms"] / budget_ms, 3),
     }
@@ -159,34 +189,48 @@ def main():
     eng.run_offline(max_blocks=WARMUP * BATCH, batch_blocks=BATCH,
                     setup=False, sink_output=sink)
 
-    # device-only step rate (no host I/O): dispatch a tight loop
+    # every measurement boundary below ends with a forced-completion
+    # probe (see make_probe) so queued device work cannot leak past the
+    # stopwatch; the probe's own round trip is calibrated and subtracted
     import jax.numpy as jnp
+    probe, probe_cost = make_probe(eng)
+
+    # device-only step rate (no host I/O): slope between two on-device
+    # scan lengths, each forced complete, removes dispatch/probe cost
     if eng.dio is not None:
         with eng.control_mutex:
             c0 = eng.control.snapshot()
             g0 = eng._mute_gains()
-        words = [jnp.zeros((N, d.open_channels), eng.dio.in_words[i])
-                 for i, d in enumerate(conf.iodevs[0])]
-        st = eng.state
-        t0 = time.perf_counter()
-        for _ in range(60):
-            st, outs, meters, nan = eng.dio.step(st, c0, g0[0], g0[1],
-                                                 eng.bank, words)
-        jax.block_until_ready(outs)
-        device_step_ms = (time.perf_counter() - t0) / 60 * 1e3
-        eng.state = st
+        times = {}
+        for m in (6, 30):
+            mstep = eng.dio.multi_step(m)
+            stacks = [jnp.zeros((m, N, d.open_channels), eng.dio.in_words[i])
+                      for i, d in enumerate(conf.iodevs[0])]
+            st, outs, meters, nan = mstep(eng.state, c0, g0[0], g0[1],
+                                          eng.bank, stacks)   # compile
+            eng.state = st
+            probe(100 + m)
+            t0 = time.perf_counter()
+            st, outs, meters, nan = mstep(eng.state, c0, g0[0], g0[1],
+                                          eng.bank, stacks)
+            eng.state = st
+            probe(200 + m)
+            times[m] = time.perf_counter() - t0
+        device_step_ms = (times[30] - times[6]) / (30 - 6) * 1e3
     else:
         device_step_ms = None
 
     # median-of-windows: robust against transient host/relay contention
     windows = []
     blocks_done = WARMUP * BATCH
-    for _ in range(6):
+    for wi in range(6):
         t0 = time.perf_counter()
         blocks_done += (BLOCKS // 6) * BATCH
         stats = eng.run_offline(max_blocks=blocks_done, batch_blocks=BATCH,
                                 setup=False, sink_output=sink)
-        windows.append((time.perf_counter() - t0) / ((BLOCKS // 6) * BATCH))
+        probe(300 + wi)
+        windows.append((time.perf_counter() - t0 - probe_cost)
+                       / ((BLOCKS // 6) * BATCH))
     eng.teardown()
 
     per_block = sorted(windows)[len(windows) // 2]

@@ -55,15 +55,17 @@ class CompiledGraph:
 
     ``mac``: "jnp" (dense gather + reduce), "pallas" (fused TPU kernel),
     "pallas-interpret" (kernel in interpreter mode, for CPU tests), or
-    "auto" (pallas on TPU backends when shapes allow).
+    "auto" (the dense path -- the measured winner at all tested shapes,
+    see ops/pallas_mac.py).
     """
 
     def __init__(self, spec: GraphSpec, mac: str = "auto"):
         self.spec = spec
         if mac == "auto":
-            # XLA's fusion of the dense MAC is at/near HBM speed-of-light
-            # for typical shapes (see ops/pallas_mac.py); the kernel is
-            # opt-in for shapes where the dense gathers materialize.
+            # XLA fuses the dense MAC's gathers into the reduction and
+            # runs it at ~2/3 HBM speed-of-light regardless of
+            # coefficient diversity (forced-completion measurements in
+            # ops/pallas_mac.py); the Pallas kernel is opt-in.
             mac = "jnp"
         if mac.startswith("pallas") and not pallas_available(
                 spec.n_bins, spec.real_dtype):

@@ -22,20 +22,29 @@ Bin 0 packs DC and Nyquist as independent real products (see partconv);
 the kernel computes it as a normal complex lane and the caller patches the
 single bin afterwards with a tiny [F, B] contraction.
 
-Measured on TPU v5e at the flagship shape (26 filters x 16 partitions x
-8192 bins, identical checksums both paths):
+Measured on TPU v5e ("TPU v5 lite") at the flagship shape (26 filters x
+16 partitions x 8192 bins, identical checksums both paths). Timing
+methodology matters on this hardware path: the remote-device relay acks
+``block_until_ready`` before execution completes, so naive dispatch-loop
+timings under-report by 10-40x (a 0.54 GB/iter elementwise chain
+"measured" 107 TB/s that way). These numbers run the iteration loop
+on-device under ``lax.scan`` with a data dependence between iterations
+and force completion with a scalar fetch; per-iteration time is the
+slope between K=16 and K=144 scan lengths, median of 5:
 
 | case | dense jnp | this kernel |
 |---|---|---|
-| one shared coefficient set | 0.034 ms (gather broadcasts; HBM-bound) | 0.043 ms |
-| distinct set per filter    | 1.05 ms (gathers materialize)           | **0.065 ms** |
+| one shared coefficient set | **0.36 ms** | 0.63 ms |
+| distinct set per filter    | **0.36 ms** | 0.63 ms |
 
-The kernel reads exactly ring+bank once (54 MB at the flagship shape,
-~HBM speed-of-light) regardless of coefficient diversity -- a 16x win
-over the dense path wherever filters select distinct coefficient sets
-(per-channel room correction, EQ-heavy configs). The engine picks it
-automatically for coefficient-diverse configs on TPU backends
-(`runtime/engine.py`); `CompiledGraph(mac=...)` overrides.
+The dense path's gathers fuse into the reduction (XLA runs the whole MAC
+at ~2/3 of HBM speed-of-light, coefficient diversity included), while
+the kernel's (F, B)-grid re-DMAs cost ~1.8x. The engine therefore uses
+the dense path by default; set ``BRUTEFIR_TPU_MAC=pallas`` (or
+``CompiledGraph(mac="pallas")``) to opt in. The kernel is kept (and
+tested for bit-identity vs the dense path) as the basis for future
+fusion work -- folding the crossfade dual-MAC or the output mix into the
+grid is where a hand kernel could still beat XLA.
 """
 
 from __future__ import annotations

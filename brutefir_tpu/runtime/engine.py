@@ -17,6 +17,7 @@ Per block:
 
 from __future__ import annotations
 
+import os
 import sys
 import threading
 import time
@@ -53,7 +54,6 @@ class Engine:
         if conf.convolver_config:
             # the FFTW-wisdom analog (fftw_convolver.c:809-848): persist
             # compiled programs so later runs skip compilation
-            import os
             cache_dir = conf.convolver_config + ".xla_cache"
             try:
                 os.makedirs(cache_dir, exist_ok=True)
@@ -73,17 +73,11 @@ class Engine:
             self.N, self.B, conf.n_channels[IN], conf.n_channels[OUT],
             filter_inputs, [f.crossfade for f in conf.filters], self.rd,
             powersave=conf.powersave and conf.analog_powersave < 1.0)
-        # MAC implementation: the fused Pallas kernel wins when filters
-        # select many distinct coefficient sets (the dense path's gathers
-        # materialize); XLA's broadcast fusion wins for few shared sets.
-        # See ops/pallas_mac.py for measurements.
-        from ..ops.pallas_mac import pallas_available
-        many_distinct = (len(conf.coeffs) >= max(8, len(conf.filters) // 2)
-                         and len(conf.filters) >= 8)
-        mac = ("pallas" if (jax.default_backend() not in ("cpu",)
-                            and many_distinct
-                            and pallas_available(self.spec.n_bins, self.rd))
-               else "auto")
+        # MAC implementation: XLA's fused dense path is the measured
+        # winner on TPU at all tested shapes (forced-completion timing;
+        # see ops/pallas_mac.py). The Pallas kernel stays opt-in via
+        # BRUTEFIR_TPU_MAC for experimentation.
+        mac = os.environ.get("BRUTEFIR_TPU_MAC", "auto")
         self.cg = CompiledGraph(self.spec, mac=mac)
         self.mesh = mesh
         if bank is None:
@@ -464,7 +458,6 @@ class Engine:
         if setup:
             self.setup()
             self.attach_logic()
-        import os
         profile_dir = os.environ.get("BRUTEFIR_TPU_PROFILE")
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
@@ -484,26 +477,48 @@ class Engine:
         # the device result and encodes/writes block k while the main
         # thread decodes block k+1. The C codec and BLAS release the GIL,
         # so the stages genuinely overlap. Queue depth 2 bounds latency.
+        #
+        # In sink mode (no device->host samples) the only reason to touch
+        # the device result is pacing: keeping the dispatch queue bounded.
+        # A device sync can cost a full transport round trip on
+        # remote-attached chips, so it is amortized: one sync per
+        # ``drain_every`` blocks (device streams execute FIFO, so syncing
+        # the newest result bounds the whole backlog).
         import queue
         wq: "queue.Queue" = queue.Queue(maxsize=2)
         wstats = {"frames": 0, "err": None}
+        drain_every = max(1, int(os.environ.get(
+            "BRUTEFIR_TPU_DRAIN_EVERY", "16")))
+        sink_pending = {"last": None, "n": 0}
+
+        def sink_drain(result, force=False):
+            sink_pending["last"] = result
+            sink_pending["n"] += 1
+            if force or sink_pending["n"] % drain_every == 0:
+                jax.block_until_ready(sink_pending["last"])
+                sink_pending["last"] = None
 
         def writer():
             while True:
                 item = wq.get()
                 if item is None:
+                    try:
+                        if sink_pending["last"] is not None:
+                            jax.block_until_ready(sink_pending["last"])
+                    except Exception as e:
+                        wstats["err"] = e
                     return
                 try:
                     if item[0] == "dio":
                         _, outs, meters, nan_ok, fk = item
                         if sink_output:
-                            jax.block_until_ready(outs)
+                            sink_drain(outs)
                         else:
                             self.write_block_dio(outs, meters, nan_ok, fk)
                     else:
                         _, yk, fk, osnap = item
                         if sink_output:
-                            jax.block_until_ready(yk)
+                            sink_drain(yk)
                             self.write_block(sink_stage, fk, osnap)
                         else:
                             self.write_block(np.asarray(yk), fk, osnap)
@@ -557,6 +572,40 @@ class Engine:
 
     def _run_loop(self, max_blocks, sink_output, wq, wstats, N, budget, show):
         import queue
+
+        # Input prefetch (offline/sink throughput only): a producer thread
+        # reads and *uploads* block k+1 while the main thread dispatches
+        # block k, hiding the host->device transfer behind compute -- the
+        # input-side analog of the writer thread. Off in realtime mode,
+        # where reads must track the device clock.
+        pq = None
+        pstate = {"stop": False, "err": None}
+        if self.dio is not None and sink_output:
+            pq = queue.Queue(maxsize=3)
+
+            def producer():
+                try:
+                    while not pstate["stop"]:
+                        xw, f = self.read_block_dio()
+                        item = ([jnp.asarray(w) for w in xw], f)
+                        while not pstate["stop"]:
+                            try:
+                                pq.put(item, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+                        if f < N:
+                            return
+                except Exception as e:
+                    pstate["err"] = e
+                    try:
+                        pq.put_nowait(([], 0))
+                    except queue.Full:
+                        pass
+
+            pth = threading.Thread(target=producer, daemon=True)
+            pth.start()
+
         eof = False
         while not self._stopped and not eof:
             if max_blocks is not None and self.blockcounter >= max_blocks:
@@ -568,7 +617,11 @@ class Engine:
                 self._debug_ring.append((t0, "r_input", self.blockcounter))
                 del self._debug_ring[:-4096]
             self._block_start_hooks()
-            if self.dio is not None:
+            if pq is not None:
+                xw, frames = pq.get()
+                if pstate["err"] is not None:
+                    raise pstate["err"]
+            elif self.dio is not None:
                 xw, frames = self.read_block_dio()
             else:
                 x, frames = self.read_block()
@@ -642,6 +695,14 @@ class Engine:
                             f"sample rate drift detected: measured "
                             f"{measured:.0f} Hz, configured "
                             f"{self.conf.sampling_rate} Hz")
+        if pq is not None:
+            pstate["stop"] = True
+            try:
+                while True:
+                    pq.get_nowait()
+            except queue.Empty:
+                pass
+            pth.join(timeout=10.0)
 
     def run_offline(self, max_blocks=None, batch_blocks: int = 8,
                     sink_output: bool = False, setup: bool = True):
@@ -670,16 +731,30 @@ class Engine:
         import queue
         wq: "queue.Queue" = queue.Queue(maxsize=2)
         wstats = {"frames": 0, "err": None}
+        drain_every = max(1, int(os.environ.get(
+            "BRUTEFIR_TPU_DRAIN_EVERY", "16")) // M)
+        sink_pending = {"last": None, "n": 0}
 
         def writer():
             while True:
                 item = wq.get()
                 if item is None:
+                    try:
+                        if sink_pending["last"] is not None:
+                            jax.block_until_ready(sink_pending["last"])
+                    except Exception as e:
+                        wstats["err"] = e
                     return
                 outs, meters, nan_ok, fk = item
                 try:
                     if sink_output:
-                        jax.block_until_ready(outs)
+                        # amortized device sync (see run(): one transport
+                        # round trip per drain_every blocks, FIFO stream)
+                        sink_pending["last"] = outs
+                        sink_pending["n"] += 1
+                        if sink_pending["n"] % drain_every == 0:
+                            jax.block_until_ready(sink_pending["last"])
+                            sink_pending["last"] = None
                     else:
                         if not bool(nan_ok):
                             raise EngineError(

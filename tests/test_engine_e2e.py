@@ -230,3 +230,32 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
     # scheduling; quantization semantics are the same)
     assert np.abs(outs["dio"].astype(np.int64)
                   - outs["host"].astype(np.int64)).max() <= 1
+
+
+def test_sink_mode_prefetch_and_amortized_drain(tmp_path):
+    """Sink mode (no device->host samples) uses the input-prefetch
+    producer thread and the amortized device drain; block/frame
+    accounting, the EOF tail, and early stop must match a normal run."""
+    rng = np.random.default_rng(7)
+    frames_total = 8 * 256 + 100
+    x = (rng.standard_normal((frames_total, 2)) * 1e6).astype("<i4")
+    inp = tmp_path / "in.raw"
+    x.tofile(inp)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: 256,4;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0,1 {{ device: "file" {{ path: "{inp}"; }}; sample: "S32_LE"; channels: 2; }};
+output 0,1 {{ device: "file" {{ path: "/dev/null"; }}; sample: "S32_LE"; channels: 2; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
+""")
+    eng = Engine(conf)
+    assert eng.dio is not None
+    stats = eng.run(sink_output=True)
+    assert stats["blocks"] == 9          # 8 full + 1 partial block
+    assert stats["frames"] == frames_total
+    # early stop exercises the producer-thread cleanup path
+    eng2 = Engine(conf)
+    stats2 = eng2.run(max_blocks=3, sink_output=True)
+    assert stats2["blocks"] == 3
