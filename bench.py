@@ -29,11 +29,13 @@ B = 16
 RATE = 44100
 BLOCKS = 120
 WARMUP = 6
-# Offline batch factor (run_offline lax.scan batching). On direct-attached
-# hardware batching amortizes dispatch; through a remote relay it serializes
-# the input transfer that per-block pipelining otherwise hides -- measured
-# 131x (BATCH=1) vs 9.6x (BATCH=8) on the tunneled v5e. Keep per-block.
-BATCH = 1
+# Offline batch factor (run_offline lax.scan batching): one upload, one
+# dispatch, and (amortized) one sync per BATCH blocks. With
+# forced-completion timing, batch 8 runs at the transport's sustained
+# wire speed on the tunneled v5e (6.9 ms/block vs 11 ms per-block when
+# the tunnel is congested) and is no worse on a healthy link, where the
+# wire cost per block (~1 ms at 0.9 GB/s) dominates either way.
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 
 CONFIG = f"""
 sampling_rate: {RATE};

@@ -488,7 +488,7 @@ class Engine:
         wq: "queue.Queue" = queue.Queue(maxsize=2)
         wstats = {"frames": 0, "err": None}
         drain_every = max(1, int(os.environ.get(
-            "BRUTEFIR_TPU_DRAIN_EVERY", "16")))
+            "BRUTEFIR_TPU_DRAIN_EVERY", "64")))
         sink_pending = {"last": None, "n": 0}
 
         def sink_drain(result, force=False):
@@ -732,7 +732,7 @@ class Engine:
         wq: "queue.Queue" = queue.Queue(maxsize=2)
         wstats = {"frames": 0, "err": None}
         drain_every = max(1, int(os.environ.get(
-            "BRUTEFIR_TPU_DRAIN_EVERY", "16")) // M)
+            "BRUTEFIR_TPU_DRAIN_EVERY", "64")) // M)
         sink_pending = {"last": None, "n": 0}
 
         def writer():
