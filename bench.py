@@ -206,8 +206,9 @@ def main():
         times = {}
         for m in (6, 30):
             mstep = eng.dio.multi_step(m)
-            stacks = [jnp.zeros((m, N, d.open_channels), eng.dio.in_words[i])
-                      for i, d in enumerate(conf.iodevs[0])]
+            stacks = [jnp.zeros((m, N) + eng.dio.in_wire_shape[i],
+                                eng.dio.in_wire_dtype[i])
+                      for i in range(len(conf.iodevs[0]))]
             st, outs, meters, nan = mstep(eng.state, c0, g0[0], g0[1],
                                           eng.bank, stacks)   # compile
             eng.state = st

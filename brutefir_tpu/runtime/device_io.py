@@ -10,6 +10,8 @@ reads/writes and transfers shrink to wire format width.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -51,6 +53,31 @@ class DeviceIO:
         self.out_words = [device_format_word(d.sample_format)
                           for d in conf.iodevs[OUT]]
 
+        # Wire compaction: S24-in-4-byte inputs ship only the 3
+        # significant bytes and are sign-extended on device -- 25% less
+        # host->device traffic, which is the end-to-end bottleneck (the
+        # block's audio payload). Exact for in-range data; inputs whose
+        # padding byte is not the sign extension (out-of-spec S24) decode
+        # differently from the reference's raw int32 read
+        # (raw2real.h:143-153) -- see docs/PARITY.md. Kill switch:
+        # BRUTEFIR_TPU_WIRE_PACK24=0.
+        pack24 = os.environ.get("BRUTEFIR_TPU_WIRE_PACK24", "1") != "0"
+        self.in_wire = []       # per input device: "word" | "p24"
+        self.in_wire_dtype = []
+        self.in_wire_shape = []  # per-frame trailing shape
+        for di, dev in enumerate(conf.iodevs[IN]):
+            fmt = dev.sample_format
+            if (pack24 and not fmt.is_float and fmt.bytes == 4
+                    and fmt.sbytes == 3 and fmt.little_endian
+                    and np.little_endian):
+                self.in_wire.append("p24")
+                self.in_wire_dtype.append(np.dtype(np.uint8))
+                self.in_wire_shape.append((dev.open_channels, 3))
+            else:
+                self.in_wire.append("word")
+                self.in_wire_dtype.append(self.in_words[di])
+                self.in_wire_shape.append((dev.open_channels,))
+
         # static per-device decode/encode wiring
         in_devs = []
         for dev in conf.iodevs[IN]:
@@ -73,11 +100,18 @@ class DeviceIO:
                              dev.sample_format))
 
         spec_ = spec
+        in_wire = list(self.in_wire)
 
         def full_step(state, ctrl, in_gain, out_gain, bank, in_words):
             xs = []
             for di, (sel, vmap) in enumerate(in_devs):
-                xs.append(decode_words(in_words[di], sel, vmap, spec_.real_dtype))
+                w = in_words[di]
+                if in_wire[di] == "p24":
+                    # [N, open, 3] le bytes -> sign-extended int32 words
+                    w = w.astype(jnp.int32)
+                    w = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
+                    w = w - ((w & 0x800000) << 1)
+                xs.append(decode_words(w, sel, vmap, spec_.real_dtype))
             x = jnp.concatenate(xs, axis=0) * in_gain[:, None]
             state, y = _step_impl(spec_, mac, state, ctrl, bank, x)
             nan_ok = jnp.all(jnp.isfinite(y[:, 0])) if y.shape[0] else jnp.bool_(True)

@@ -408,9 +408,14 @@ class Engine:
                 frames = min(frames, got)
             if len(raw) < want:
                 raw = raw + b"\0" * (want - len(raw))
-            wdt = self.dio.in_words[di]
-            words.append(np.frombuffer(raw, dtype=wdt).reshape(
-                N, dev.open_channels))
+            if self.dio.in_wire[di] == "p24":
+                # ship only the 3 significant bytes (see device_io.py)
+                words.append(np.frombuffer(raw, dtype=np.uint8).reshape(
+                    N, dev.open_channels, 4)[:, :, :3])
+            else:
+                wdt = self.dio.in_words[di]
+                words.append(np.frombuffer(raw, dtype=wdt).reshape(
+                    N, dev.open_channels))
         return words, frames
 
     def write_block_dio(self, outs, meters, nan_ok, frames):
@@ -784,9 +789,9 @@ class Engine:
             if max_blocks is not None and self.blockcounter + M > max_blocks:
                 break
             t0 = time.perf_counter()
-            stacks = [np.empty((M, N, dev.open_channels),
-                               self.dio.in_words[di])
-                      for di, dev in enumerate(conf.iodevs[IN])]
+            stacks = [np.empty((M, N) + self.dio.in_wire_shape[di],
+                               self.dio.in_wire_dtype[di])
+                      for di in range(len(conf.iodevs[IN]))]
             got_blocks = 0
             frames = M * N
             for b in range(M):

@@ -259,3 +259,41 @@ filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
     eng2 = Engine(conf)
     stats2 = eng2.run(max_blocks=3, sink_output=True)
     assert stats2["blocks"] == 3
+
+
+def test_device_io_s24_4le_wire_pack_matches_host(tmp_path):
+    """S24_4LE inputs ship 3 bytes/sample to the device (wire compaction,
+    docs/PARITY.md item 12); for in-range data the result must equal the
+    host codec path bit-for-bit (within the usual 1-LSB conv rounding)."""
+    rng = np.random.default_rng(5)
+    N, B = 256, 4
+    taps = (rng.standard_normal(N * B) * 0.1).astype(np.float32)
+    tap_file = tmp_path / "t.txt"
+    tap_file.write_text("\n".join(repr(float(v)) for v in taps))
+    x = np.clip(np.round(rng.standard_normal(N * 6) * 2**20),
+                -(2**23), 2**23 - 1).astype("<i4")   # in-range S24
+
+    outs = {}
+    for mode in ("dio", "host"):
+        inp = tmp_path / f"in24_{mode}.raw"
+        outp = tmp_path / f"out24_{mode}.raw"
+        x.tofile(inp)
+        conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+coeff 0 {{ filename: "{tap_file}"; format: "TEXT"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "S24_4LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "S24_4LE"; channels: 1; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+        eng = Engine(conf)
+        if mode == "dio":
+            assert eng.dio is not None
+            assert eng.dio.in_wire[0] == "p24"
+        else:
+            eng.dio = None
+        eng.run()
+        outs[mode] = np.fromfile(outp, dtype="<i4")
+    assert outs["dio"].shape == outs["host"].shape
+    assert np.abs(outs["dio"].astype(np.int64)
+                  - outs["host"].astype(np.int64)).max() <= 1
