@@ -785,25 +785,58 @@ class Engine:
         wth = threading.Thread(target=writer, daemon=True)
         wth.start()
 
+        # Batch producer: reads, packs, and *uploads* batch k+1 while the
+        # main thread dispatches batch k (the input analog of the writer
+        # thread; same rationale as _run_loop's per-block producer).
+        pq: "queue.Queue" = queue.Queue(maxsize=2)
+        pstate = {"stop": False, "err": None}
+
+        def producer():
+            try:
+                while not pstate["stop"]:
+                    stacks = [np.zeros((M, N) + self.dio.in_wire_shape[di],
+                                       self.dio.in_wire_dtype[di])
+                              for di in range(len(conf.iodevs[IN]))]
+                    got = 0
+                    frames = M * N
+                    hit_eof = False
+                    for b in range(M):
+                        words, f = self.read_block_dio()
+                        for di in range(len(stacks)):
+                            stacks[di][b] = words[di]
+                        got += 1
+                        if f < N:
+                            frames = b * N + f
+                            hit_eof = True
+                            break
+                    item = ([jnp.asarray(st) for st in stacks],
+                            frames, got, hit_eof)
+                    while not pstate["stop"]:
+                        try:
+                            pq.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if hit_eof:
+                        return
+            except Exception as e:
+                pstate["err"] = e
+                try:
+                    pq.put_nowait(([], 0, 0, True))
+                except queue.Full:
+                    pass
+
+        pth = threading.Thread(target=producer, daemon=True)
+        pth.start()
+
         while not self._stopped and not eof and wstats["err"] is None:
             if max_blocks is not None and self.blockcounter + M > max_blocks:
                 break
             t0 = time.perf_counter()
-            stacks = [np.empty((M, N) + self.dio.in_wire_shape[di],
-                               self.dio.in_wire_dtype[di])
-                      for di in range(len(conf.iodevs[IN]))]
-            got_blocks = 0
-            frames = M * N
-            for b in range(M):
-                words, f = self.read_block_dio()
-                for di in range(len(stacks)):
-                    stacks[di][b] = words[di]
-                got_blocks += 1
-                if f < N:
-                    frames = b * N + f
-                    eof = True
-                    break
-            if got_blocks < M or frames < M * N:
+            dstacks, frames, got_blocks, eof = pq.get()
+            if pstate["err"] is not None:
+                raise pstate["err"]
+            if eof or got_blocks < M or frames < M * N:
                 # EOF inside the batch: finish the already-read blocks
                 # one at a time so no samples are dropped
                 with self.control_mutex:
@@ -816,7 +849,7 @@ class Engine:
                         break
                     self.state, outs1, meters1, nan1 = self.dio.step(
                         self.state, ctrl, gains[0], gains[1], self.bank,
-                        [jnp.asarray(st[b]) for st in stacks])
+                        [st[b] for st in dstacks])
                     self.blockcounter += 1
                     while wstats["err"] is None:
                         try:
@@ -830,8 +863,7 @@ class Engine:
                 ctrl = self.control.snapshot()
                 gains = self._mute_gains()
             self.state, outs, meters, nan_ok = mstep(
-                self.state, ctrl, gains[0], gains[1], self.bank,
-                [jnp.asarray(st) for st in stacks])
+                self.state, ctrl, gains[0], gains[1], self.bank, dstacks)
             self.blockcounter += M
             while wstats["err"] is None:
                 try:
@@ -841,6 +873,14 @@ class Engine:
                 except queue.Full:
                     continue
             self._periods.append((time.perf_counter() - t0) / M)
+
+        pstate["stop"] = True
+        try:
+            while True:
+                pq.get_nowait()
+        except queue.Empty:
+            pass
+        pth.join(timeout=10.0)
 
         try:
             wq.put(None, timeout=5.0)
