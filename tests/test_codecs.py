@@ -101,3 +101,17 @@ def test_spacing_multichannel_layout(rng):
     np.testing.assert_array_equal(view[:, 1], [1, 2, 3, 4])
     np.testing.assert_array_equal(view[:, 3], [5, 6, 7, 8])
     assert np.all(raw.reshape(n_frames, open_ch, 2)[:, 0] == 0xAB)
+
+
+def test_s24_wire_pack_unpack_edges():
+    """The 3-byte S24_4LE wire unpack (runtime/device_io.py) must
+    reconstruct every in-range int32 exactly, including sign edges."""
+    import jax.numpy as jnp
+    vals = np.array([-(2**23), 2**23 - 1, -1, 0, 1, -2, 3957070,
+                     -4242424], np.int32)
+    packed = np.frombuffer(vals.astype("<i4").tobytes(),
+                           np.uint8).reshape(-1, 1, 4)[:, :, :3]
+    w = jnp.asarray(packed).astype(jnp.int32)
+    w = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
+    w = w - ((w & 0x800000) << 1)
+    np.testing.assert_array_equal(np.asarray(w)[:, 0], vals)
