@@ -35,16 +35,19 @@ slope between K=16 and K=144 scan lengths, median of 5:
 | case | dense jnp | this kernel |
 |---|---|---|
 | one shared coefficient set | **0.36 ms** | 0.63 ms |
-| distinct set per filter    | **0.36 ms** | 0.63 ms |
+| distinct set per filter    | **0.36-0.37 ms** | 0.63 ms (both variants) |
 
-The dense path's gathers fuse into the reduction (XLA runs the whole MAC
-at ~2/3 of HBM speed-of-light, coefficient diversity included), while
-the kernel's (F, B)-grid re-DMAs cost ~1.8x. The engine therefore uses
-the dense path by default; set ``BRUTEFIR_TPU_MAC=pallas`` (or
-``CompiledGraph(mac="pallas")``) to opt in. The kernel is kept (and
-tested for bit-identity vs the dense path) as the basis for future
-fusion work -- folding the crossfade dual-MAC or the output mix into the
-grid is where a hand kernel could still beat XLA.
+The dense path's gathers fuse into the reduction and win at ~1.7x;
+coefficient diversity does not change either side. Two kernel variants
+measure identically (0.63 ms): "tile" (grid (F, B), one partition per
+step) and "row" (grid (F,), whole ring+bank rows resident in VMEM, the
+partition loop in-kernel -- a single DMA pass), which rules out DMA
+scheduling as the gap; the cost is the kernel's unfused elementwise
+pipeline vs XLA's. The engine therefore uses the dense path by default;
+``BRUTEFIR_TPU_MAC=pallas`` / ``CompiledGraph(mac="pallas")`` opts in,
+``BRUTEFIR_TPU_PALLAS_VARIANT`` picks the variant. Both are tested for
+bit-identity vs the dense path. To beat XLA a kernel must fuse MORE than
+the MAC (crossfade dual-MAC, output mix).
 """
 
 from __future__ import annotations
@@ -79,6 +82,53 @@ def _mac_kernel(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref, out_ref):
         out_ref[0, 1] += rr * hi + ri * hr
 
 
+def _mac_kernel_rowmajor(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref,
+                         out_ref):
+    # grid (F,): one step holds a filter's whole ring row [B, 2, R, 128]
+    # and its gathered bank row in VMEM; the partition loop runs in-kernel
+    # with the rotation resolved by dynamic VMEM indexing. One DMA pass
+    # over ring+bank total; the accumulator lives in VMEM (out_ref).
+    f = pl.program_id(0)
+    B = ring_ref.shape[1]
+    out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
+    out_ref[0, 1] = jnp.zeros_like(out_ref[0, 1])
+
+    def body(b, _):
+        m = mask_ref[f, b]
+        rb = rpos_ref[b]
+        rr = ring_ref[0, rb, 0]
+        ri = ring_ref[0, rb, 1]
+        hr = bank_ref[0, b, 0] * m
+        hi = bank_ref[0, b, 1] * m
+        out_ref[0, 0] += rr * hr - ri * hi
+        out_ref[0, 1] += rr * hi + ri * hr
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+
+def _rowmajor_call(ring5, bank5, coeff_idx, rpos, maskf, interpret):
+    F, B, _, R, _ = ring5.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec((1, B, 2, R, 128),
+                         lambda f, idx, rp, mk: (f, 0, 0, 0, 0)),
+            pl.BlockSpec((1, B, 2, R, 128),
+                         lambda f, idx, rp, mk: (idx[f], 0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, R, 128),
+                               lambda f, idx, rp, mk: (f, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        _mac_kernel_rowmajor,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring5.dtype),
+        interpret=interpret,
+    )(coeff_idx, rpos, maskf, ring5, bank5)
+
+
 def pallas_spectral_mac(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
                         mask: jax.Array, t: jax.Array,
                         interpret: bool = False) -> jax.Array:
@@ -96,24 +146,37 @@ def pallas_spectral_mac(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
     bank5 = bank.reshape(E, B, 2, R, 128)
     maskf = mask.astype(ring.dtype)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(F, B),
-        in_specs=[
-            pl.BlockSpec((1, 1, 2, R, 128),
-                         lambda f, b, idx, rp, mk: (f, rp[b], 0, 0, 0)),
-            pl.BlockSpec((1, 1, 2, R, 128),
-                         lambda f, b, idx, rp, mk: (idx[f], b, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 2, R, 128),
-                               lambda f, b, idx, rp, mk: (f, 0, 0, 0)),
-    )
-    y5 = pl.pallas_call(
-        _mac_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring.dtype),
-        interpret=interpret,
-    )(coeff_idx.astype(jnp.int32), rpos, maskf, ring5, bank5)
+    # Variant: "row" keeps a filter's whole [B, 2, N] ring+bank rows in
+    # VMEM and loops partitions in-kernel (one DMA pass total); "tile"
+    # (grid (F, B)) streams one partition per step and is the fallback
+    # when the rows exceed the VMEM budget (double-buffered).
+    import os
+    variant = os.environ.get("BRUTEFIR_TPU_PALLAS_VARIANT", "auto")
+    row_bytes = B * 2 * N * 4
+    if variant == "auto":
+        variant = "row" if 4 * row_bytes <= 12 * 2**20 else "tile"
+    if variant == "row":
+        y5 = _rowmajor_call(ring5, bank5, coeff_idx.astype(jnp.int32),
+                            rpos, maskf, interpret)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(F, B),
+            in_specs=[
+                pl.BlockSpec((1, 1, 2, R, 128),
+                             lambda f, b, idx, rp, mk: (f, rp[b], 0, 0, 0)),
+                pl.BlockSpec((1, 1, 2, R, 128),
+                             lambda f, b, idx, rp, mk: (idx[f], b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 2, R, 128),
+                                   lambda f, b, idx, rp, mk: (f, 0, 0, 0)),
+        )
+        y5 = pl.pallas_call(
+            _mac_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring.dtype),
+            interpret=interpret,
+        )(coeff_idx.astype(jnp.int32), rpos, maskf, ring5, bank5)
     y = y5.reshape(F, 2, N)
 
     # bin 0: DC and Nyquist multiply real/imag planes independently
