@@ -11,9 +11,10 @@ setup and the blocking read/write calls.
   from xruns with prepare+restart when ``ignore_xrun`` is set, matching
   bfio_alsa.c:555-586.
 * ``oss``: /dev/dsp ioctl setup (SNDCTL_DSP_*) with plain read/write.
-* ``jack``/``pulse``: require client libraries with callback threading that
-  this build gates off; constructing them raises a clear error. The file
-  and alsa/oss paths cover the offline and blocking realtime cases.
+* ``jack``: a real ctypes libjack client over the callback FIFO bridge
+  (io/callback.py) -- JACK owns the clock, the engine's blocking pipeline
+  rides the bridge. Gated on libjack's presence with a clear error.
+* ``pulse``: requires libpulse-simple, gated off in this build.
 
 All four register so configs referencing them parse and fail with a clear
 message only when the host lacks the library.
@@ -27,6 +28,7 @@ import os
 
 from ..config.lexer import T
 from . import IoDevice, IoModuleError, register_io_module, IN
+from .callback import CallbackDevice
 
 
 def _parse_fields(params, spec):
@@ -208,13 +210,133 @@ class OssDevice(IoDevice):
             self.fd = None
 
 
-class JackDevice(IoDevice):
-    is_callback = True
+class JackDevice(CallbackDevice):
+    """JACK client through ctypes libjack (bfio_jack.c analog).
 
-    def __init__(self, params, io, sample_format, sample_rate, open_channels):
-        raise IoModuleError(
-            "JACK I/O: callback-threaded JACK client is not available in "
-            "this build; use the file, alsa or oss modules")
+    JACK owns the clock: its process callback moves planar float32 port
+    buffers through the CallbackDevice FIFO bridge, and the engine's
+    blocking pipeline runs against that (SURVEY 3.3). Parameters:
+    ``clientname:`` (default "brutefir"), ``ports:`` accepted like the
+    reference (connection targets are applied after activate, best
+    effort). The sample format is JACK's: FLOAT_NE, one port per open
+    channel. A sample-rate mismatch with the config aborts, as upstream.
+    """
+
+    _lib = None
+    _PROC_CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_uint32,
+                                ctypes.c_void_p)
+
+    @classmethod
+    def _jack(cls):
+        if cls._lib is None:
+            name = ctypes.util.find_library("jack")
+            if name is None:
+                raise IoModuleError(
+                    "JACK I/O: libjack is not available on this host; "
+                    "use the file, alsa or oss modules")
+            lib = ctypes.CDLL(name)
+            lib.jack_client_open.restype = ctypes.c_void_p
+            lib.jack_port_register.restype = ctypes.c_void_p
+            lib.jack_port_get_buffer.restype = ctypes.c_void_p
+            lib.jack_get_sample_rate.restype = ctypes.c_uint32
+            lib.jack_port_name.restype = ctypes.c_char_p
+            cls._lib = lib
+        return cls._lib
+
+    def __init__(self, params, io, sample_format, sample_rate,
+                 open_channels):
+        from ..core.sampleformat import parse_sample_format
+        fmt = parse_sample_format("FLOAT_NE")
+        if sample_format is not None and sample_format.name != fmt.name:
+            raise IoModuleError(
+                "JACK I/O: sample format must be FLOAT_NE (JACK is "
+                "32-bit float)")
+        super().__init__(params, io, fmt, sample_rate, open_channels)
+        fields = _parse_fields(params, {"clientname": T.STRING,
+                                        "ports": T.STRING})
+        self._clientname = fields.get("clientname", "brutefir")
+        self._connect = [p for p in
+                         fields.get("ports", "").split(",") if p]
+        self._client = None
+        self._ports = []
+        self._cb_ref = None
+
+    def init(self, period_size: int) -> None:
+        super().init(period_size)
+        import numpy as np
+        lib = self._jack()
+        status = ctypes.c_int(0)
+        self._client = lib.jack_client_open(
+            self._clientname.encode(), 0, ctypes.byref(status))
+        if not self._client:
+            raise IoModuleError("JACK I/O: could not connect to a JACK "
+                                "server (is jackd running?)")
+        srate = lib.jack_get_sample_rate(ctypes.c_void_p(self._client))
+        if int(srate) != self.sample_rate:
+            raise IoModuleError(
+                f"JACK I/O: server rate {int(srate)} != configured "
+                f"{self.sample_rate}")
+        # engine input captures FROM jack => JackPortIsInput on our side
+        flags = 1 if self.io == IN else 2
+        audio_type = b"32 bit float mono audio"
+        for ch in range(self.open_channels):
+            port = lib.jack_port_register(
+                ctypes.c_void_p(self._client),
+                f"{'in' if self.io == IN else 'out'}_{ch}".encode(),
+                audio_type, ctypes.c_ulong(flags), ctypes.c_ulong(0))
+            if not port:
+                raise IoModuleError("JACK I/O: port registration failed")
+            self._ports.append(port)
+
+        dev = self
+        np_ = np
+
+        def process(nframes, _arg):
+            n = int(nframes)
+            bufs = [lib.jack_port_get_buffer(ctypes.c_void_p(p),
+                                             ctypes.c_uint32(n))
+                    for p in dev._ports]
+            planes = [np_.ctypeslib.as_array(
+                ctypes.cast(b, ctypes.POINTER(ctypes.c_float)), (n,))
+                for b in bufs]
+            if dev.io == IN:
+                frame = np_.stack(planes, axis=1)  # [n, ch] interleaved
+                dev.deliver_input(frame.tobytes())
+            else:
+                raw = dev.fetch_output(n * dev.open_channels * 4)
+                frame = np_.frombuffer(raw, np_.float32).reshape(
+                    n, dev.open_channels)
+                for c, pl_ in enumerate(planes):
+                    pl_[:] = frame[:, c]
+            return 0
+
+        self._cb_ref = self._PROC_CB(process)
+        lib.jack_set_process_callback(ctypes.c_void_p(self._client),
+                                      self._cb_ref, None)
+
+    def start(self) -> None:
+        lib = self._jack()
+        if lib.jack_activate(ctypes.c_void_p(self._client)) != 0:
+            raise IoModuleError("JACK I/O: activate failed")
+        for i, target in enumerate(self._connect):
+            if i >= len(self._ports) or not target:
+                break
+            mine = lib.jack_port_name(ctypes.c_void_p(self._ports[i]))
+            pair = ((mine, target.encode()) if self.io != IN
+                    else (target.encode(), mine))
+            lib.jack_connect(ctypes.c_void_p(self._client),
+                             pair[0], pair[1])
+
+    def stop(self) -> None:
+        if self._client:
+            self._jack().jack_deactivate(ctypes.c_void_p(self._client))
+        self.stop_stream()
+
+    def close(self) -> None:
+        if self._client:
+            self._jack().jack_client_close(ctypes.c_void_p(self._client))
+            self._client = None
+        super().close()
 
 
 class PulseDevice(IoDevice):

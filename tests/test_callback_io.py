@@ -1,0 +1,108 @@
+"""Callback-clocked I/O bridge (io/callback.py) through a full engine run.
+
+The reference's callback path (bfio_jack, SURVEY 3.3) hands the clock to
+the I/O module; the engine rides a FIFO bridge. A synthetic callback
+device simulates the sound card's period thread.
+"""
+
+import threading
+import time
+
+import numpy as np
+
+from brutefir_tpu.config import parse_config
+from brutefir_tpu.io import register_io_module
+from brutefir_tpu.io.callback import CallbackDevice, _ByteFifo
+from brutefir_tpu.runtime.engine import Engine
+
+N = 256
+K = 8
+VALUE = 0.25
+
+
+class _TestCallbackIn(CallbackDevice):
+    uses_sample_clock = False   # keep the test out of SCHED_FIFO attempts
+
+    def __init__(self, params, io, sample_format, sample_rate, open_channels):
+        from brutefir_tpu.core.sampleformat import parse_sample_format
+        # deep FIFO: the test feeder is unpaced (a real card delivers one
+        # period at a time), so give it room for the whole signal
+        super().__init__(params, io, parse_sample_format("FLOAT_NE"),
+                         sample_rate, open_channels, periods=K + 2)
+
+    def start(self):
+        def feeder():
+            block = np.full((N, self.open_channels), VALUE, np.float32)
+            for _ in range(K):
+                self.deliver_input(block.tobytes())
+            self.stop_stream()       # hardware stream ends -> engine EOF
+
+        threading.Thread(target=feeder, daemon=True).start()
+
+
+class _TestCallbackOut(CallbackDevice):
+    uses_sample_clock = False
+    collected = b""
+    done = False
+
+    def __init__(self, params, io, sample_format, sample_rate, open_channels):
+        from brutefir_tpu.core.sampleformat import parse_sample_format
+        super().__init__(params, io, parse_sample_format("FLOAT_NE"), sample_rate,
+                         open_channels)
+        _TestCallbackOut.collected = b""
+        _TestCallbackOut.done = False
+
+    def start(self):
+        def puller():
+            chunk = N * self.open_channels * 4
+            while not _TestCallbackOut.done:
+                _TestCallbackOut.collected += self.fetch_output(chunk)
+                time.sleep(0.001)
+
+        self._pth = threading.Thread(target=puller, daemon=True)
+        self._pth.start()
+
+    def stop(self):
+        # drain whatever the engine wrote after the last pull
+        time.sleep(0.05)
+        _TestCallbackOut.done = True
+        self._pth.join(timeout=5.0)
+        _TestCallbackOut.collected += self.fetch_output(
+            self._fifo.capacity)
+        super().stop_stream()
+
+
+def test_callback_bridge_engine_run():
+    register_io_module("testcb_in", _TestCallbackIn)
+    register_io_module("testcb_out", _TestCallbackOut)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},2;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "testcb_in" {{ }}; sample: "FLOAT_NE"; channels: 1; }};
+output 0 {{ device: "testcb_out" {{ }}; sample: "FLOAT_NE"; channels: 1; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    eng = Engine(conf)
+    stats = eng.run()
+    assert stats["frames"] == K * N
+    out = np.frombuffer(_TestCallbackOut.collected, np.float32)
+    # dirac passthrough: every engine-produced sample is VALUE; anything
+    # else in the pulled stream is underrun silence from the bridge
+    vals = out[out != 0.0]
+    assert len(vals) == K * N
+    np.testing.assert_allclose(vals, VALUE, rtol=0, atol=1e-6)
+
+
+def test_byte_fifo_overrun_drop_and_eof():
+    f = _ByteFifo(8)
+    assert f.push(b"abcdef", drop_oldest=True) == 0
+    assert f.push(b"ghij", drop_oldest=True) == 2      # oldest 2 dropped
+    data, short = f.pop(8, pad_zeros=True)
+    assert data == b"cdefghij" and short == 0
+    data, short = f.pop(4, pad_zeros=True)
+    assert data == b"\0\0\0\0" and short == 4          # underrun zeros
+    f.push(b"xy", drop_oldest=True)
+    f.close()
+    data, _ = f.pop(5)                                  # EOF: short read
+    assert data == b"xy"
