@@ -62,14 +62,17 @@ class DeviceIO:
         # (raw2real.h:143-153) -- see docs/PARITY.md. Kill switch:
         # BRUTEFIR_TPU_WIRE_PACK24=0.
         pack24 = os.environ.get("BRUTEFIR_TPU_WIRE_PACK24", "1") != "0"
+
+        def _p24(fmt):
+            return (pack24 and not fmt.is_float and fmt.bytes == 4
+                    and fmt.sbytes == 3 and fmt.little_endian
+                    and np.little_endian)
+
         self.in_wire = []       # per input device: "word" | "p24"
         self.in_wire_dtype = []
         self.in_wire_shape = []  # per-frame trailing shape
         for di, dev in enumerate(conf.iodevs[IN]):
-            fmt = dev.sample_format
-            if (pack24 and not fmt.is_float and fmt.bytes == 4
-                    and fmt.sbytes == 3 and fmt.little_endian
-                    and np.little_endian):
+            if _p24(dev.sample_format):
                 self.in_wire.append("p24")
                 self.in_wire_dtype.append(np.dtype(np.uint8))
                 self.in_wire_shape.append((dev.open_channels, 3))
@@ -77,6 +80,9 @@ class DeviceIO:
                 self.in_wire.append("word")
                 self.in_wire_dtype.append(self.in_words[di])
                 self.in_wire_shape.append((dev.open_channels,))
+        # symmetric packing on the way out (device->host)
+        self.out_wire = ["p24" if _p24(d.sample_format) else "word"
+                         for d in conf.iodevs[OUT]]
 
         # static per-device decode/encode wiring
         in_devs = []
@@ -101,6 +107,7 @@ class DeviceIO:
 
         spec_ = spec
         in_wire = list(self.in_wire)
+        out_wire = list(self.out_wire)
 
         def full_step(state, ctrl, in_gain, out_gain, bank, in_words):
             xs = []
@@ -118,10 +125,17 @@ class DeviceIO:
             y = y * out_gain[:, None]
             outs = []
             meters = []
-            for (sel, mixm, open_ch, fmt), wdt in zip(out_devs, self.out_words):
+            for di, ((sel, mixm, open_ch, fmt), wdt) in enumerate(
+                    zip(out_devs, self.out_words)):
                 phys = mixm @ y
                 peak = jnp.max(jnp.abs(phys), axis=1)
                 words, m = encode_words(phys, fmt, sel, open_ch, wdt)
+                if out_wire[di] == "p24":
+                    # [N, open] int32 -> [N, open, 3] le bytes on the wire
+                    w32 = words.astype(jnp.int32)
+                    words = jnp.stack(
+                        [(w32 >> s) & 0xFF for s in (0, 8, 16)],
+                        axis=-1).astype(jnp.uint8)
                 outs.append(words)
                 meters.append(jnp.concatenate([m, peak[:, None]], axis=1))
             return state, tuple(outs), tuple(meters), nan_ok

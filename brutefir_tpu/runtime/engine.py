@@ -42,6 +42,15 @@ class EngineError(RuntimeError):
     pass
 
 
+def _expand_p24(raw: np.ndarray) -> np.ndarray:
+    """[..., open, 3] le wire bytes -> [..., open] int32 container words
+    (sign-extended), the inverse of the device's S24 wire packing."""
+    w = (raw[..., 0].astype(np.int32)
+         | (raw[..., 1].astype(np.int32) << 8)
+         | (raw[..., 2].astype(np.int32) << 16))
+    return w - ((w & 0x800000) << 1)
+
+
 class Engine:
     """Runs a parsed config. ``mesh``: an optional jax.sharding.Mesh with
     ('f', 'sp') axes -- the block step then shards the filter and
@@ -440,6 +449,8 @@ class Engine:
                         f"({20 * np.log10(float(m[i, 3]) / ovf.max):.2f} > "
                         f"{20 * np.log10(limit):.2f} dB)")
             raw = np.asarray(outs[di])
+            if self.dio.out_wire[di] == "p24":
+                raw = _expand_p24(raw)
             self.devices[OUT][di].write(
                 raw[:frames].tobytes())
 
@@ -766,8 +777,10 @@ class Engine:
                                 "NaN or Inf values in the system! "
                                 "Invalid input?")
                         for di, dev in enumerate(conf.iodevs[OUT]):
-                            raw = np.asarray(outs[di]).reshape(
-                                -1, dev.open_channels)
+                            raw = np.asarray(outs[di])
+                            if self.dio.out_wire[di] == "p24":
+                                raw = _expand_p24(raw)
+                            raw = raw.reshape(-1, dev.open_channels)
                             self.devices[OUT][di].write(raw[:fk].tobytes())
                             m = np.asarray(meters[di])
                             for i in range(dev.used_channels):
