@@ -96,8 +96,9 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
             return pallas_spectral_mac(
                 ring_s, bank, coeff_idx, msk, t,
                 interpret=(mac == "pallas-interpret"))
-        h = jnp.take(bank, coeff_idx, axis=0) * msk[:, :, None, None]
-        return partconv.spectral_mac(ring_s, h, t)
+        # rotation composed into the coefficient gather: 2.2x faster than
+        # rotating the ring (see partconv.spectral_mac_rollh)
+        return partconv.spectral_mac_rollh(ring_s, bank, coeff_idx, msk, t)
 
     N = spec.block_length
     B = spec.n_blocks

@@ -205,3 +205,24 @@ def test_short_coeff_mask(rng):
                    x.reshape(-1, 1, N))
     ref = scipy.signal.fftconvolve(x, taps)[: len(x)]
     np.testing.assert_allclose(y[0], ref, rtol=0, atol=5e-4)
+
+
+def test_spectral_mac_rollh_identical(rng):
+    """The gather-composed MAC (spectral_mac_rollh) computes the same
+    terms as spectral_mac; only the partition summation order differs
+    (float tolerance)."""
+    import jax.numpy as jnp
+    from brutefir_tpu.ops.partconv import spectral_mac, spectral_mac_rollh
+    F, B, N, E = 5, 8, 128, 3
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    idx = np.array([0, 2, 1, 2, 0], np.int32)
+    mask = (rng.uniform(size=(F, B)) > 0.3).astype(np.float32)
+    for t in (0, 1, 7, 13):
+        h = bank[idx] * mask[:, :, None, None]
+        a = spectral_mac(jnp.asarray(ring), jnp.asarray(h), jnp.int32(t))
+        b = spectral_mac_rollh(jnp.asarray(ring), jnp.asarray(bank),
+                               jnp.asarray(idx), jnp.asarray(mask),
+                               jnp.int32(t))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5)
