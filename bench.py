@@ -211,23 +211,33 @@ def main():
         with eng.control_mutex:
             c0 = eng.control.snapshot()
             g0 = eng._mute_gains()
-        times = {}
+        msteps = {}
+        stacks = {}
         for m in (6, 30):
-            mstep = eng.dio.multi_step(m)
-            stacks = [jnp.zeros((m, N) + eng.dio.in_wire_shape[i],
-                                eng.dio.in_wire_dtype[i])
-                      for i in range(len(conf.iodevs[0]))]
-            st, outs, meters, nan = mstep(eng.state, c0, g0[0], g0[1],
-                                          eng.bank, stacks)   # compile
+            msteps[m] = eng.dio.multi_step(m)
+            stacks[m] = [jnp.zeros((m, N) + eng.dio.in_wire_shape[i],
+                                   eng.dio.in_wire_dtype[i])
+                         for i in range(len(conf.iodevs[0]))]
+            st, outs, meters, nan = msteps[m](eng.state, c0, g0[0], g0[1],
+                                              eng.bank, stacks[m])  # compile
             eng.state = st
             probe(100 + m)
-            t0 = time.perf_counter()
-            st, outs, meters, nan = mstep(eng.state, c0, g0[0], g0[1],
-                                          eng.bank, stacks)
-            eng.state = st
-            probe(200 + m)
-            times[m] = time.perf_counter() - t0
-        device_step_ms = (times[30] - times[6]) / (30 - 6) * 1e3
+        # median of slopes: each timed segment carries one transport round
+        # trip; the slope cancels it only when the round trip is stable,
+        # so repeat and take the median against transport jitter
+        slopes = []
+        for rep in range(5):
+            times = {}
+            for m in (6, 30):
+                t0 = time.perf_counter()
+                st, outs, meters, nan = msteps[m](eng.state, c0, g0[0],
+                                                  g0[1], eng.bank, stacks[m])
+                eng.state = st
+                probe(200 + 10 * rep + m)
+                times[m] = time.perf_counter() - t0
+            slopes.append((times[30] - times[6]) / (30 - 6) * 1e3)
+        slopes.sort()
+        device_step_ms = slopes[len(slopes) // 2]
     else:
         device_step_ms = None
 
