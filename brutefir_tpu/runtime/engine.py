@@ -76,6 +76,19 @@ class Engine:
         if conf.realsize == 8 and not jax.config.jax_enable_x64:
             # float_bits: 64 needs 64-bit jax types engine-wide
             jax.config.update("jax_enable_x64", True)
+        if conf.realsize == 8:
+            try:
+                backend = jax.default_backend()
+            except RuntimeError:
+                backend = "cpu"
+            if backend == "tpu":
+                # XLA:TPU has no float64 FFT ("Unexpected operand type
+                # for FFT: f64"); fail up front with the remedy rather
+                # than deep inside compilation
+                raise EngineError(
+                    "float_bits: 64 is not supported on the TPU backend "
+                    "(no float64 FFT); run float64 configs on the CPU "
+                    "backend (JAX_PLATFORMS=cpu)")
 
         filter_inputs = [[src for src, _ in f.in_filters] for f in conf.filters]
         self.spec = build_graph_spec(
