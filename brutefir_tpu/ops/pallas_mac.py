@@ -32,22 +32,25 @@ on-device under ``lax.scan`` with a data dependence between iterations
 and force completion with a scalar fetch; per-iteration time is the
 slope between K=16 and K=144 scan lengths, median of 5:
 
-| case | dense jnp | this kernel |
+| shape (B=16, N=8192, distinct coeffs) | dense (spectral_mac_rollh) | this kernel (row variant) |
 |---|---|---|
-| one shared coefficient set | **0.36 ms** | 0.63 ms |
-| distinct set per filter    | **0.36-0.37 ms** | 0.63 ms (both variants) |
+| F=26 (flagship)  | **0.16 ms** | 0.63 ms |
+| F=64             | 1.00 ms | **0.69 ms** |
+| F=128            | 2.77 ms | **1.41 ms** |
+| F=256            | 6.49 ms | **2.82 ms** |
 
-The dense path's gathers fuse into the reduction and win at ~1.7x;
-coefficient diversity does not change either side. Two kernel variants
-measure identically (0.63 ms): "tile" (grid (F, B), one partition per
-step) and "row" (grid (F,), whole ring+bank rows resident in VMEM, the
-partition loop in-kernel -- a single DMA pass), which rules out DMA
-scheduling as the gap; the cost is the kernel's unfused elementwise
-pipeline vs XLA's. The engine therefore uses the dense path by default;
-``BRUTEFIR_TPU_MAC=pallas`` / ``CompiledGraph(mac="pallas")`` opts in,
-``BRUTEFIR_TPU_PALLAS_VARIANT`` picks the variant. Both are tested for
-bit-identity vs the dense path. To beat XLA a kernel must fuse MORE than
-the MAC (crossfade dual-MAC, output mix).
+The dense path fuses its one remaining gather into the reduction at
+small filter counts and runs at HBM speed-of-light (~700 GB/s effective
+at F=26); at larger F/E the gather materializes and it degrades, while
+this kernel keeps reading ring+bank exactly once -- linear in F
+(~11 us/filter) past a ~0.35 ms fixed cost. The engine picks the kernel
+automatically for TPU configs with >=48 filters selecting mostly
+distinct coefficient sets (`runtime/engine.py`); `BRUTEFIR_TPU_MAC`
+overrides, ``BRUTEFIR_TPU_PALLAS_VARIANT`` picks "row" (whole ring+bank
+rows resident in VMEM, partition loop in-kernel) vs "tile" (grid (F, B),
+one partition per step -- the fallback when rows exceed the VMEM
+budget). Both variants are tested against the dense path (same terms;
+summation order differs to float tolerance).
 """
 
 from __future__ import annotations

@@ -95,11 +95,24 @@ class Engine:
             self.N, self.B, conf.n_channels[IN], conf.n_channels[OUT],
             filter_inputs, [f.crossfade for f in conf.filters], self.rd,
             powersave=conf.powersave and conf.analog_powersave < 1.0)
-        # MAC implementation: XLA's fused dense path is the measured
-        # winner on TPU at all tested shapes (forced-completion timing;
-        # see ops/pallas_mac.py). The Pallas kernel stays opt-in via
-        # BRUTEFIR_TPU_MAC for experimentation.
+        # MAC implementation (measured crossover, ops/pallas_mac.py): the
+        # XLA dense path wins at small filter counts (0.16 vs 0.63 ms at
+        # F=26), the one-pass Pallas row kernel wins once the coefficient
+        # gather materializes (0.69 vs 1.00 ms at F=64, 2.82 vs 6.49 ms
+        # at F=256 with distinct coefficient sets).
         mac = os.environ.get("BRUTEFIR_TPU_MAC", "auto")
+        if mac == "auto":
+            from ..ops.pallas_mac import pallas_available
+            try:
+                backend = jax.default_backend()
+            except RuntimeError:
+                backend = "cpu"
+            mostly_distinct = (len(conf.coeffs)
+                               >= max(2, len(conf.filters) // 2))
+            if (backend == "tpu" and len(conf.filters) >= 48
+                    and mostly_distinct
+                    and pallas_available(self.spec.n_bins, self.rd)):
+                mac = "pallas"
         self.cg = CompiledGraph(self.spec, mac=mac)
         self.mesh = mesh
         if bank is None:
