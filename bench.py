@@ -213,7 +213,7 @@ def main():
             g0 = eng._mute_gains()
         msteps = {}
         stacks = {}
-        for m in (6, 30):
+        for m in (8, 80):
             msteps[m] = eng.dio.multi_step(m)
             stacks[m] = [jnp.zeros((m, N) + eng.dio.in_wire_shape[i],
                                    eng.dio.in_wire_dtype[i])
@@ -224,18 +224,19 @@ def main():
             probe(100 + m)
         # median of slopes: each timed segment carries one transport round
         # trip; the slope cancels it only when the round trip is stable,
-        # so repeat and take the median against transport jitter
+        # so keep a wide block separation (72 blocks ~ 9 ms of signal vs
+        # the round trip's jitter), repeat, and take the median
         slopes = []
         for rep in range(5):
             times = {}
-            for m in (6, 30):
+            for m in (8, 80):
                 t0 = time.perf_counter()
                 st, outs, meters, nan = msteps[m](eng.state, c0, g0[0],
                                                   g0[1], eng.bank, stacks[m])
                 eng.state = st
                 probe(200 + 10 * rep + m)
                 times[m] = time.perf_counter() - t0
-            slopes.append((times[30] - times[6]) / (30 - 6) * 1e3)
+            slopes.append((times[80] - times[8]) / (80 - 8) * 1e3)
         slopes.sort()
         device_step_ms = slopes[len(slopes) // 2]
     else:
