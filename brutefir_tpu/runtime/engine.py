@@ -109,7 +109,11 @@ class Engine:
                 backend = "cpu"
             mostly_distinct = (len(conf.coeffs)
                                >= max(2, len(conf.filters) // 2))
-            if (backend == "tpu" and len(conf.filters) >= 48
+            # never auto-pick the kernel under a mesh: pallas calls do
+            # not partition automatically, so the sharded step keeps the
+            # dense path (which XLA shards like any other HLO)
+            if (backend == "tpu" and mesh is None
+                    and len(conf.filters) >= 48
                     and mostly_distinct
                     and pallas_available(self.spec.n_bins, self.rd)):
                 mac = "pallas"
