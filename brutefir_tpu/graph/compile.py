@@ -70,6 +70,12 @@ class CompiledGraph:
         if mac.startswith("pallas") and not pallas_available(
                 spec.n_bins, spec.real_dtype):
             mac = "jnp"
+        if mac == "pallas":
+            try:
+                if jax.default_backend() != "tpu":
+                    mac = "pallas-interpret"  # CPU: kernel runs interpreted
+            except RuntimeError:
+                mac = "pallas-interpret"
         self.mac = mac
         self._step = jax.jit(functools.partial(_step_impl, spec, mac),
                              donate_argnums=(0,))

@@ -297,3 +297,26 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
     assert outs["dio"].shape == outs["host"].shape
     assert np.abs(outs["dio"].astype(np.int64)
                   - outs["host"].astype(np.int64)).max() <= 1
+
+
+def test_forced_pallas_mac_on_cpu_runs_interpreted(tmp_path, monkeypatch):
+    """BRUTEFIR_TPU_MAC=pallas on a non-TPU backend degrades to the
+    interpreted kernel instead of failing at compile."""
+    monkeypatch.setenv("BRUTEFIR_TPU_MAC", "pallas")
+    x = (np.random.RandomState(3).randn(2 * 256, 1) * 1e6).astype("<i4")
+    inp = tmp_path / "in.raw"
+    x.tofile(inp)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: 256,2;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "S32_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{tmp_path / 'o.raw'}"; }}; sample: "S32_LE"; channels: 1; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    eng = Engine(conf)
+    assert eng.cg.mac == "pallas-interpret"
+    stats = eng.run()
+    assert stats["frames"] == 2 * 256
+    y = np.fromfile(tmp_path / "o.raw", dtype="<i4")
+    assert np.abs(y.astype(np.int64) - x[:, 0].astype(np.int64)).max() <= 1
