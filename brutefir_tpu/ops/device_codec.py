@@ -11,8 +11,9 @@ bytes of decoded float32).
 
 Eligibility (the engine falls back to the host codec otherwise):
   * word-addressable formats in native byte order (S8, S16_NE, S24_4NE,
-    S32_NE, FLOAT_NE) -- the 3-byte-packed and byte-swapped formats stay
-    host-side;
+    S32_NE, FLOAT_NE) plus 3-byte packed S24_LE on little-endian hosts
+    (the file bytes are the wire format, sign-extended on device --
+    runtime/device_io.py); byte-swapped formats stay host-side;
   * no dither on any output (the HP-TPDF error feedback is a sequential
     recurrence; it stays in the native host codec);
   * no integer/subsample delay lines (they hold host state). Mutes ARE

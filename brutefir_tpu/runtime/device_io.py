@@ -21,10 +21,18 @@ from ..graph.compile import _step_impl
 from ..ops.device_codec import device_format_word, decode_words, encode_words
 
 
+def _wire3(fmt) -> bool:
+    """3-byte packed S24: the file bytes are the wire format verbatim
+    (sign-extended on device) -- bit-exact, so always device-eligible."""
+    return (not fmt.is_float and fmt.bytes == 3 and fmt.sbytes == 3
+            and fmt.little_endian and np.little_endian)
+
+
 def eligible(conf: BFConfig) -> bool:
     for io in (IN, OUT):
         for dev in conf.iodevs[io]:
-            if device_format_word(dev.sample_format) is None:
+            if (device_format_word(dev.sample_format) is None
+                    and not _wire3(dev.sample_format)):
                 return False
         if any(d != 0 for d in conf.delay[io]):
             return False
@@ -68,12 +76,14 @@ class DeviceIO:
                     and fmt.sbytes == 3 and fmt.little_endian
                     and np.little_endian)
 
-        self.in_wire = []       # per input device: "word" | "p24"
+        self.in_wire = []       # per input device: "word" | "p24" | "raw3"
         self.in_wire_dtype = []
         self.in_wire_shape = []  # per-frame trailing shape
         for di, dev in enumerate(conf.iodevs[IN]):
-            if _p24(dev.sample_format):
-                self.in_wire.append("p24")
+            fmt = dev.sample_format
+            if _wire3(fmt) or _p24(fmt):
+                self.in_wire.append("raw3" if _wire3(fmt) else "p24")
+                self.in_words[di] = np.dtype(np.int32)  # decoded word type
                 self.in_wire_dtype.append(np.dtype(np.uint8))
                 self.in_wire_shape.append((dev.open_channels, 3))
             else:
@@ -81,8 +91,16 @@ class DeviceIO:
                 self.in_wire_dtype.append(self.in_words[di])
                 self.in_wire_shape.append((dev.open_channels,))
         # symmetric packing on the way out (device->host)
-        self.out_wire = ["p24" if _p24(d.sample_format) else "word"
-                         for d in conf.iodevs[OUT]]
+        self.out_wire = []
+        for di, dev in enumerate(conf.iodevs[OUT]):
+            fmt = dev.sample_format
+            if _wire3(fmt):
+                self.out_wire.append("raw3")
+                self.out_words[di] = np.dtype(np.int32)  # encode word type
+            elif _p24(fmt):
+                self.out_wire.append("p24")
+            else:
+                self.out_wire.append("word")
 
         # static per-device decode/encode wiring
         in_devs = []
@@ -113,7 +131,7 @@ class DeviceIO:
             xs = []
             for di, (sel, vmap) in enumerate(in_devs):
                 w = in_words[di]
-                if in_wire[di] == "p24":
+                if in_wire[di] in ("p24", "raw3"):
                     # [N, open, 3] le bytes -> sign-extended int32 words
                     w = w.astype(jnp.int32)
                     w = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
@@ -130,7 +148,7 @@ class DeviceIO:
                 phys = mixm @ y
                 peak = jnp.max(jnp.abs(phys), axis=1)
                 words, m = encode_words(phys, fmt, sel, open_ch, wdt)
-                if out_wire[di] == "p24":
+                if out_wire[di] in ("p24", "raw3"):
                     # [N, open] int32 -> [N, open, 3] le bytes on the wire
                     w32 = words.astype(jnp.int32)
                     words = jnp.stack(

@@ -451,6 +451,10 @@ class Engine:
                 # ship only the 3 significant bytes (see device_io.py)
                 words.append(np.frombuffer(raw, dtype=np.uint8).reshape(
                     N, dev.open_channels, 4)[:, :, :3])
+            elif self.dio.in_wire[di] == "raw3":
+                # 3-byte packed S24: file bytes are the wire format
+                words.append(np.frombuffer(raw, dtype=np.uint8).reshape(
+                    N, dev.open_channels, 3))
             else:
                 wdt = self.dio.in_words[di]
                 words.append(np.frombuffer(raw, dtype=wdt).reshape(
@@ -480,7 +484,8 @@ class Engine:
                         f"{20 * np.log10(limit):.2f} dB)")
             raw = np.asarray(outs[di])
             if self.dio.out_wire[di] == "p24":
-                raw = _expand_p24(raw)
+                raw = _expand_p24(raw)        # 3-byte wire -> 4-byte file
+            # ("raw3": the 3-byte wire IS the file format -- write as-is)
             self.devices[OUT][di].write(
                 raw[:frames].tobytes())
 
@@ -810,7 +815,10 @@ class Engine:
                             raw = np.asarray(outs[di])
                             if self.dio.out_wire[di] == "p24":
                                 raw = _expand_p24(raw)
-                            raw = raw.reshape(-1, dev.open_channels)
+                            if self.dio.out_wire[di] == "raw3":
+                                raw = raw.reshape(-1, dev.open_channels, 3)
+                            else:
+                                raw = raw.reshape(-1, dev.open_channels)
                             self.devices[OUT][di].write(raw[:fk].tobytes())
                             m = np.asarray(meters[di])
                             for i in range(dev.used_channels):

@@ -320,3 +320,45 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
     assert stats["frames"] == 2 * 256
     y = np.fromfile(tmp_path / "o.raw", dtype="<i4")
     assert np.abs(y.astype(np.int64) - x[:, 0].astype(np.int64)).max() <= 1
+
+
+def test_device_io_s24_3byte_matches_host(tmp_path):
+    """3-byte packed S24_LE is device-codec eligible (the file bytes are
+    the wire format verbatim); the result must match the host codec."""
+    rng = np.random.default_rng(9)
+    N, B = 256, 4
+    taps = (rng.standard_normal(N * B) * 0.1).astype(np.float32)
+    tap_file = tmp_path / "t.txt"
+    tap_file.write_text("\n".join(repr(float(v)) for v in taps))
+    vals = np.clip(np.round(rng.standard_normal(N * 6) * 2**20),
+                   -(2**23), 2**23 - 1).astype("<i4")
+    raw3 = vals.astype("<i4").view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+
+    outs = {}
+    for mode in ("dio", "host"):
+        inp = tmp_path / f"in3_{mode}.raw"
+        outp = tmp_path / f"out3_{mode}.raw"
+        open(inp, "wb").write(raw3)
+        conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+coeff 0 {{ filename: "{tap_file}"; format: "TEXT"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "S24_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "S24_LE"; channels: 1; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+        eng = Engine(conf)
+        if mode == "dio":
+            assert eng.dio is not None
+            assert eng.dio.in_wire[0] == "raw3"
+            assert eng.dio.out_wire[0] == "raw3"
+        else:
+            eng.dio = None
+        eng.run()
+        b = np.fromfile(outp, dtype=np.uint8).reshape(-1, 3)
+        w = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        outs[mode] = w - ((w & 0x800000) << 1)
+    assert outs["dio"].shape == outs["host"].shape == (N * 6,)
+    assert np.abs(outs["dio"].astype(np.int64)
+                  - outs["host"].astype(np.int64)).max() <= 1
