@@ -211,32 +211,32 @@ def main():
         with eng.control_mutex:
             c0 = eng.control.snapshot()
             g0 = eng._mute_gains()
-        msteps = {}
-        stacks = {}
-        for m in (8, 80):
-            msteps[m] = eng.dio.multi_step(m)
-            stacks[m] = [jnp.zeros((m, N) + eng.dio.in_wire_shape[i],
-                                   eng.dio.in_wire_dtype[i])
-                         for i in range(len(conf.iodevs[0]))]
-            st, outs, meters, nan = msteps[m](eng.state, c0, g0[0], g0[1],
-                                              eng.bank, stacks[m])  # compile
-            eng.state = st
-            probe(100 + m)
-        # median of slopes: each timed segment carries one transport round
-        # trip; the slope cancels it only when the round trip is stable,
-        # so keep a wide block separation (72 blocks ~ 9 ms of signal vs
-        # the round trip's jitter), repeat, and take the median
+        M_DEV = 80
+        mstep = eng.dio.multi_step(M_DEV)
+        dstacks = [jnp.zeros((M_DEV, N) + eng.dio.in_wire_shape[i],
+                             eng.dio.in_wire_dtype[i])
+                   for i in range(len(conf.iodevs[0]))]
+        st, outs, meters, nan = mstep(eng.state, c0, g0[0], g0[1],
+                                      eng.bank, dstacks)        # compile
+        eng.state = st
+        probe(100)
+        # slope over the NUMBER of back-to-back dispatches: the timed
+        # segments differ by 800 blocks (~100 ms of device work), far
+        # above the transport round trip's jitter, which cancels in the
+        # difference; per-dispatch enqueue (~1 ms) hides behind the
+        # device's ~10 ms per dispatch
         slopes = []
-        for rep in range(5):
+        for rep in range(3):
             times = {}
-            for m in (8, 80):
+            for n in (2, 12):
                 t0 = time.perf_counter()
-                st, outs, meters, nan = msteps[m](eng.state, c0, g0[0],
-                                                  g0[1], eng.bank, stacks[m])
-                eng.state = st
-                probe(200 + 10 * rep + m)
-                times[m] = time.perf_counter() - t0
-            slopes.append((times[80] - times[8]) / (80 - 8) * 1e3)
+                for _ in range(n):
+                    st, outs, meters, nan = mstep(eng.state, c0, g0[0],
+                                                  g0[1], eng.bank, dstacks)
+                    eng.state = st
+                probe(200 + 10 * rep + n)
+                times[n] = time.perf_counter() - t0
+            slopes.append((times[12] - times[2]) / ((12 - 2) * M_DEV) * 1e3)
         slopes.sort()
         device_step_ms = slopes[len(slopes) // 2]
     else:
