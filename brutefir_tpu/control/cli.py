@@ -8,9 +8,10 @@ block from the block_start hook, wrapping at the end, with ``sleep bN``
 block pacing (block_start, 872-986; bench5 uses this for deterministic
 crossfade benchmarking).
 
-Parameters: ``port:`` int (TCP) or string (unix socket path), ``script:``
-string, ``echo:`` bool, ``line_speed:`` accepted for config compatibility
-(serial devices are not supported host-side).
+Parameters: ``port:`` int (TCP), a unix socket path, or a serial/character
+device path (e.g. "/dev/ttyS0" -- raw 8N1 at ``line_speed:``, one
+persistent session, like bflogic_cli.c's serial mode); ``script:`` string,
+``echo:`` bool.
 """
 
 from __future__ import annotations
@@ -25,6 +26,15 @@ import time
 from ..config.lexer import T
 from ..config.model import IN, OUT, BF_SAMPLE_SLOTS
 from . import register_logic_module
+
+
+def _is_tty(path: str) -> bool:
+    """A character device (serial port or pty) rather than a socket path."""
+    import stat
+    try:
+        return stat.S_ISCHR(os.stat(path).st_mode)
+    except OSError:
+        return False
 
 HELP_TEXT = """
 Commands:
@@ -140,6 +150,7 @@ class CliModule:
         self.script = opts.get("script")
         self.echo = opts.get("echo", True)
         self.port = opts.get("port")
+        self.line_speed = opts.get("line_speed")
         self.print_prompt = False
         self.print_peak_updates = False
         self._last_overflows = None
@@ -545,7 +556,7 @@ class CliModule:
         self.run_line(buf, params, st)
         return True, buf.getvalue()
 
-    # ------- socket server ------------------------------------------------
+    # ------- socket / serial server ----------------------------------------
     def _start_server(self):
         if isinstance(self.port, int):
             srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -553,6 +564,13 @@ class CliModule:
             srv.bind(("127.0.0.1", self.port))
         else:
             path = os.path.expanduser(self.port)
+            if _is_tty(path):
+                # serial/character device (bflogic_cli.c's line_speed
+                # path): one session over the raw tty, no accept loop
+                th = threading.Thread(target=self._serial_loop,
+                                      args=(path,), daemon=True)
+                th.start()
+                return
             if os.path.exists(path):
                 os.unlink(path)
             srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
@@ -561,6 +579,53 @@ class CliModule:
         self._server = srv
         th = threading.Thread(target=self._accept_loop, daemon=True)
         th.start()
+
+    def _serial_loop(self, path):
+        """CLI over a serial/character device. The reference configures
+        the line speed with cfsetispeed/cfsetospeed and raw mode
+        (bflogic_cli.c); sessions persist across hangups."""
+        import termios
+        fd = os.open(path, os.O_RDWR | os.O_NOCTTY)
+        try:
+            attrs = termios.tcgetattr(fd)
+            speed = getattr(termios, f"B{self.line_speed}",
+                            termios.B9600) if self.line_speed else None
+            # raw 8N1, no flow control
+            attrs[0] = termios.IGNPAR            # iflag
+            attrs[1] = 0                         # oflag
+            attrs[2] = (termios.CS8 | termios.CREAD | termios.CLOCAL)
+            attrs[3] = 0                         # lflag (raw, no echo)
+            if speed is not None:
+                attrs[4] = speed                 # ispeed
+                attrs[5] = speed                 # ospeed
+            termios.tcsetattr(fd, termios.TCSANOW, attrs)
+        except termios.error:
+            pass                                 # ptys reject some attrs
+        f = io.TextIOWrapper(
+            open(fd, "r+b", buffering=0), encoding="utf-8",
+            newline="\n", write_through=True)
+        try:
+            while True:
+                if self.print_prompt:
+                    f.write("> ")
+                    f.flush()
+                line = f.readline()
+                if not line:
+                    return
+                st = _SleepTask()
+                cont = self.run_line(f, line.strip(), st)
+                if st.do_sleep and not st.block_sleep:
+                    time.sleep(st.seconds + st.useconds / 1e6)
+                f.flush()
+                if not cont:
+                    return
+        except OSError:
+            return
+        finally:
+            try:
+                f.close()
+            except OSError:
+                pass
 
     def _accept_loop(self):
         while True:

@@ -340,13 +340,98 @@ class JackDevice(CallbackDevice):
 
 
 class PulseDevice(IoDevice):
+    """PulseAudio through libpulse-simple (bfio_pulse.c analog).
+
+    The simple API is blocking, which matches the engine's pipeline
+    directly (pa_simple_read/pa_simple_write). Parameters: ``server:``,
+    ``device:`` (sink/source name), ``app_name:``, ``stream_name:``.
+    """
+
+    _lib = None
+
+    # pa_sample_format_t (pulse/sample.h)
+    _FMT = {"S16_LE": 3, "S16_BE": 4, "FLOAT_LE": 5, "FLOAT_BE": 6,
+            "S32_LE": 7, "S32_BE": 8, "S24_LE": 9, "S24_BE": 10,
+            "S24_4LE": 11, "S24_4BE": 12}
+
+    @classmethod
+    def _pulse(cls):
+        if cls._lib is None:
+            name = ctypes.util.find_library("pulse-simple")
+            if name is None:
+                raise IoModuleError(
+                    "Pulse I/O: libpulse-simple is not available on this "
+                    "host; use the file, alsa or oss modules")
+            lib = ctypes.CDLL(name)
+            lib.pa_simple_new.restype = ctypes.c_void_p
+            cls._lib = lib
+        return cls._lib
+
+    class _SampleSpec(ctypes.Structure):
+        _fields_ = [("format", ctypes.c_int), ("rate", ctypes.c_uint32),
+                    ("channels", ctypes.c_uint8)]
+
     def __init__(self, params, io, sample_format, sample_rate, open_channels):
-        name = ctypes.util.find_library("pulse-simple")
-        raise IoModuleError(
-            "Pulse I/O: libpulse-simple is not available in this build; "
-            "use the file, alsa or oss modules"
-            if name is None else
-            "Pulse I/O: module not enabled in this build")
+        super().__init__(params, io, sample_format, sample_rate, open_channels)
+        opts = _parse_fields(params, {"server": T.STRING, "device": T.STRING,
+                                      "app_name": T.STRING,
+                                      "stream_name": T.STRING})
+        self._opts = opts
+        self._s = None
+        if sample_format is None:
+            raise IoModuleError(
+                "Pulse I/O: no support for AUTO sample format")
+        if sample_format.name not in self._FMT:
+            raise IoModuleError(
+                f"Pulse I/O: unsupported format {sample_format.name}")
+
+    def init(self, period_size):
+        lib = self._pulse()
+        ss = self._SampleSpec(self._FMT[self.sample_format.name],
+                              self.sample_rate, self.open_channels)
+        err = ctypes.c_int(0)
+        opts = self._opts
+        direction = 2 if self.io == IN else 1   # PA_STREAM_RECORD=2
+        self._s = lib.pa_simple_new(
+            opts.get("server", "").encode() or None,
+            opts.get("app_name", "brutefir").encode(),
+            direction,
+            opts.get("device", "").encode() or None,
+            opts.get("stream_name", "brutefir").encode(),
+            ctypes.byref(ss), None, None, ctypes.byref(err))
+        if not self._s:
+            raise IoModuleError(
+                f"Pulse I/O: pa_simple_new failed (error {err.value})")
+        self._framebytes = self.sample_format.bytes * self.open_channels
+
+    def read(self, nbytes):
+        lib = self._pulse()
+        buf = ctypes.create_string_buffer(nbytes)
+        err = ctypes.c_int(0)
+        if lib.pa_simple_read(ctypes.c_void_p(self._s), buf, nbytes,
+                              ctypes.byref(err)) < 0:
+            raise IoModuleError(f"Pulse I/O: read failed ({err.value})")
+        return buf.raw
+
+    def write(self, data):
+        lib = self._pulse()
+        data = bytes(data)
+        err = ctypes.c_int(0)
+        if lib.pa_simple_write(ctypes.c_void_p(self._s), data, len(data),
+                               ctypes.byref(err)) < 0:
+            raise IoModuleError(f"Pulse I/O: write failed ({err.value})")
+        return len(data)
+
+    def stop(self):
+        if self._s and self.io != IN:
+            err = ctypes.c_int(0)
+            self._pulse().pa_simple_drain(ctypes.c_void_p(self._s),
+                                          ctypes.byref(err))
+
+    def close(self):
+        if self._s:
+            self._pulse().pa_simple_free(ctypes.c_void_p(self._s))
+            self._s = None
 
 
 register_io_module("alsa", AlsaDevice)

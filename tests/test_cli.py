@@ -133,3 +133,36 @@ def test_socket_mode(tmp_path, rng):
     eng.teardown()
     y = np.fromfile(outp, dtype="<f4")
     np.testing.assert_allclose(y, x, rtol=0, atol=1e-4)
+
+
+def test_cli_serial_device_session(tmp_path):
+    """logic: "cli" { port: "/dev/tty..." } serves one raw-tty session
+    (bflogic_cli.c's serial mode), exercised over a pty pair."""
+    import pty
+    import os as _os
+    import time as _time
+    rng = np.random.default_rng(0)
+    master, slave = pty.openpty()
+    slave_path = _os.ttyname(slave)
+    eng, x, outp = make_engine(
+        tmp_path, rng, 64 * 2,
+        extra=f'logic: "cli" {{ port: "{slave_path}"; line_speed: 9600; }};')
+    eng.setup()
+    eng.attach_logic()
+    import select
+    try:
+        _time.sleep(0.2)                      # let the serial thread open
+        _os.write(master, b"lc\n")
+        deadline = _time.time() + 8.0
+        buf = b""
+        while b"Coefficient sets:" not in buf and _time.time() < deadline:
+            r, _, _ = select.select([master], [], [], 0.2)
+            if r:
+                try:
+                    buf += _os.read(master, 4096)
+                except OSError:
+                    break
+        assert b"Coefficient sets:" in buf, buf
+    finally:
+        eng.teardown()
+        _os.close(master)
