@@ -251,6 +251,10 @@ def complex_mix(mix: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Real mixing matrix applied to dual-plane spectra.
 
     [A, F] @ [F, 2, N] -> [A, 2, N]: one real matmul per plane (MXU).
+    Precision is pinned to HIGHEST: the TPU MXU's default f32 matmul
+    uses bfloat16 passes, which costs ~8 bits of the 24-bit audio
+    mantissa (measured ~38000 LSB of S24 error at full scale).
     """
     return jnp.einsum("af,fpn->apn", mix, x,
-                      preferred_element_type=x.dtype)
+                      preferred_element_type=x.dtype,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -145,7 +145,10 @@ class DeviceIO:
             meters = []
             for di, ((sel, mixm, open_ch, fmt), wdt) in enumerate(
                     zip(out_devs, self.out_words)):
-                phys = mixm @ y
+                # HIGHEST: the MXU's default f32 matmul is bf16-based,
+                # far below 24-bit audio precision (see partconv)
+                phys = jnp.matmul(mixm, y,
+                                  precision=jax.lax.Precision.HIGHEST)
                 peak = jnp.max(jnp.abs(phys), axis=1)
                 words, m = encode_words(phys, fmt, sel, open_ch, wdt)
                 if out_wire[di] in ("p24", "raw3"):

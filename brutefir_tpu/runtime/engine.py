@@ -73,6 +73,14 @@ class Engine:
         self.N = conf.filter_length
         self.B = conf.n_blocks
         self.rd = np.dtype(np.float32 if conf.realsize == 4 else np.float64)
+        # TPU MXU f32 matmuls default to bfloat16 passes -- ~8 bits short
+        # of 24-bit audio. Pin full precision engine-wide (explicit
+        # HIGHEST is also set at each matmul site; this covers any op XLA
+        # lowers through the MXU, e.g. FFTs).
+        try:
+            jax.config.update("jax_default_matmul_precision", "highest")
+        except Exception:
+            pass
         if conf.realsize == 8 and not jax.config.jax_enable_x64:
             # float_bits: 64 needs 64-bit jax types engine-wide
             jax.config.update("jax_enable_x64", True)
