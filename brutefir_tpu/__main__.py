@@ -83,6 +83,13 @@ def main(argv=None) -> int:
         stats = eng.run()
     except EngineError as e:
         sys.stderr.write(f"{e}\n")
+        # reference exit-code contract (bfmod.h:64-70): buffer underflow
+        # and invalid-input aborts are distinguishable to supervisors
+        msg = str(e)
+        if "underflow" in msg or "xrun" in msg:
+            return BF_EXIT_BUFFER_UNDERFLOW
+        if "Invalid input" in msg or "NaN" in msg:
+            return BF_EXIT_INVALID_INPUT
         return BF_EXIT_OTHER
     if not quiet:
         sys.stderr.write(
