@@ -202,6 +202,16 @@ class Engine:
         else:
             self.state = self.cg.init_state()
         self.control_mutex = threading.RLock()
+        # parallel per-device host encode (multi-core hosts only; the C
+        # codec releases the GIL). One pool for the engine's lifetime.
+        if (len(conf.iodevs[OUT]) > 1 and (os.cpu_count() or 1) > 1):
+            from concurrent.futures import ThreadPoolExecutor
+            self._encode_pool = ThreadPoolExecutor(
+                max_workers=min(len(conf.iodevs[OUT]),
+                                max(1, (os.cpu_count() or 2) - 1)),
+                thread_name_prefix="bf-encode")
+        else:
+            self._encode_pool = None
         self._placed_ctrl = None
         self._placed_ctrl_src = None
         self.blockcounter = 0
@@ -368,7 +378,7 @@ class Engine:
                 phys[conf.virt2phys[OUT][ch]] += row
 
         limit = conf.safety_limit
-        for di, dev in enumerate(conf.iodevs[OUT]):
+        def encode_one(di, dev):
             inst = self.devices[OUT][di]
             rows = phys[dev.phys_base: dev.phys_base + dev.used_channels]
             if limit != 0.0:
@@ -388,6 +398,19 @@ class Engine:
             float_to_raw(rows, dev.sample_format, dev.open_channels,
                          dev.channel_selection, raw, ovfs, dstate)
             inst.write(raw[: frames * self._out_framebytes[di]].tobytes())
+
+        devs = list(enumerate(conf.iodevs[OUT]))
+        if len(devs) > 1 and self._encode_pool is not None:
+            # multi-device encode in parallel: dither/overflow state is
+            # per physical channel and devices own disjoint ranges; the
+            # C codec releases the GIL, so channels genuinely overlap on
+            # multi-core hosts (the reference ran one output process
+            # total -- this parallelizes *within* the output stage)
+            list(self._encode_pool.map(
+                lambda a: encode_one(*a), devs))
+        else:
+            for di, dev in devs:
+                encode_one(di, dev)
 
     # ----- main loop -----------------------------------------------------
     def setup(self):
