@@ -37,6 +37,11 @@ def make_mesh(devices=None, f_axis: int = 1, sp_axis: int = None) -> Mesh:
     """Build an ('f', 'sp') mesh over the given devices."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if f_axis < 1 or f_axis > n or n % f_axis != 0:
+        raise ValueError(
+            f"f_axis={f_axis} must be a positive divisor of the device "
+            f"count ({n}); got {n} device(s). Pass fewer devices or a "
+            f"compatible f_axis (e.g. f_axis=1).")
     if sp_axis is None:
         sp_axis = n // f_axis
     if f_axis * sp_axis != n:
