@@ -184,13 +184,15 @@ void bf_quantize_nd_rows(const float* x, int32_t n_rows, int64_t n,
         float lgc = 0.0f;  // max |v| among clipped samples this block
         for (int64_t i = 0; i < n; i++) {
             float v = xr[i] + 0.5f;
-            int32_t s = (int32_t)v;
-            s -= (v < 0.0f);
-            const bool under = v <= rmin;
+            // the float->int cast is well-defined only for in-range
+            // values; clipped (and NaN, which fails both comparisons)
+            // samples take the saturated constants instead, like the
+            // scalar path's branch-guarded casts
+            const bool in_range = (v > rmin) & (v <= rmax);
             const bool over = v > rmax;
-            const bool clip = under | over;
-            s = under ? imin : s;
-            s = over ? imax : s;
+            const bool clip = !in_range;
+            int32_t s = in_range ? (int32_t)v - (v < 0.0f)
+                                 : (over ? imax : imin);
             novf += clip;
             float a = v < 0.0f ? -v : v;
             lgc = (clip && a > lgc) ? a : lgc;

@@ -96,12 +96,25 @@ class CompiledGraph:
 
 
 def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
-               bank: jax.Array, x: jax.Array, constrain=None):
+               bank: jax.Array, x: jax.Array, constrain=None, mesh=None):
     def run_mac(ring_s, idx_arr, coeff_idx, msk, t):
         if mac.startswith("pallas"):
+            interp = mac == "pallas-interpret"
+            if mesh is not None:
+                # pallas does not auto-partition: run the kernel per-shard
+                # via shard_map when the stage covers the whole 'f'-sharded
+                # filter axis; stage subsets (cascade graphs) keep the
+                # dense path, which XLA shards like any other HLO.
+                if idx_arr.size == spec.n_filters and np.array_equal(
+                        idx_arr, np.arange(spec.n_filters)):
+                    from ..ops.pallas_mac import pallas_spectral_mac_shmap
+                    return pallas_spectral_mac_shmap(
+                        mesh, ring_s, bank, coeff_idx, msk, t,
+                        interpret=interp)
+                return partconv.spectral_mac_rollh(
+                    ring_s, bank, coeff_idx, msk, t)
             return pallas_spectral_mac(
-                ring_s, bank, coeff_idx, msk, t,
-                interpret=(mac == "pallas-interpret"))
+                ring_s, bank, coeff_idx, msk, t, interpret=interp)
         # rotation composed into the coefficient gather: 2.2x faster than
         # rotating the ring (see partconv.spectral_mac_rollh)
         return partconv.spectral_mac_rollh(ring_s, bank, coeff_idx, msk, t)

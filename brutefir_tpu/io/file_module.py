@@ -131,6 +131,11 @@ class FileDevice(IoDevice):
             if self.loop and self.curpos == self.filesize:
                 self.fh.seek(self.skipbytes)
                 self.curpos = self.skipbytes
+                # token boundary at the seam: without it a file whose last
+                # token has no trailing whitespace would merge with the
+                # first token of the next pass
+                raw = (raw or b"") + b"\n"
+                n_raw = len(raw)
             data = self._text_tail + (raw or b"")
             if n_raw == 0:
                 # EOF: parse what remains, then stop

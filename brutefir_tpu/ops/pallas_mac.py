@@ -132,19 +132,13 @@ def _rowmajor_call(ring5, bank5, coeff_idx, rpos, maskf, interpret):
     )(coeff_idx, rpos, maskf, ring5, bank5)
 
 
-def pallas_spectral_mac(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
-                        mask: jax.Array, t: jax.Array,
-                        interpret: bool = False) -> jax.Array:
-    """Y[f] = sum_b ring[f, (t-b)%B] (*) (bank[coeff_idx[f], b] * mask[f, b]).
-
-    ring: [F, B, 2, N] f32   bank: [E, B, 2, N] f32
-    coeff_idx: [F] i32       mask: [F, B] f32     t: scalar i32
-    Returns [F, 2, N] f32 (packed spectra, bin 0 fixed up here).
-    """
+def _mac_core(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
+              mask: jax.Array, rpos: jax.Array,
+              interpret: bool = False) -> jax.Array:
+    """The kernel proper: all bins as normal complex lanes (no bin-0 patch)."""
     F, B, _, N = ring.shape
     E = bank.shape[0]
     R = N // 128
-    rpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B).astype(jnp.int32)
     ring5 = ring.reshape(F, B, 2, R, 128)
     bank5 = bank.reshape(E, B, 2, R, 128)
     maskf = mask.astype(ring.dtype)
@@ -180,14 +174,74 @@ def pallas_spectral_mac(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
             out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring.dtype),
             interpret=interpret,
         )(coeff_idx.astype(jnp.int32), rpos, maskf, ring5, bank5)
-    y = y5.reshape(F, 2, N)
+    return y5.reshape(F, 2, N)
 
-    # bin 0: DC and Nyquist multiply real/imag planes independently
+
+def _bin0(ring, bank, coeff_idx, mask, rpos):
+    """Bin 0 packs DC and Nyquist: real/imag planes multiply independently."""
     rot0 = jnp.take(ring[:, :, :, 0], rpos, axis=1)          # [F, B, 2]
     h0 = jnp.take(bank[:, :, :, 0], coeff_idx, axis=0) * mask[:, :, None]
     y0r = jnp.sum(rot0[:, :, 0] * h0[:, :, 0], axis=1)
     y0i = jnp.sum(rot0[:, :, 1] * h0[:, :, 1], axis=1)
+    return y0r, y0i
+
+
+def pallas_spectral_mac(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
+                        mask: jax.Array, t: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """Y[f] = sum_b ring[f, (t-b)%B] (*) (bank[coeff_idx[f], b] * mask[f, b]).
+
+    ring: [F, B, 2, N] f32   bank: [E, B, 2, N] f32
+    coeff_idx: [F] i32       mask: [F, B] f32     t: scalar i32
+    Returns [F, 2, N] f32 (packed spectra, bin 0 fixed up here).
+    """
+    B = ring.shape[1]
+    rpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B).astype(jnp.int32)
+    y = _mac_core(ring, bank, coeff_idx, mask, rpos, interpret)
+    y0r, y0i = _bin0(ring, bank, coeff_idx, mask, rpos)
     return y.at[:, 0, 0].set(y0r).at[:, 1, 0].set(y0i)
+
+
+def pallas_spectral_mac_shmap(mesh, ring, bank, coeff_idx, mask, t,
+                              interpret: bool = False) -> jax.Array:
+    """pallas_spectral_mac under an ('f','sp') mesh via shard_map.
+
+    Pallas calls do not auto-partition, so each device runs the kernel on
+    its local [F/f, B, 2, N/sp] ring shard against the bank's bin shard —
+    no collectives: the MAC is elementwise in filters and bins (SURVEY 5.7,
+    the reference's filter-process split of the convolve loop,
+    bfrun.c:1745-1754 across forked processes). The DC/Nyquist bin-0 patch
+    belongs to global bin 0 only, so it is applied on the first 'sp' shard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    B = ring.shape[1]
+
+    def local(ring_l, bank_l, idx_l, mask_l, t_l):
+        rpos = jnp.mod(t_l - jnp.arange(B, dtype=jnp.int32), B)
+        y = _mac_core(ring_l, bank_l, idx_l, mask_l, rpos, interpret)
+        y0r, y0i = _bin0(ring_l, bank_l, idx_l, mask_l, rpos)
+        is0 = jax.lax.axis_index("sp") == 0
+        y = y.at[:, 0, 0].set(jnp.where(is0, y0r, y[:, 0, 0]))
+        y = y.at[:, 1, 0].set(jnp.where(is0, y0i, y[:, 1, 0]))
+        return y
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("f", None, None, "sp"), P(None, None, None, "sp"),
+                  P("f"), P("f", None), P()),
+        out_specs=P("f", None, "sp"),
+        check_vma=False,
+    )(ring, bank, coeff_idx.astype(jnp.int32), mask, t)
+
+
+def pallas_shardable(mesh, n_filters: int, n_bins: int, dtype) -> bool:
+    """Whether the shard_map kernel path fits this mesh and shape."""
+    f = mesh.shape.get("f", 1)
+    sp = mesh.shape.get("sp", 1)
+    return (n_filters % f == 0
+            and n_bins % sp == 0
+            and pallas_available(n_bins // sp, dtype))
 
 
 def pallas_available(n_bins: int, dtype) -> bool:

@@ -91,14 +91,24 @@ class ShardedGraph:
         st_s, ct_s, bank_s, x_s, y_s = step_shardings(mesh)
         self.shardings = (st_s, ct_s, bank_s, x_s, y_s)
 
+        # the pallas kernel runs per-shard via shard_map; if the shape
+        # does not divide over this mesh, degrade to the dense MAC
+        mac = cg.mac
+        if mac.startswith("pallas"):
+            from ..ops.pallas_mac import pallas_shardable
+            if not pallas_shardable(mesh, cg.spec.n_filters, cg.spec.n_bins,
+                                    cg.spec.real_dtype):
+                mac = "jnp"
+        self.mac = mac
+
         def replicate(a):
             # cascade intermediates stay replicated (see convolve_eval)
             return jax.lax.with_sharding_constraint(
                 a, NamedSharding(mesh, P(*([None] * a.ndim))))
 
         self._step = jax.jit(
-            functools.partial(_step_impl, cg.spec, cg.mac,
-                              constrain=replicate),
+            functools.partial(_step_impl, cg.spec, mac,
+                              constrain=replicate, mesh=mesh),
             in_shardings=(st_s, ct_s, bank_s, x_s),
             out_shardings=(st_s, y_s),
             donate_argnums=(0,),

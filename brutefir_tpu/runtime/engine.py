@@ -117,14 +117,21 @@ class Engine:
                 backend = "cpu"
             mostly_distinct = (len(conf.coeffs)
                                >= max(2, len(conf.filters) // 2))
-            # never auto-pick the kernel under a mesh: pallas calls do
-            # not partition automatically, so the sharded step keeps the
-            # dense path (which XLA shards like any other HLO)
-            if (backend == "tpu" and mesh is None
+            # under a mesh the kernel runs per-shard via shard_map
+            # (pallas_spectral_mac_shmap); require the shape to divide
+            # over the mesh, else keep the dense path (which XLA shards
+            # like any other HLO)
+            if (backend == "tpu"
                     and len(conf.filters) >= 48
                     and mostly_distinct
                     and pallas_available(self.spec.n_bins, self.rd)):
-                mac = "pallas"
+                if mesh is None:
+                    mac = "pallas"
+                else:
+                    from ..ops.pallas_mac import pallas_shardable
+                    if pallas_shardable(mesh, self.spec.n_filters,
+                                        self.spec.n_bins, self.rd):
+                        mac = "pallas"
         self.cg = CompiledGraph(self.spec, mac=mac)
         self.mesh = mesh
         if bank is None:
@@ -852,6 +859,7 @@ class Engine:
                                 raw = raw.reshape(-1, dev.open_channels)
                             self.devices[OUT][di].write(raw[:fk].tobytes())
                             m = np.asarray(meters[di])
+                            limit = conf.safety_limit
                             for i in range(dev.used_channels):
                                 ovf = self._phys_overflow[dev.phys_base + i]
                                 ovf.n_overflows += int(m[i, 0])
@@ -859,6 +867,14 @@ class Engine:
                                 if not dev.sample_format.is_float:
                                     ovf.intlargest = max(ovf.intlargest,
                                                          int(m[i, 2]))
+                                # same abort as write_block_dio / the
+                                # reference's real2raw.h:32-42 speaker guard
+                                if (limit != 0.0
+                                        and float(m[i, 3]) > limit * ovf.max):
+                                    raise EngineError(
+                                        f"safety limit exceeded on output "
+                                        f"({20 * np.log10(float(m[i, 3]) / ovf.max):.2f}"
+                                        f" > {20 * np.log10(limit):.2f} dB)")
                     wstats["frames"] += fk
                 except Exception as e:
                     wstats["err"] = e

@@ -362,3 +362,26 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
     assert outs["dio"].shape == outs["host"].shape == (N * 6,)
     assert np.abs(outs["dio"].astype(np.int64)
                   - outs["host"].astype(np.int64)).max() <= 1
+
+
+def test_run_offline_enforces_safety_limit(tmp_path, rng):
+    """The batched offline writer aborts on safety_limit like write_block_dio
+    (reference real2raw.h:32-42)."""
+    from brutefir_tpu.runtime.engine import EngineError
+    N = 128
+    x = np.full(N * 8, 1000.0, np.float32)
+    inp, outp = tmp_path / "in.f32", tmp_path / "out.f32"
+    x.astype("<f4").tofile(inp)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},2;
+safety_limit: 20;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    eng = Engine(conf)
+    assert eng.dio is not None
+    with pytest.raises(EngineError, match="safety limit"):
+        eng.run_offline(batch_blocks=4)

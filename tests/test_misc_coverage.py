@@ -158,3 +158,25 @@ filter 2 {{ from_inputs: 2//0.5; to_outputs: 2; coeff: 0; }};
     # phys 0 = virt out 0 + virt out 2 = x0 + 0.5*x0 = 1.5 x0 (quantized)
     np.testing.assert_allclose(y[0], np.round(1.5 * x[0]), atol=1)
     np.testing.assert_allclose(y[1], x[1], atol=1)
+
+
+def test_text_mode_loop_no_trailing_newline(tmp_path, rng):
+    """Loop wrap inserts a token boundary: a file whose last token has no
+    trailing whitespace must not merge with the first token of pass 2."""
+    N = 32
+    seg = rng.standard_normal(N).astype(np.float64)
+    inp, outp = tmp_path / "in.txt", tmp_path / "out.txt"
+    inp.write_text("\n".join("%+.16e" % v for v in seg))  # no final \n
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N};
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; text: true; loop: true; }}; sample: "FLOAT64_NE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; text: true; }}; sample: "FLOAT64_NE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    Engine(conf).run(max_blocks=4)
+    y = np.array([float(v) for v in outp.read_text().split()])
+    assert len(y) == 4 * N
+    for b in range(4):
+        np.testing.assert_allclose(y[b * N: (b + 1) * N], seg, atol=1e-5)

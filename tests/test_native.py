@@ -105,3 +105,21 @@ def test_encode_float_roundtrip(rng):
     back = native.decode_f32(raw, fmt, 64, 3, [0, 2])
     np.testing.assert_array_equal(back, x)
     assert ovf[0].n_overflows == int(np.count_nonzero(np.abs(x[0]) > 1.0))
+
+
+def test_quantize_rows_out_of_range_matches_scalar(rng):
+    """Far-out-of-range samples saturate identically in rows and scalar
+    paths (the rows path used to cast before range-selecting: UB)."""
+    fmt = parse_sample_format("S16_LE")
+    x = (rng.standard_normal((3, 512)) * fmt.imax * 0.5).astype(np.float32)
+    x[0, :6] = [3e9, -3e9, 1e30, -1e30, fmt.imax + 1000.0, fmt.imin - 1000.0]
+    x[1, :2] = [6e4, -6e4]
+    ovr = [Overflow(max=fmt.imax) for _ in range(3)]
+    ovs = [Overflow(max=fmt.imax) for _ in range(3)]
+    qr = native.quantize_rows_no_dither(x, fmt, ovr)
+    for r in range(3):
+        qs = native.quantize_no_dither(x[r], fmt, ovs[r])
+        np.testing.assert_array_equal(qr[r], qs)
+        assert ovr[r].n_overflows == ovs[r].n_overflows
+        assert ovr[r].intlargest == ovs[r].intlargest
+        assert ovr[r].largest == pytest.approx(ovs[r].largest)

@@ -121,3 +121,47 @@ output {chans} {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; chan
     for c in range(C):
         ref = scipy.signal.fftconvolve(x[c], taps)[: x.shape[1]]
         np.testing.assert_allclose(y[c], ref, rtol=0, atol=2e-3)
+
+
+def test_sharded_pallas_mac_parity(rng):
+    """The shard_map-wrapped pallas kernel matches the dense path on a mesh.
+
+    N/sp must stay lane-aligned and >=256 bins per shard, so N=1024 on the
+    2x4 mesh. interpret mode: the kernel itself runs on CPU test devices.
+    """
+    N, B, C = 1024, 4, 8
+    taps = rng.standard_normal(N * B).astype(np.float32) * 0.1
+    spec = build_graph_spec(N, B, C, C, [[] for _ in range(C)], [False] * C)
+    bank = make_bank([partconv.preprocess_coeffs(taps, N, B)])
+    ctrl = make_ctrl(
+        spec, np.eye(C, dtype=np.float32), np.zeros((C, C), np.float32),
+        np.eye(C, dtype=np.float32), np.zeros(C, np.int32),
+        np.zeros(C, np.int32), np.ones((C, B), np.float32))
+    xs = rng.standard_normal((5, C, N)).astype(np.float32)
+
+    cg_ref = CompiledGraph(spec, mac="jnp")
+    state = cg_ref.init_state()
+    single = []
+    for xb in xs:
+        state, y = cg_ref.step(state, ctrl, jnp.asarray(bank), jnp.asarray(xb))
+        single.append(np.asarray(y))
+
+    mesh = make_mesh(jax.devices()[:8], f_axis=2)
+    cg = CompiledGraph(spec, mac="pallas-interpret")
+    sg = ShardedGraph(cg, mesh)
+    assert sg.mac == "pallas-interpret"  # shape divides; no silent degrade
+    sstate = sg.init_state()
+    sctrl, sbank, _ = sg.place(ctrl, jnp.asarray(bank), jnp.asarray(xs[0]))
+    for xb, ref in zip(xs, single):
+        sstate, y = sg.step(sstate, sctrl, sbank, jnp.asarray(xb))
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-4)
+
+
+def test_sharded_pallas_degrades_on_indivisible():
+    """A shape that does not divide over the mesh falls back to the dense MAC."""
+    N, B, C = 256, 2, 6  # C=6 not divisible by f_axis=4; N/sp too small
+    spec = build_graph_spec(N, B, C, C, [[] for _ in range(C)], [False] * C)
+    cg = CompiledGraph(spec, mac="pallas-interpret")
+    mesh = make_mesh(jax.devices()[:8], f_axis=4)
+    sg = ShardedGraph(cg, mesh)
+    assert sg.mac == "jnp"
