@@ -428,6 +428,33 @@ class Engine:
         for io in (IN, OUT):
             for inst in self.devices[io]:
                 inst.start()
+        self._iodelay_fill()
+
+    def _iodelay_fill(self):
+        """Pre-write 2 silent fragments to clocked output devices.
+
+        Establishes the fixed 2N-sample I/O latency before the first
+        computed block reaches the device, so the pipeline has a full
+        double-buffer cushion against block-time jitter (the reference's
+        iodelay_fill, dai.c:1451-1457, driven from bfrun.c:870-899; the
+        'synched_write' condition is a clocked non-callback output,
+        bfconf.c:3154-3158)."""
+        clocked = [(di, inst) for di, inst in enumerate(self.devices[OUT])
+                   if inst.uses_sample_clock and not inst.is_callback]
+        if not clocked:
+            return
+        conf = self.conf
+        if not getattr(conf, "quiet", False):
+            delay = 2 * self.N
+            if conf.use_subdelay[IN]:
+                delay += conf.sdf_length
+            if conf.use_subdelay[OUT]:
+                delay += conf.sdf_length
+            sys.stderr.write(f"Fixed I/O-delay is {delay} samples\n"
+                             "Audio processing starts now\n")
+        for _ in range(2):
+            for di, inst in clocked:
+                inst.write(b"\0" * (self.N * self._out_framebytes[di]))
 
     def _maybe_go_realtime(self):
         """SCHED_FIFO + mlockall when clocked devices demand it, with the

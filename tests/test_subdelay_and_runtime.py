@@ -211,3 +211,44 @@ def test_analog_powersave_gates_quiet_channels(tmp_path, rng):
     # block 2's frame is [quiet, quiet] -> gated to exactly zero
     np.testing.assert_allclose(y[2 * N: 3 * N], 0.0, atol=0)
     np.testing.assert_allclose(y[3 * N:], loud, atol=1e-4)
+
+
+def test_iodelay_fill_clocked_output(tmp_path, rng):
+    """Clocked output devices receive 2 fragments of silence before the
+    first computed block (iodelay_fill, dai.c:1451-1457, bfrun.c:870-899):
+    output = 2N zeros then the signal."""
+    from brutefir_tpu.io import IoDevice, register_io_module
+
+    collected = []
+
+    class ClockedOut(IoDevice):
+        uses_sample_clock = True
+
+        def __init__(self, params, io, sample_format, sample_rate,
+                     open_channels):
+            from brutefir_tpu.core.sampleformat import parse_sample_format
+            super().__init__(params, io, parse_sample_format("FLOAT_NE"),
+                             sample_rate, open_channels)
+
+        def write(self, data):
+            collected.append(bytes(data))
+            return len(data)
+
+    register_io_module("clockedout", ClockedOut)
+    N = 64
+    x = rng.standard_normal(N * 4).astype(np.float32) * 0.5
+    inp = tmp_path / "in.f32"
+    x.astype("<f4").tofile(inp)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N};
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+output 0 {{ device: "clockedout" {{ }}; sample: "FLOAT_NE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    Engine(conf).run()
+    y = np.frombuffer(b"".join(collected), dtype=np.float32)
+    assert len(y) == 2 * N + 4 * N  # latency cushion + the signal
+    np.testing.assert_array_equal(y[: 2 * N], 0.0)
+    np.testing.assert_allclose(y[2 * N:], x, atol=1e-5)
