@@ -540,6 +540,12 @@ class CliModule:
                                           + st.useconds / 1e6)
         self._maybe_print_peaks()
 
+    def peak(self):
+        """bfevents.peak analog: pushed by the engine on overflow change
+        (check_overflows, bfrun.c:589-618); `upk` sessions print on push
+        instead of waiting for the next block_start poll."""
+        self._maybe_print_peaks()
+
     def _maybe_print_peaks(self):
         if not self.print_peak_updates:
             return

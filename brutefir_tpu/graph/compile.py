@@ -59,8 +59,9 @@ class CompiledGraph:
     see ops/pallas_mac.py).
     """
 
-    def __init__(self, spec: GraphSpec, mac: str = "auto"):
+    def __init__(self, spec: GraphSpec, mac: str = "auto", taps=None):
         self.spec = spec
+        self.taps = taps
         if mac == "auto":
             # XLA fuses the dense MAC's gathers into the reduction and
             # runs it at ~2/3 HBM speed-of-light regardless of
@@ -77,7 +78,8 @@ class CompiledGraph:
             except RuntimeError:
                 mac = "pallas-interpret"
         self.mac = mac
-        self._step = jax.jit(functools.partial(_step_impl, spec, mac),
+        self._step = jax.jit(functools.partial(_step_impl, spec, mac,
+                                               taps=taps),
                              donate_argnums=(0,))
 
     def init_state(self) -> StepState:
@@ -96,7 +98,22 @@ class CompiledGraph:
 
 
 def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
-               bank: jax.Array, x: jax.Array, constrain=None, mesh=None):
+               bank: jax.Array, x: jax.Array, constrain=None, mesh=None,
+               taps=None):
+    def tap(name, planes, idx):
+        # opt-in frequency-domain module hooks (bfevents input_freqd /
+        # pre_convolve / post_convolve / output_freqd, bfmod.h:192-215,
+        # dispatched like bfrun.c:1533-1557,1688-1690,1839-1884): an
+        # ordered host callback receives the spectra (mutable, like the
+        # reference's in-place buffers) and its result flows back into the
+        # graph. Only traced when a module registered the hook.
+        if not taps or taps.get(name) is None:
+            return planes
+        from jax.experimental import io_callback
+        fn = functools.partial(taps[name], idx=np.asarray(idx))
+        return io_callback(
+            fn, jax.ShapeDtypeStruct(planes.shape, planes.dtype),
+            planes, ordered=True)
     def run_mac(ring_s, idx_arr, coeff_idx, msk, t):
         if mac.startswith("pallas"):
             interp = mac == "pallas-interpret"
@@ -135,6 +152,7 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
                           & (peak < ctrl.ps_thresh[:, None]),
                           jnp.zeros_like(frame), frame)
     X = partconv.rfft_planes(frame)                       # [C_in, 2, N]
+    X = tap("input_freqd", X, np.arange(spec.n_inputs))
     ring = state.ring
     eval_prev = state.eval_prev
     t = state.t
@@ -163,6 +181,10 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
             eval_prev = eval_prev.at[stage.casc_slots].set(tails)
             mixed = mixed.at[stage.casc_local].add(e)
 
+        # pre_convolve taps the block being written into the ring, so a
+        # mutation persists in the spectra history like the reference's
+        # in-place cbuf[n][curblock] (bfrun.c:1688-1690)
+        mixed = tap("pre_convolve", mixed, idx)
         wpos = jnp.mod(t + ctrl.delay[idx], B)             # [Fs]
         ring = ring.at[idx, wpos].set(mixed)
 
@@ -181,6 +203,10 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
 
             y = jax.lax.cond(ctrl.any_xfade, do_xfade, lambda v: v, y)
 
+        # the rebuild passes the convolution *result* (PARITY: the
+        # reference hands the filter's current ring block, which only
+        # holds the result in the single-partition in-place path)
+        y = tap("post_convolve", y, idx)
         stage_ys.append(y)
         done_idx.append(idx)
 
@@ -195,6 +221,7 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
         y_all = y_all[inv]
 
     out_spec = partconv.complex_mix(ctrl.out_mix, y_all)   # [C_out, 2, N]
+    out_spec = tap("output_freqd", out_spec, np.arange(spec.n_outputs))
     y_time = partconv.irfft_planes(out_spec)[:, :N]        # valid lower half
 
     new_state = StepState(prev_in=x, ring=ring, eval_prev=eval_prev, t=t + 1)

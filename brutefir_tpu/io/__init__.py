@@ -105,5 +105,7 @@ def _load_external(name: str, modules_path: str) -> None:
         if os.path.exists(path):
             spec = importlib.util.spec_from_file_location(f"bfio_{name}", path)
             mod = importlib.util.module_from_spec(spec)
+            import sys
+            sys.modules[spec.name] = mod  # importable/introspectable after
             spec.loader.exec_module(mod)
             return

@@ -86,6 +86,11 @@ def np_c2p(z: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.stack([z.real, z.imag], axis=-2))
 
 
+def np_p2c(p: np.ndarray) -> np.ndarray:
+    """float planes [..., 2, N] -> packed complex [..., N] (numpy)."""
+    return p[..., 0, :] + 1j * p[..., 1, :]
+
+
 def make_bank(entries) -> np.ndarray:
     """Stack per-coeff packed complex entries [B, N] into the device bank
     layout [n_entries, B, 2, N] float planes."""

@@ -51,6 +51,9 @@ class RuntimeControl:
         self.subdelay = [list(conf.subdelay[IN]), list(conf.subdelay[OUT])]
         # coeff_final hook (EQ double-buffer redirect, bfrun.c:1574-1578)
         self.coeff_final_hook = None
+        # third-party logic-module coeff_final hooks (return int or None);
+        # replaced wholesale by Engine.attach_logic (idempotent re-attach)
+        self.coeff_final_mod_hooks = []
 
         # virtual-channel format scales (bfrun.c:1371)
         self.virtscale = [np.ones(conf.n_channels[io]) for io in (IN, OUT)]
@@ -134,6 +137,10 @@ class RuntimeControl:
             c = fc.coeff
             if self.coeff_final_hook is not None:
                 c = self.coeff_final_hook(n, c)
+            for h in self.coeff_final_mod_hooks:
+                r = h(n, c)
+                if r is not None:
+                    c = r
             final_coeff.append(c)
 
         xfade_now = [

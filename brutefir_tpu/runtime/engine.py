@@ -225,6 +225,8 @@ class Engine:
         self.realtime_index = 0.0
         self._rti_max = 0.0
         self.logic = []          # logic module instances (cli/eq)
+        self._peak_hooks = []    # bfevents.peak analogs (set in attach_logic)
+        self._last_peak_state = None
         self._stage_t = np.zeros(4)  # decode, device, encode, total
         self._stage_blocks = 0
         self._stopped = False
@@ -256,7 +258,8 @@ class Engine:
     def attach_logic(self):
         from ..control import load_logic_module
         for name, params in self.conf.logic_modules:
-            self.logic.append(load_logic_module(name, params, self))
+            self.logic.append(load_logic_module(
+                name, params, self, self.conf.modules_path))
         self._has_timed_hooks = any(
             getattr(m, "input_timed", None) is not None
             or getattr(m, "output_timed", None) is not None
@@ -264,10 +267,68 @@ class Engine:
         if self._has_timed_hooks and self.dio is not None:
             # timed hooks need host-side sample blocks
             self.dio = None
+        # frequency-domain hooks (bfevents input_freqd/pre_convolve/
+        # post_convolve/output_freqd, bfmod.h:192-215): opt-in ordered
+        # host taps traced into the step only when a module registers one
+        taps = {}
+        for kind in ("input_freqd", "pre_convolve", "post_convolve",
+                     "output_freqd"):
+            hooks = [getattr(m, kind) for m in self.logic
+                     if getattr(m, kind, None) is not None]
+            if hooks:
+                taps[kind] = self._make_freqd_tap(hooks)
+        if taps:
+            if self.mesh is not None:
+                raise EngineError(
+                    "frequency-domain module hooks require a single device")
+            self.dio = None  # hooks are traced into the host-path step
+            self.cg = CompiledGraph(self.spec, mac=self.cg.mac, taps=taps)
+        # coeff_final from modules (bfevents.coeff_final; the EQ's own
+        # double-buffer redirect wires control.coeff_final_hook directly)
+        self.control.coeff_final_mod_hooks = [
+            m.coeff_final for m in self.logic
+            if getattr(m, "coeff_final", None) is not None]
+        # peak push (BF_FDEVENT_PEAK / bfevents.peak, bfrun.c:589-618)
+        self._peak_hooks = [m.peak for m in self.logic
+                            if getattr(m, "peak", None) is not None]
+        self._last_peak_state = tuple(
+            (o.n_overflows, o.largest, o.intlargest) for o in self.overflow)
         for m in self.logic:
             hook = getattr(m, "initialised", None)
             if hook is not None:  # bfevents.initialised analog
                 hook()
+
+    def _make_freqd_tap(self, hooks):
+        """Host tap: planes [C, 2, N] -> natural rfft spectra [C, N+1]
+        (complex, mutable rows) -> hooks -> planes back. The reference
+        hands its internal reordered halfcomplex layout; the rebuild's
+        module ABI uses the natural rfft layout (docs/PARITY.md)."""
+        from ..ops.partconv import (np_p2c, np_c2p, pack_spectrum,
+                                    unpack_spectrum)
+
+        def tapfn(planes, idx):
+            arr = np.asarray(planes)
+            zu = np.ascontiguousarray(unpack_spectrum(np_p2c(arr)))
+            for ch in range(arr.shape[0]):
+                row = zu[ch]
+                for h in hooks:
+                    h(row, int(idx[ch]))
+            return np_c2p(pack_spectrum(zu)).astype(arr.dtype)
+
+        return tapfn
+
+    def _peak_push(self):
+        """Push a peak event to logic modules when any overflow meter
+        changed (check_overflows, bfrun.c:589-618); gated on
+        overflow_warnings like the reference."""
+        if not self._peak_hooks or not self.conf.overflow_warnings:
+            return
+        cur = tuple((o.n_overflows, o.largest, o.intlargest)
+                    for o in self.overflow)
+        if cur != self._last_peak_state:
+            self._last_peak_state = cur
+            for h in self._peak_hooks:
+                h()
 
     def stop(self):
         self._stopped = True
@@ -418,6 +479,7 @@ class Engine:
         else:
             for di, dev in devs:
                 encode_one(di, dev)
+        self._peak_push()
 
     # ----- main loop -----------------------------------------------------
     def setup(self):
@@ -553,6 +615,7 @@ class Engine:
             # ("raw3": the 3-byte wire IS the file format -- write as-is)
             self.devices[OUT][di].write(
                 raw[:frames].tobytes())
+        self._peak_push()
 
     def _block_start_hooks(self):
         for mod in self.logic:
@@ -902,6 +965,7 @@ class Engine:
                                         f"safety limit exceeded on output "
                                         f"({20 * np.log10(float(m[i, 3]) / ovf.max):.2f}"
                                         f" > {20 * np.log10(limit):.2f} dB)")
+                        self._peak_push()
                     wstats["frames"] += fk
                 except Exception as e:
                     wstats["err"] = e
