@@ -33,6 +33,11 @@ class IoDevice:
 
     uses_sample_clock = True
     is_callback = False
+    # True when the hardware cannot signal readiness at period boundaries
+    # (fragment misalignment, dai.c:905-931): with allow_poll_mode the
+    # engine then paces reads with short sleeps (poll mode) instead of
+    # blocking on read(). Poll-mode devices implement read_nonblock.
+    bad_alignment = False
 
     def __init__(self, params, io: int, sample_format: Optional[SampleFormat],
                  sample_rate: int, open_channels: int):
@@ -47,6 +52,15 @@ class IoDevice:
     def read(self, nbytes: int) -> bytes:
         """Read up to nbytes. Short result means EOF is imminent (input)."""
         raise IoModuleError("not an input device")
+
+    def read_nonblock(self, nbytes: int):
+        """Poll-mode read: return whatever is available now.
+
+        ``None`` means no data yet (the EAGAIN analog), a short bytes
+        result is partial data, ``b""`` is EOF. Only consulted when the
+        device declares ``bad_alignment`` and the engine runs in poll
+        mode (dai.c:1198-1230)."""
+        raise IoModuleError("device does not support poll mode")
 
     def write(self, data) -> int:
         """Write bytes; returns bytes written."""

@@ -254,6 +254,21 @@ class Engine:
         self._out_framebytes = [
             d.sample_format.bytes * d.open_channels for d in conf.iodevs[OUT]]
 
+        # input poll mode decision (dai.c:905-931): all clocked
+        # non-callback inputs misaligned -> pace reads with short sleeps
+        clocked_in = [i for i in self.devices[IN]
+                      if i.uses_sample_clock and not i.is_callback]
+        self._poll_mode = (bool(clocked_in)
+                           and all(i.bad_alignment for i in clocked_in))
+        if self._poll_mode:
+            if not conf.allow_poll_mode:
+                raise EngineError(
+                    "sound input hardware requires poll mode to be "
+                    "activated but current configuration does not allow "
+                    "it (allow_poll_mode: false;)")
+            if not getattr(conf, "quiet", False):
+                sys.stderr.write("Input poll mode activated\n")
+
     # ----- logic modules -------------------------------------------------
     def attach_logic(self):
         from ..control import load_logic_module
@@ -350,7 +365,7 @@ class Engine:
         for di, dev in enumerate(conf.iodevs[IN]):
             inst = self.devices[IN][di]
             want = N * self._in_framebytes[di]
-            raw = inst.read(want)
+            raw = self._read_device(inst, want, self._in_framebytes[di])
             got_frames = len(raw) // self._in_framebytes[di]
             if got_frames < N:
                 frames = min(frames, got_frames)
@@ -559,6 +574,35 @@ class Engine:
             self._gain_version = ver
         return self._in_gain, self._out_gain
 
+    def _read_device(self, inst, want: int, framebytes: int) -> bytes:
+        """One device's fragment read; in poll mode, nanosleep-paced
+        accumulation of nonblocking partial reads (dai.c:1198-1230,
+        sleep tiers verbatim)."""
+        if not (self._poll_mode and inst.bad_alignment):
+            return inst.read(want)
+        out = b""
+        first = True
+        while len(out) < want:
+            if not first:
+                usec = ((want - len(out)) // framebytes * 1_000_000
+                        // self.conf.sampling_rate)
+                if usec > 40000:
+                    time.sleep(usec / 1e6)
+                elif usec > 20000:
+                    time.sleep(0.010)
+                elif usec > 2050:
+                    time.sleep(0.002)
+                elif usec > 50:
+                    time.sleep((usec - 50) / 1e6)
+            first = False
+            chunk = inst.read_nonblock(want - len(out))
+            if chunk is None:
+                continue
+            if chunk == b"":
+                break  # EOF
+            out += chunk
+        return out
+
     def read_block_dio(self):
         """Read raw words per input device for the device-side codec path."""
         conf = self.conf
@@ -568,7 +612,7 @@ class Engine:
         for di, dev in enumerate(conf.iodevs[IN]):
             inst = self.devices[IN][di]
             want = N * self._in_framebytes[di]
-            raw = inst.read(want)
+            raw = self._read_device(inst, want, self._in_framebytes[di])
             got = len(raw) // self._in_framebytes[di]
             if got < N:
                 frames = min(frames, got)

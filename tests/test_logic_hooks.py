@@ -170,3 +170,79 @@ register_logic_module("blinker", lambda params, engine: Blinker(params, engine))
     assert inst.blocks[:3] == [0, 1, 2]
     ok, msg = inst.command("hello")
     assert ok and msg == "blink hello"
+
+
+def _poll_input_cls(x_bytes, drip):
+    """A clocked, misaligned input device delivering data in dribs."""
+    from brutefir_tpu.io import IoDevice
+    from brutefir_tpu.core.sampleformat import parse_sample_format
+
+    class PollIn(IoDevice):
+        uses_sample_clock = True
+        bad_alignment = True
+        calls = {"nonblock": 0, "none": 0}
+
+        def __init__(self, params, io, sample_format, sample_rate,
+                     open_channels):
+            super().__init__(params, io, parse_sample_format("FLOAT_NE"),
+                             sample_rate, open_channels)
+            self.pos = 0
+
+        def read_nonblock(self, nbytes):
+            PollIn.calls["nonblock"] += 1
+            if PollIn.calls["nonblock"] % 3 == 0:
+                PollIn.calls["none"] += 1
+                return None  # EAGAIN analog
+            if self.pos >= len(x_bytes):
+                return b""   # EOF
+            chunk = x_bytes[self.pos: self.pos + min(drip, nbytes)]
+            self.pos += len(chunk)
+            return chunk
+
+        def read(self, nbytes):
+            raise AssertionError("poll mode must use read_nonblock")
+
+    return PollIn
+
+
+def test_input_poll_mode(tmp_path, rng):
+    """allow_poll_mode + misaligned clocked input: paced nonblocking reads
+    assemble full fragments (dai.c:1198-1230)."""
+    from brutefir_tpu.io import register_io_module
+    N = 64
+    x = rng.standard_normal(N * 3).astype("<f4")
+    cls = _poll_input_cls(x.tobytes(), drip=100)
+    register_io_module("pollin", cls)
+    outp = tmp_path / "out.f32"
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N};
+allow_poll_mode: true;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "pollin" {{ }}; sample: "FLOAT_NE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    Engine(conf).run()
+    y = np.fromfile(outp, dtype="<f4")
+    np.testing.assert_allclose(y, x, atol=1e-5)
+    assert cls.calls["none"] > 0  # the EAGAIN path was really exercised
+
+
+def test_poll_mode_refused_when_not_allowed(tmp_path, rng):
+    from brutefir_tpu.io import register_io_module
+    from brutefir_tpu.runtime.engine import EngineError
+    N = 64
+    cls = _poll_input_cls(b"\0" * (N * 4), drip=64)
+    register_io_module("pollin2", cls)
+    outp = tmp_path / "out.f32"
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N};
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "pollin2" {{ }}; sample: "FLOAT_NE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    with pytest.raises(EngineError, match="poll mode"):
+        Engine(conf)
