@@ -165,3 +165,106 @@ def test_sharded_pallas_degrades_on_indivisible():
     mesh = make_mesh(jax.devices()[:8], f_axis=4)
     sg = ShardedGraph(cg, mesh)
     assert sg.mac == "jnp"
+
+
+def test_sharded_kitchensink_semantics(rng):
+    """Crossfade, pre-delay (delayblocks), partition masks (cblocks) and
+    the powersave gate all match single-device under the 2x4 mesh
+    (the bench4-style semantic surface of bfrun.c:1420-2083)."""
+    N, B, C = 128, 4, 8
+    t1 = rng.standard_normal(N * B).astype(np.float32) * 0.1
+    t2 = rng.standard_normal(N * B).astype(np.float32) * 0.1
+    spec = build_graph_spec(N, B, C, C, [[] for _ in range(C)],
+                            [True] * C, powersave=True)
+    bank = make_bank([partconv.preprocess_coeffs(t1, N, B),
+                      partconv.preprocess_coeffs(t2, N, B)])
+
+    delay = np.array([0, 1, 2, 3, 0, 1, 0, 0], np.int32)   # pre-delay blocks
+    mask = np.ones((C, B), np.float32)
+    mask[2, 2:] = 0.0                                       # cblocks clamp
+    mask[5, 1:] = 0.0
+    ps = np.zeros(C, np.float32)
+    ps[6] = 1e6  # absurd threshold: channel 6 永 gated to silence
+    base = dict(
+        in_mix=np.eye(C, dtype=np.float32),
+        fmix=np.zeros((C, C), np.float32),
+        out_mix=np.eye(C, dtype=np.float32),
+        delay=delay, mask=mask)
+
+    ctrl_a = make_ctrl(spec, coeff_idx=np.zeros(C, np.int32),
+                       ps_thresh=ps, **base)
+    # block 3: filters all swap 0 -> 1 with crossfade
+    ctrl_b = make_ctrl(spec, coeff_idx=np.ones(C, np.int32),
+                       prev_idx=np.zeros(C, np.int32), prev_mask=mask,
+                       xfade=np.ones(C, np.float32), ps_thresh=ps, **base)
+    ctrl_c = make_ctrl(spec, coeff_idx=np.ones(C, np.int32),
+                       ps_thresh=ps, **base)
+    ctrls = [ctrl_a, ctrl_a, ctrl_a, ctrl_b, ctrl_c, ctrl_c]
+    xs = rng.standard_normal((6, C, N)).astype(np.float32)
+
+    cg = CompiledGraph(spec, mac="jnp")
+    st = cg.init_state()
+    single = []
+    for xb, ct in zip(xs, ctrls):
+        st, y = cg.step(st, ct, jnp.asarray(bank), jnp.asarray(xb))
+        single.append(np.asarray(y))
+    assert np.allclose(single[0][6], 0.0)  # powersave gate really active
+
+    mesh = make_mesh(jax.devices()[:8], f_axis=2)
+    sg = ShardedGraph(cg, mesh)
+    sst = sg.init_state()
+    _, sbank, _ = sg.place(ctrls[0], jnp.asarray(bank), jnp.asarray(xs[0]))
+    for xb, ct, ref in zip(xs, ctrls, single):
+        sct, _, _ = sg.place(ct, sbank, jnp.asarray(xb))
+        sst, y = sg.step(sst, sct, sbank, jnp.asarray(xb))
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=2e-4)
+
+
+def test_engine_on_mesh_with_eq_and_cli(tmp_path, rng):
+    """Full Engine run under a mesh with EQ rendering and a CLI script
+    changing attenuation mid-run: sharded output == single-device output."""
+    import scipy.signal  # noqa: F401  (env check)
+    from brutefir_tpu.config import parse_config
+    from brutefir_tpu.runtime import Engine
+
+    N, B, C = 128, 4, 4
+    taps = (rng.standard_normal(N * B) * 0.1).astype(np.float32)
+    tap_file = tmp_path / "t.txt"
+    tap_file.write_text("\n".join(repr(float(v)) for v in taps))
+    x = rng.standard_normal((C, N * 8)).astype(np.float32) * 0.3
+    chans = ",".join(str(i) for i in range(C))
+    filters = "\n".join(
+        f"filter {i} {{ from_inputs: {i}; to_outputs: {i}; "
+        f"coeff: {'0' if i else '1'}; }};" for i in range(C))
+
+    outs = {}
+    for mode in ("single", "mesh"):
+        inp, outp = tmp_path / f"in_{mode}.f32", tmp_path / f"out_{mode}.f32"
+        np.ascontiguousarray(x.T.astype("<f4")).tofile(inp)
+        conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+logic: "eq" {{ coeff: 1, 2; bands: 100, 1000, 10000; magnitude: 1000/-3; }},
+       "cli" {{ script: "sleep b3
+cfoa 2 2 -6
+sleep b20"; }};
+coeff 0 {{ filename: "{tap_file}"; format: "TEXT"; }};
+coeff 1 {{ filename: "dirac pulse"; shared_mem: true; }};
+coeff 2 {{ filename: "dirac pulse"; shared_mem: true; }};
+input {chans} {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: {C}; }};
+output {chans} {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: {C}; }};
+{filters}
+""")
+        mesh = (make_mesh(jax.devices()[:8], f_axis=2)
+                if mode == "mesh" else None)
+        Engine(conf, mesh=mesh).run()
+        outs[mode] = np.fromfile(outp, dtype="<f4").reshape(-1, C).T
+    np.testing.assert_allclose(outs["mesh"], outs["single"],
+                               rtol=0, atol=2e-4)
+    # the cfoa -6 dB *attenuation* is a 2x boost; late blocks of channel
+    # 2 must sit ~2x relative to the plain convolution (script not a no-op)
+    import scipy.signal
+    full = scipy.signal.fftconvolve(x[2], taps)[: x.shape[1]]
+    ratio = (np.sqrt(np.mean(outs["single"][2, 6 * N:] ** 2))
+             / np.sqrt(np.mean(full[6 * N:] ** 2)))
+    assert 1.9 < ratio < 2.1
