@@ -233,7 +233,11 @@ class Engine:
         self._has_timed_hooks = False  # set when a logic module defines them
         # debug timeline ring (print_debug analog, bfrun.c:230-434):
         # (wall time, event, blockcounter) per pipeline event, dumped at exit
-        self._debug_ring = [] if conf.debug else None
+        if conf.debug:
+            from collections import deque
+            self._debug_ring = deque(maxlen=4096)  # O(1) trim per event
+        else:
+            self._debug_ring = None
 
         from .device_io import eligible as _dio_eligible, DeviceIO
         # the device-IO wrapper is single-device; the sharded path uses
@@ -838,7 +842,6 @@ class Engine:
             t0 = time.perf_counter()
             if self._debug_ring is not None:
                 self._debug_ring.append((t0, "r_input", self.blockcounter))
-                del self._debug_ring[:-4096]
             self._block_start_hooks()
             if pq is not None:
                 xw, frames = pq.get()
@@ -1144,7 +1147,7 @@ class Engine:
         t0 = self._debug_ring[0][0] if self._debug_ring else 0.0
         sys.stderr.write("debug timeline (last %d events):\n"
                          % len(self._debug_ring))
-        for ts, ev, blk in self._debug_ring[-64:]:
+        for ts, ev, blk in list(self._debug_ring)[-64:]:
             sys.stderr.write(f"  {1e3 * (ts - t0):12.3f} ms  {ev:<10s} "
                              f"block {blk}\n")
 
@@ -1159,9 +1162,34 @@ class Engine:
 
     def _print_stage_table(self):
         t = self._stage_t / max(self._stage_blocks, 1) * 1e3
-        sys.stderr.write(
-            f"decode/ms {t[0]:9.3f} | device/ms {t[1]:9.3f} | "
-            f"encode/ms {t[2]:9.3f} | total/ms {t[3]:9.3f} | "
-            f"rti {self.realtime_index:6.3f}\n")
+        if os.environ.get("BRUTEFIR_TPU_STAGE_BREAKDOWN"):
+            # 8-column parity with the reference's benchmark table
+            # (bfrun.c:2035-2078): the fused device bucket is apportioned
+            # by per-op slopes calibrated once at the engine's shapes
+            if not hasattr(self, "_stage_slopes"):
+                from .stageprobe import device_stage_slopes, STAGES
+                self._stage_slopes = device_stage_slopes(
+                    self.spec, self.cg.mac, self.bank)
+                tot = sum(self._stage_slopes.values())
+                sys.stderr.write(
+                    "device stage calibration (ms/block): "
+                    + " ".join(f"{k} {self._stage_slopes[k] * 1e3:.3f}"
+                               for k in STAGES)
+                    + f"  (sum {tot * 1e3:.3f})\n")
+            from .stageprobe import STAGES
+            sl = self._stage_slopes
+            tot = sum(sl.values()) or 1.0
+            parts = {k: t[1] * sl[k] / tot for k in STAGES}
+            sys.stderr.write(
+                f"decode {t[0]:7.3f} | "
+                + " | ".join(f"{k} {parts[k]:7.3f}" for k in STAGES)
+                + f" | encode {t[2]:7.3f} | total {t[3]:7.3f} | "
+                f"rti {self.realtime_index:6.3f}  "
+                "(ms; device split calibrated)\n")
+        else:
+            sys.stderr.write(
+                f"decode/ms {t[0]:9.3f} | device/ms {t[1]:9.3f} | "
+                f"encode/ms {t[2]:9.3f} | total/ms {t[3]:9.3f} | "
+                f"rti {self.realtime_index:6.3f}\n")
         self._stage_t[:] = 0
         self._stage_blocks = 0

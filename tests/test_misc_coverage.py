@@ -180,3 +180,27 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
     assert len(y) == 4 * N
     for b in range(4):
         np.testing.assert_allclose(y[b * N: (b + 1) * N], seg, atol=1e-5)
+
+
+def test_benchmark_stage_breakdown_table(tmp_path, rng, monkeypatch, capfd):
+    """BRUTEFIR_TPU_STAGE_BREAKDOWN=1 prints the 8-column table
+    (reference bfrun.c:2035-2078 parity; device split calibrated)."""
+    monkeypatch.setenv("BRUTEFIR_TPU_STAGE_BREAKDOWN", "1")
+    N = 128
+    x = rng.standard_normal(N * 12).astype(np.float32) * 0.2
+    inp = tmp_path / "in.f32"
+    x.astype("<f4").tofile(inp)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},2;
+benchmark: true;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "/dev/null"; }}; sample: "FLOAT_LE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    Engine(conf).run()
+    err = capfd.readouterr().err
+    assert "device stage calibration" in err
+    for col in ("t2f", "mix1", "conv", "mix2", "f2t", "decode", "encode"):
+        assert col in err
