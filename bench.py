@@ -141,7 +141,20 @@ def make_probe(eng):
 def xtc_latency(sink):
     """The reference's minimum-latency benchmark shape (brutefir.html
     latency table: 64-sample partitions x 128 -> 3 ms at 60% CPU on its
-    hardware). Reports p50 block time and rti at 64x64."""
+    hardware). Reports p50/p95 block time and rti at 64x64, plus two
+    same-session floors that calibrate the remote transport's share:
+
+    * step_floor_ms: the compiled step re-dispatched on pre-uploaded
+      words (execute RPC + device work only);
+    * transport_floor_ms: one tiny fresh upload + one trivial execute
+      per block, nothing else -- the naive per-block h2d+exec cost.
+
+    The engine's upload pool overlaps transfers, so mean_block_ms_forced
+    typically lands BETWEEN step_floor and transport_floor; on a local
+    PCIe chip both floors are tens of microseconds (tools/lat_probe.py
+    layer analysis)."""
+    import jax
+    import jax.numpy as jnp
     from brutefir_tpu.config import parse_config
     from brutefir_tpu.runtime import Engine
     conf = parse_config(XTC_CONFIG)
@@ -153,14 +166,48 @@ def xtc_latency(sink):
     stats = eng.run(max_blocks=530, setup=False, sink_output=sink)
     probe(1)
     forced_mean = (time.perf_counter() - t0 - probe_cost) / 500
+
+    # same-session floors (see docstring)
+    words_np, _ = eng.read_block_dio()
+    words = [jnp.asarray(w) for w in words_np]
+    with eng.control_mutex:
+        ctrl = eng.control.snapshot()
+        g0, g1 = eng._mute_gains()
+    for _ in range(2):
+        eng.state, o, m, nk = eng.dio.step(eng.state, ctrl, g0, g1,
+                                           eng.bank, words)
+    t0 = time.perf_counter()
+    for _ in range(200):
+        eng.state, o, m, nk = eng.dio.step(eng.state, ctrl, g0, g1,
+                                           eng.bank, words)
+    probe(2)
+    step_floor = (time.perf_counter() - t0 - probe_cost) / 200
+
+    tiny = np.zeros((64, 2, 3), np.uint8)
+
+    @jax.jit
+    def triv(acc, w):
+        return acc + jnp.sum(w.astype(jnp.float32)) * 1e-9
+
+    acc = triv(jnp.zeros((8,), jnp.float32), jnp.asarray(tiny))
+    t0 = time.perf_counter()
+    for i in range(200):
+        acc = triv(acc, jnp.asarray(tiny + np.uint8(i % 3)))
+    probe(3)
+    transport_floor = (time.perf_counter() - t0 - probe_cost) / 200
     eng.teardown()
+
     budget_ms = 64 / RATE * 1e3
     return {
         "partition": "64x64 (2.9 ms I/O delay)",
         "p50_block_ms": round(stats["p50_block_ms"], 3),
+        "p95_block_ms": round(stats["p95_block_ms"], 3),
         "mean_block_ms_forced": round(forced_mean * 1e3, 3),
+        "step_floor_ms": round(step_floor * 1e3, 3),
+        "transport_floor_ms": round(transport_floor * 1e3, 3),
         "block_budget_ms": round(budget_ms, 3),
         "rti_p50": round(stats["p50_block_ms"] / budget_ms, 3),
+        "rti_p95": round(stats["p95_block_ms"] / budget_ms, 3),
     }
 
 

@@ -714,8 +714,14 @@ class Engine:
         import queue
         wq: "queue.Queue" = queue.Queue(maxsize=2)
         wstats = {"frames": 0, "err": None}
+        # Pacing sync ~once per second of audio (not a fixed block count):
+        # at small N a fixed 64-block interval spends a transport round
+        # trip every 93 ms of audio, and the writer stall backs up the
+        # dispatch queue -- the measured low-latency tail spikes
+        # (tools/lat_probe.py). Backlog stays bounded at ~1 s of blocks.
+        default_drain = max(64, self.conf.sampling_rate // N)
         drain_every = max(1, int(os.environ.get(
-            "BRUTEFIR_TPU_DRAIN_EVERY", "64")))
+            "BRUTEFIR_TPU_DRAIN_EVERY", str(default_drain))))
         sink_pending = {"last": None, "n": 0}
 
         def sink_drain(result, force=False):
@@ -790,6 +796,8 @@ class Engine:
             "rti_max": self._rti_max,
             "p50_block_ms": float(np.median(self._periods) * 1e3)
             if self._periods else 0.0,
+            "p95_block_ms": float(np.percentile(self._periods, 95) * 1e3)
+            if self._periods else 0.0,
             "overflows": [o.n_overflows for o in self.overflow],
             "peak_db": [o.peak_db() for o in self.overflow],
         }
@@ -810,11 +818,24 @@ class Engine:
         if self.dio is not None and sink_output:
             pq = queue.Queue(maxsize=3)
 
+            # Uploads pipeline across threads on the remote transport
+            # (tools/upload_probe.py: 2 concurrent device_puts run at ~2x
+            # one), so a small pool pre-places block k+1..k+3 while the
+            # main thread dispatches block k; the queue carries futures to
+            # keep block order. The main loop then dispatches on device-
+            # resident words -- the execute RPC is the only per-block
+            # message on its critical path.
+            from concurrent.futures import ThreadPoolExecutor
+            up_pool = ThreadPoolExecutor(max_workers=2)
+
+            def upload(ws):
+                return [jnp.asarray(w) for w in ws]
+
             def producer():
                 try:
                     while not pstate["stop"]:
                         xw, f = self.read_block_dio()
-                        item = ([jnp.asarray(w) for w in xw], f)
+                        item = (up_pool.submit(upload, xw), f)
                         while not pstate["stop"]:
                             try:
                                 pq.put(item, timeout=0.5)
@@ -826,7 +847,7 @@ class Engine:
                 except Exception as e:
                     pstate["err"] = e
                     try:
-                        pq.put_nowait(([], 0))
+                        pq.put_nowait((None, 0))
                     except queue.Full:
                         pass
 
@@ -844,9 +865,10 @@ class Engine:
                 self._debug_ring.append((t0, "r_input", self.blockcounter))
             self._block_start_hooks()
             if pq is not None:
-                xw, frames = pq.get()
+                fut, frames = pq.get()
                 if pstate["err"] is not None:
                     raise pstate["err"]
+                xw = fut.result() if fut is not None else []
             elif self.dio is not None:
                 xw, frames = self.read_block_dio()
             else:
@@ -862,9 +884,12 @@ class Engine:
                     ctrl = self.control.snapshot()
                     gains = self._mute_gains()
                 if self.dio is not None:
+                    # numpy words go straight into the jitted call: the
+                    # h2d transfer rides the execute RPC instead of a
+                    # synchronous per-block device_put (upload_probe.py)
                     self.state, outs, meters, nan_ok = self.dio.step(
                         self.state, ctrl, gains[0], gains[1], self.bank,
-                        [jnp.asarray(w) for w in xw])
+                        list(xw))
                     pending_item = ("dio", outs, meters, nan_ok, frames)
                 else:
                     out_snap = (list(self.control.delay[OUT]),
@@ -881,7 +906,7 @@ class Engine:
                             self.state, self._placed_ctrl, self.bank, sx)
                     else:
                         self.state, y_dev = self.cg.step(
-                            self.state, ctrl, self.bank, jnp.asarray(x))
+                            self.state, ctrl, self.bank, x)
                     pending_item = ("host", y_dev, frames, out_snap)
                 self.blockcounter += 1
             t2 = time.perf_counter()
@@ -929,6 +954,7 @@ class Engine:
             except queue.Empty:
                 pass
             pth.join(timeout=10.0)
+            up_pool.shutdown(wait=False)
 
     def run_offline(self, max_blocks=None, batch_blocks: int = 8,
                     sink_output: bool = False, setup: bool = True):
@@ -1134,6 +1160,8 @@ class Engine:
             "xrt": (frames_out / conf.sampling_rate) / elapsed
             if elapsed > 0 else 0.0,
             "p50_block_ms": float(np.median(self._periods) * 1e3)
+            if self._periods else 0.0,
+            "p95_block_ms": float(np.percentile(self._periods, 95) * 1e3)
             if self._periods else 0.0,
             "rti_max": self._rti_max,
             "overflows": [o.n_overflows for o in self.overflow],
