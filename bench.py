@@ -258,8 +258,9 @@ def main():
         with eng.control_mutex:
             c0 = eng.control.snapshot()
             g0 = eng._mute_gains()
+            uni = eng.control.snapshot_uniform
         M_DEV = 80
-        mstep = eng.dio.multi_step(M_DEV)
+        mstep = eng.dio.multi_step(M_DEV, uniform=uni)
         dstacks = [jnp.zeros((M_DEV, N) + eng.dio.in_wire_shape[i],
                              eng.dio.in_wire_dtype[i])
                    for i in range(len(conf.iodevs[0]))]

@@ -81,6 +81,16 @@ class CompiledGraph:
         self._step = jax.jit(functools.partial(_step_impl, spec, mac,
                                                taps=taps),
                              donate_argnums=(0,))
+        # uniform-coefficient fast-path program (all filters share one
+        # coeff row + mask row, chosen per block by the host from its
+        # control snapshot); only the dense MAC differs
+        if mac == "jnp":
+            self._step_u = jax.jit(
+                functools.partial(_step_impl, spec, mac, taps=taps,
+                                  uniform=True),
+                donate_argnums=(0,))
+        else:
+            self._step_u = self._step
 
     def init_state(self) -> StepState:
         s = self.spec
@@ -92,14 +102,15 @@ class CompiledGraph:
             t=jnp.zeros((), jnp.int32),
         )
 
-    def step(self, state: StepState, ctrl: StepCtrl, bank: jax.Array, x: jax.Array):
+    def step(self, state: StepState, ctrl: StepCtrl, bank: jax.Array,
+             x: jax.Array, uniform: bool = False):
         """One block: x [C_in, N] -> (state', y [C_out, N])."""
-        return self._step(state, ctrl, bank, x)
+        return (self._step_u if uniform else self._step)(state, ctrl, bank, x)
 
 
 def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
                bank: jax.Array, x: jax.Array, constrain=None, mesh=None,
-               taps=None):
+               taps=None, uniform=False):
     def tap(name, planes, idx):
         # opt-in frequency-domain module hooks (bfevents input_freqd /
         # pre_convolve / post_convolve / output_freqd, bfmod.h:192-215,
@@ -133,7 +144,14 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
             return pallas_spectral_mac(
                 ring_s, bank, coeff_idx, msk, t, interpret=interp)
         # rotation composed into the coefficient gather: 2.2x faster than
-        # rotating the ring (see partconv.spectral_mac_rollh)
+        # rotating the ring (see partconv.spectral_mac_rollh). The
+        # ``uniform`` program variant (host-selected when every filter
+        # shares one coeff row + mask row, like bench2/massive) gathers
+        # ONE coefficient row and broadcasts it: 0.33 -> 0.23 ms at the
+        # flagship shape (tools/step_ablate.py).
+        if uniform and mesh is None:
+            return partconv.spectral_mac_uniform(ring_s, bank, coeff_idx,
+                                                 msk, t)
         return partconv.spectral_mac_rollh(ring_s, bank, coeff_idx, msk, t)
 
     N = spec.block_length

@@ -213,6 +213,37 @@ def spectral_mac_rollh(ring: jnp.ndarray, bank: jnp.ndarray,
     return jnp.stack([yr, yi], axis=1)             # [F, 2, N]
 
 
+def spectral_mac_uniform(ring: jnp.ndarray, bank: jnp.ndarray,
+                         coeff_idx: jnp.ndarray, mask: jnp.ndarray,
+                         t: jnp.ndarray) -> jnp.ndarray:
+    """spectral_mac_rollh when every filter uses the SAME coefficient row.
+
+    The reference's massive/bench2 workloads drive every filter from one
+    shared coeff (`bench2_config`: 26 filters, `coeff: 0`), and its MAC
+    loop re-reads that coeff per filter out of the CPU cache. The TPU
+    analog: gather ONE [B, 2, N] coefficient row and broadcast it across
+    the filter axis, cutting the bank-side HBM traffic from F*B*2*N to
+    B*2*N (measured 0.12 -> 0.05 ms at the flagship shape,
+    tools/step_breakdown.py). Only valid when coeff_idx and the mask rows
+    are uniform; the host picks this program variant from its control
+    snapshot (a device-side lax.cond was measured 3x SLOWER than the
+    gather -- conditional operands force the 27 MB ring through branch
+    buffers and break XLA's in-place fusion).
+    """
+    B = ring.shape[1]
+    hpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B)
+    H = bank[coeff_idx[0], hpos] * mask[0, hpos][:, None, None]  # [B, 2, N]
+    rr, ri = ring[:, :, 0], ring[:, :, 1]          # [F, B, N]
+    hr, hi = H[None, :, 0], H[None, :, 1]          # [1, B, N]
+    yr = jnp.sum(rr * hr - ri * hi, axis=1)        # [F, N]
+    yi = jnp.sum(rr * hi + ri * hr, axis=1)
+    yr0 = jnp.sum(rr[..., 0] * hr[..., 0], axis=-1)
+    yi0 = jnp.sum(ri[..., 0] * hi[..., 0], axis=-1)
+    yr = yr.at[..., 0].set(yr0)
+    yi = yi.at[..., 0].set(yi0)
+    return jnp.stack([yr, yi], axis=1)             # [F, 2, N]
+
+
 def crossfade_spectra(y_old: jnp.ndarray, y_new: jnp.ndarray, n_fft2: int) -> jnp.ndarray:
     """Seamless coefficient-change crossfade (`convolver_crossfade_inplace`).
 

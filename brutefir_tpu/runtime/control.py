@@ -67,6 +67,10 @@ class RuntimeControl:
         self.mute_version = 0
         self._cached: Optional[StepCtrl] = None
         self._cached_has_xfade = False
+        # True when every filter shares one coeff row + mask row (and
+        # likewise for the crossfade source): the engine then dispatches
+        # the broadcast-MAC program variant (graph/compile.py `uniform`)
+        self.snapshot_uniform = False
 
     # --- mutation API (used by CLI/EQ modules) ---------------------------
     def mark_dirty(self):
@@ -194,4 +198,10 @@ class RuntimeControl:
                                  coeff_idx, mask, prev_idx, prev_mask, xfade,
                                  ps_thresh)
         self._cached_has_xfade = any(xfade_now)
+        self.snapshot_uniform = bool(
+            F > 0
+            and np.all(coeff_idx == coeff_idx[0])
+            and np.all(mask == mask[0:1])
+            and np.all(prev_idx == prev_idx[0])
+            and np.all(prev_mask == prev_mask[0:1]))
         return self._cached

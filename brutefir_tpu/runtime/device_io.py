@@ -10,6 +10,7 @@ reads/writes and transfers shrink to wire format width.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -127,7 +128,8 @@ class DeviceIO:
         in_wire = list(self.in_wire)
         out_wire = list(self.out_wire)
 
-        def full_step(state, ctrl, in_gain, out_gain, bank, in_words):
+        def full_step(state, ctrl, in_gain, out_gain, bank, in_words,
+                      uniform=False):
             xs = []
             for di, (sel, vmap) in enumerate(in_devs):
                 w = in_words[di]
@@ -138,7 +140,8 @@ class DeviceIO:
                     w = w - ((w & 0x800000) << 1)
                 xs.append(decode_words(w, sel, vmap, spec_.real_dtype))
             x = jnp.concatenate(xs, axis=0) * in_gain[:, None]
-            state, y = _step_impl(spec_, mac, state, ctrl, bank, x)
+            state, y = _step_impl(spec_, mac, state, ctrl, bank, x,
+                                  uniform=uniform)
             nan_ok = jnp.all(jnp.isfinite(y[:, 0])) if y.shape[0] else jnp.bool_(True)
             y = y * out_gain[:, None]
             outs = []
@@ -163,20 +166,31 @@ class DeviceIO:
 
         self._full_step = full_step
         self._step = jax.jit(full_step, donate_argnums=(0,))
+        # uniform-coefficient program variant (host-selected, see
+        # graph/compile.py); identical except the broadcast dense MAC
+        if mac == "jnp":
+            self._step_u = jax.jit(
+                functools.partial(full_step, uniform=True),
+                donate_argnums=(0,))
+        else:
+            self._step_u = self._step
         self._multi = {}
 
-    def step(self, state, ctrl, in_gain, out_gain, bank, in_words):
-        return self._step(state, ctrl, in_gain, out_gain, bank, in_words)
+    def step(self, state, ctrl, in_gain, out_gain, bank, in_words,
+             uniform=False):
+        fn = self._step_u if uniform else self._step
+        return fn(state, ctrl, in_gain, out_gain, bank, in_words)
 
-    def multi_step(self, m: int):
+    def multi_step(self, m: int, uniform: bool = False):
         """A scan over m blocks per dispatch (offline throughput mode).
 
         Controls are frozen across the m blocks; the host amortizes the
         dispatch/transfer round trip. Inputs are per-device stacked words
         [m, N, open_ch]; outputs stacked likewise, meters aggregated.
         """
-        if m not in self._multi:
-            fs = self._full_step
+        key = (m, uniform and self._step_u is not self._step)
+        if key not in self._multi:
+            fs = functools.partial(self._full_step, uniform=key[1])
 
             def multi(state, ctrl, in_gain, out_gain, bank, in_words):
                 def body(st, words):
@@ -194,5 +208,5 @@ class DeviceIO:
                     for md in meters)
                 return state, outs, agg, jnp.all(nans)
 
-            self._multi[m] = jax.jit(multi, donate_argnums=(0,))
-        return self._multi[m]
+            self._multi[key] = jax.jit(multi, donate_argnums=(0,))
+        return self._multi[key]

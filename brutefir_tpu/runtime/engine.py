@@ -505,11 +505,44 @@ class Engine:
         for io in (IN, OUT):
             for inst in self.devices[io]:
                 inst.init(self.N)
+        self._warm_programs()
         self._maybe_go_realtime()
         for io in (IN, OUT):
             for inst in self.devices[io]:
                 inst.start()
         self._iodelay_fill()
+
+    def _warm_programs(self):
+        """Pre-compile both step-program variants before clocked devices
+        start, so a runtime control change that flips the uniform-coeff
+        fast path (graph/compile.py) never compiles on the audio path.
+        Clockless (file/offline) runs skip this: they tolerate the lazy
+        first-use compile and tests stay fast."""
+        clocked = any(inst.uses_sample_clock
+                      for io in (IN, OUT) for inst in self.devices[io])
+        if not clocked or self.mesh is not None:
+            return
+        try:
+            with self.control_mutex:
+                ctrl = self.control.snapshot()
+                g0, g1 = self._mute_gains()
+            if self.dio is not None:
+                words = [np.zeros((self.N,) + self.dio.in_wire_shape[i],
+                                  self.dio.in_wire_dtype[i])
+                         for i in range(len(self.conf.iodevs[IN]))]
+                for uni in (False, True):
+                    st = self.cg.init_state()
+                    r = self.dio.step(st, ctrl, g0, g1, self.bank,
+                                      list(words), uniform=uni)
+                    jax.block_until_ready(r[1])
+            else:
+                x = np.zeros((self.conf.n_channels[IN], self.N), self.rd)
+                for uni in (False, True):
+                    st = self.cg.init_state()
+                    _, y = self.cg.step(st, ctrl, self.bank, x, uniform=uni)
+                    jax.block_until_ready(y)
+        except Exception:
+            pass  # warmup is best-effort; the lazy path still works
 
     def _iodelay_fill(self):
         """Pre-write 2 silent fragments to clocked output devices.
@@ -883,13 +916,14 @@ class Engine:
                 with self.control_mutex:
                     ctrl = self.control.snapshot()
                     gains = self._mute_gains()
+                    uni = self.control.snapshot_uniform
                 if self.dio is not None:
                     # numpy words go straight into the jitted call: the
                     # h2d transfer rides the execute RPC instead of a
                     # synchronous per-block device_put (upload_probe.py)
                     self.state, outs, meters, nan_ok = self.dio.step(
                         self.state, ctrl, gains[0], gains[1], self.bank,
-                        list(xw))
+                        list(xw), uniform=uni)
                     pending_item = ("dio", outs, meters, nan_ok, frames)
                 else:
                     out_snap = (list(self.control.delay[OUT]),
@@ -906,7 +940,7 @@ class Engine:
                             self.state, self._placed_ctrl, self.bank, sx)
                     else:
                         self.state, y_dev = self.cg.step(
-                            self.state, ctrl, self.bank, x)
+                            self.state, ctrl, self.bank, x, uniform=uni)
                     pending_item = ("host", y_dev, frames, out_snap)
                 self.blockcounter += 1
             t2 = time.perf_counter()
@@ -974,7 +1008,6 @@ class Engine:
         conf = self.conf
         N = self.N
         M = batch_blocks
-        mstep = self.dio.multi_step(M)
         t_run0 = time.perf_counter()
         self._periods = []
         frames_out = 0
@@ -1104,6 +1137,7 @@ class Engine:
                 with self.control_mutex:
                     ctrl = self.control.snapshot()
                     gains = self._mute_gains()
+                    uni = self.control.snapshot_uniform
                 left = frames if frames < M * N else got_blocks * N
                 for b in range(got_blocks):
                     f = min(N, left - b * N)
@@ -1111,7 +1145,7 @@ class Engine:
                         break
                     self.state, outs1, meters1, nan1 = self.dio.step(
                         self.state, ctrl, gains[0], gains[1], self.bank,
-                        [st[b] for st in dstacks])
+                        [st[b] for st in dstacks], uniform=uni)
                     self.blockcounter += 1
                     while wstats["err"] is None:
                         try:
@@ -1124,6 +1158,8 @@ class Engine:
             with self.control_mutex:
                 ctrl = self.control.snapshot()
                 gains = self._mute_gains()
+                uni = self.control.snapshot_uniform
+            mstep = self.dio.multi_step(M, uniform=uni)
             self.state, outs, meters, nan_ok = mstep(
                 self.state, ctrl, gains[0], gains[1], self.bank, dstacks)
             self.blockcounter += M

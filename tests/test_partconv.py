@@ -226,3 +226,69 @@ def test_spectral_mac_rollh_identical(rng):
                                jnp.int32(t))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=2e-5)
+
+
+def test_spectral_mac_uniform_matches_gather(rng):
+    """The broadcast fast path (all filters sharing one coeff row + mask
+    row, the host-selected `uniform` program variant) matches the
+    per-filter gather MAC exactly."""
+    import jax.numpy as jnp
+    from brutefir_tpu.ops.partconv import (spectral_mac_rollh,
+                                           spectral_mac_uniform)
+    F, B, N, E = 6, 8, 128, 3
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    idx = np.full((F,), 1, np.int32)
+    mask = np.ones((F, B), np.float32)
+    mask[:, 5:] = 0.0  # uniform short-coeff clamp
+    for t in (0, 2, 9):
+        a = spectral_mac_rollh(jnp.asarray(ring), jnp.asarray(bank),
+                               jnp.asarray(idx), jnp.asarray(mask),
+                               jnp.int32(t))
+        b = spectral_mac_uniform(jnp.asarray(ring), jnp.asarray(bank),
+                                 jnp.asarray(idx), jnp.asarray(mask),
+                                 jnp.int32(t))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5)
+
+
+def test_uniform_program_engine_parity(tmp_path, rng):
+    """A full engine run dispatching the uniform-coefficient program
+    produces the same output as one forced onto the general program."""
+    import jax.numpy as jnp
+    from brutefir_tpu.config import parse_config
+    from brutefir_tpu.runtime import Engine
+
+    N, B, C = 64, 4, 2
+    frames = N * 6
+    raw = (rng.standard_normal((frames, C)) * 0.2).astype(np.float32)
+    src = tmp_path / "in.f32"
+    raw.tofile(src)
+    outs = []
+    for force_general in (False, True):
+        dst = tmp_path / f"out{force_general}.f32"
+        conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0,1 {{ device: "file" {{ path: "{src}"; }};
+            sample: "FLOAT_LE"; channels: {C}; }};
+output 0,1 {{ device: "file" {{ path: "{dst}"; }};
+             sample: "FLOAT_LE"; channels: {C}; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
+""")
+        eng = Engine(conf)
+        if force_general:
+            eng.control.snapshot()
+            eng.control.snapshot_uniform = False
+            orig = type(eng.control).snapshot
+
+            def pinned(self, _o=orig):
+                c = _o(self)
+                self.snapshot_uniform = False
+                return c
+            eng.control.snapshot = pinned.__get__(eng.control)
+        eng.run()
+        outs.append(np.fromfile(dst, np.float32))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=1e-6)
