@@ -57,11 +57,57 @@ def unpack_spectrum(Hp):
 
 
 def rfft_packed(x):
-    return pack_spectrum(jnp.fft.rfft(x, axis=-1))
+    """rfft of real ``x [..., 2M]`` -> packed spectrum ``[..., M]``.
+
+    Computed as an M-point *complex* FFT of the even/odd interleave plus
+    an elementwise untangle: XLA:TPU's rfft costs the same as a
+    full-size complex FFT, so halving the transform size halves the
+    dominant per-block cost (measured 0.037 -> 0.022 ms forward and
+    0.048 -> 0.025 ms inverse for 26x16384 f32 on v5e; slope timing,
+    tools/step_breakdown.py). The untangle lands directly in the packed
+    layout (Nyquist in bin 0's imaginary slot), so no full-size
+    [..., 2M] spectrum is ever materialized.
+    """
+    M = x.shape[-1] // 2
+    if x.shape[-1] != 2 * M or M < 2:
+        return pack_spectrum(jnp.fft.rfft(x, axis=-1))
+    pairs = x.reshape(*x.shape[:-1], M, 2)
+    z = jax.lax.complex(pairs[..., 0], pairs[..., 1])
+    Z = jnp.fft.fft(z, axis=-1)
+    # Z[(M-k) % M] conjugated: hermitian counterpart of each bin
+    Zr = jnp.conj(jnp.roll(jnp.flip(Z, axis=-1), 1, axis=-1))
+    Xe = (Z + Zr) * 0.5                       # DFT of even samples
+    Xo = (Z - Zr) * -0.5j                     # DFT of odd samples
+    k = jnp.arange(M)
+    W = jnp.exp(-1j * jnp.pi * k / M).astype(Z.dtype)
+    X = Xe + W * Xo                           # rfft bins 0..M-1
+    dc = X[..., :1].real
+    nyq = Xe[..., :1].real - Xo[..., :1].real  # rfft bin M (real)
+    return jnp.concatenate(
+        [jax.lax.complex(dc, nyq).astype(X.dtype), X[..., 1:]], axis=-1)
 
 
 def irfft_packed(Xp):
-    return jnp.fft.irfft(unpack_spectrum(Xp), axis=-1)
+    """Inverse of :func:`rfft_packed`: packed ``[..., M]`` -> real
+    ``[..., 2M]`` via an M-point complex inverse FFT + interleave."""
+    M = Xp.shape[-1]
+    if M < 2:
+        return jnp.fft.irfft(unpack_spectrum(Xp), axis=-1)
+    dc = Xp[..., :1].real
+    nyq = Xp[..., :1].imag
+    zero = jnp.zeros_like(dc)
+    Xfull = jnp.concatenate(
+        [jax.lax.complex(dc, zero).astype(Xp.dtype), Xp[..., 1:],
+         jax.lax.complex(nyq, zero).astype(Xp.dtype)], axis=-1)  # [..., M+1]
+    Xk = Xfull[..., :M]
+    Xr = jnp.conj(jnp.flip(Xfull[..., 1:], axis=-1))   # X[M-k], k=0..M-1
+    Xe = (Xk + Xr) * 0.5
+    k = jnp.arange(M)
+    Wp = jnp.exp(1j * jnp.pi * k / M).astype(Xp.dtype)
+    Xo = (Xk - Xr) * (0.5 * Wp)
+    z = jnp.fft.ifft(Xe + 1j * Xo, axis=-1)
+    return jnp.stack([z.real, z.imag], axis=-1).reshape(
+        *z.shape[:-1], 2 * M)
 
 
 # --- dual-plane representation -------------------------------------------

@@ -191,10 +191,16 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
         else:
             stats = eng.run()
         outs[mode] = np.fromfile(outp, dtype="<f4")
-    # batched path drops the non-multiple tail by design; compare overlap
+    # batched path drops the non-multiple tail by design; compare overlap.
+    # Tolerance instead of bit-equality: XLA fuses the FFT untangle
+    # (partconv.rfft_packed) differently inside the scan body than in the
+    # single-step program, which perturbs float rounding at the 1e-6
+    # level; each mode remains bit-deterministic run-to-run
+    # (test_determinism.py).
     nb = len(outs["batched"])
     assert nb == 16 * N  # 16 blocks = 4 full batches
-    np.testing.assert_array_equal(outs["batched"], outs["per_block"][:nb])
+    np.testing.assert_allclose(outs["batched"], outs["per_block"][:nb],
+                               rtol=0, atol=2e-6)
 
 
 def test_device_io_path_matches_host_path(tmp_path, rng):
