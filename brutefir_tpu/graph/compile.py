@@ -78,16 +78,21 @@ class CompiledGraph:
             except RuntimeError:
                 mac = "pallas-interpret"
         self.mac = mac
+        # the Pallas MAC owns the lane-tiled persistent-state layout
+        # (GraphSpec.tileable); the dense MAC keeps the flat layout
+        self.tiled = mac.startswith("pallas") and spec.tileable
         self._step = jax.jit(functools.partial(_step_impl, spec, mac,
-                                               taps=taps),
+                                               taps=taps, tiled=self.tiled),
                              donate_argnums=(0,))
         # uniform-coefficient fast-path program (all filters share one
         # coeff row + mask row, chosen per block by the host from its
-        # control snapshot); only the dense MAC differs
-        if mac == "jnp":
+        # control snapshot); only the MAC differs: the dense path gathers
+        # one row and broadcasts, the Pallas path keeps the shared bank
+        # row VMEM-resident across the filter grid
+        if mac == "jnp" or mac.startswith("pallas"):
             self._step_u = jax.jit(
                 functools.partial(_step_impl, spec, mac, taps=taps,
-                                  uniform=True),
+                                  uniform=True, tiled=self.tiled),
                 donate_argnums=(0,))
         else:
             self._step_u = self._step
@@ -97,7 +102,7 @@ class CompiledGraph:
         rd = s.real_dtype
         return StepState(
             prev_in=jnp.zeros((s.n_inputs, s.block_length), rd),
-            ring=jnp.zeros((s.n_filters, s.n_blocks, 2, s.n_bins), rd),
+            ring=jnp.zeros(s.ring_shape(self.tiled), rd),
             eval_prev=jnp.zeros((s.n_casc, s.block_length), rd),
             t=jnp.zeros((), jnp.int32),
         )
@@ -110,7 +115,7 @@ class CompiledGraph:
 
 def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
                bank: jax.Array, x: jax.Array, constrain=None, mesh=None,
-               taps=None, uniform=False):
+               taps=None, uniform=False, tiled=False):
     def tap(name, planes, idx):
         # opt-in frequency-domain module hooks (bfevents input_freqd /
         # pre_convolve / post_convolve / output_freqd, bfmod.h:192-215,
@@ -141,6 +146,10 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
                         interpret=interp)
                 return partconv.spectral_mac_rollh(
                     ring_s, bank, coeff_idx, msk, t)
+            if uniform:
+                from ..ops.pallas_mac import pallas_spectral_mac_uniform
+                return pallas_spectral_mac_uniform(
+                    ring_s, bank, coeff_idx, msk, t, interpret=interp)
             return pallas_spectral_mac(
                 ring_s, bank, coeff_idx, msk, t, interpret=interp)
         # rotation composed into the coefficient gather: 2.2x faster than
@@ -204,7 +213,13 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
         # in-place cbuf[n][curblock] (bfrun.c:1688-1690)
         mixed = tap("pre_convolve", mixed, idx)
         wpos = jnp.mod(t + ctrl.delay[idx], B)             # [Fs]
-        ring = ring.at[idx, wpos].set(mixed)
+        if tiled:
+            # persistent ring stays in the lane-tiled layout; only this
+            # small [Fs, 2, N] block pays the reshape (see partconv MAC)
+            ring = ring.at[idx, wpos].set(
+                mixed.reshape(idx.size, 2, K // 128, 128))
+        else:
+            ring = ring.at[idx, wpos].set(mixed)
 
         # when the stage covers every filter in order, skip the gather copy
         full = idx.size == F and np.array_equal(idx, np.arange(F))

@@ -27,33 +27,40 @@ Measured on TPU v5e ("TPU v5 lite") at the flagship shape (26 filters x
 methodology matters on this hardware path: the remote-device relay acks
 ``block_until_ready`` before execution completes, so naive dispatch-loop
 timings under-report by 10-40x (a 0.54 GB/iter elementwise chain
-"measured" 107 TB/s that way). These numbers run the iteration loop
+"measured" 107 TB/s that way). All numbers below run the iteration loop
 on-device under ``lax.scan`` with a data dependence between iterations
-and force completion with a scalar fetch; per-iteration time is the
-slope between K=16 and K=144 scan lengths, median of 5:
+and force completion with a scalar fetch (slope over scan lengths).
 
-| shape (B=16, N=8192, distinct coeffs) | dense (spectral_mac_rollh) | this kernel (row variant) |
-|---|---|---|
-| F=26 (flagship)  | **0.16 ms** | 0.63 ms |
-| F=64             | 1.00 ms | **0.69 ms** |
-| F=128            | 2.77 ms | **1.41 ms** |
-| F=256            | 6.49 ms | **2.82 ms** |
+Two design points matter (tools/pallas_uniform_probe.py):
 
-The dense path fuses its one remaining gather into the reduction at
-small filter counts and runs at HBM speed-of-light (~700 GB/s effective
-at F=26); at larger F/E the gather materializes and it degrades, while
-this kernel keeps reading ring+bank exactly once -- linear in F
-(~11 us/filter) past a ~0.35 ms fixed cost. The engine picks the kernel
-automatically for TPU configs with >=48 filters selecting mostly
-distinct coefficient sets (`runtime/engine.py`); `BRUTEFIR_TPU_MAC`
-overrides, ``BRUTEFIR_TPU_PALLAS_VARIANT`` picks "row" (whole ring+bank
-rows resident in VMEM, partition loop in-kernel) vs "tile" (grid (F, B),
-one partition per step -- the fallback when rows exceed the VMEM
-budget). Both variants are tested against the dense path (same terms;
-summation order differs to float tolerance).
+* **Static partition unroll.** The in-kernel partition loop is unrolled
+  at trace time (B is a static shape). A `fori_loop` version had a
+  ~0.35 ms fixed cost at F=26 (loop bookkeeping serializing against the
+  VMEM reads); unrolled, the same kernel runs at DMA speed.
+* **Lane-tiled persistent state.** The kernel wants [.., 2, N/128, 128]
+  blocks; reshaping a flat [.., 2, N] ring per call costs a relayout
+  copy (~0.48 ms/block for the 27 MB flagship ring inside a scan). The
+  engine therefore keeps the ring and bank tiled whenever the kernel is
+  selected (CompiledGraph.tiled), and only the small [F, 2, N]
+  per-block spectra pay boundary reshapes (~3-9 us).
+
+MAC-only, in-scan (VMEM-resident ring), flagship shape: **13 us** this
+kernel (uniform or distinct coeffs) vs 95 us dense uniform / 178 us
+dense rollh. Full device step (decode+FFT+MAC+mix+encode+meters,
+device_io.multi_step): **0.167 ms** (uniform) / **0.195 ms** (distinct)
+vs 0.275 ms dense — so on TPU the engine selects this kernel wherever
+it is applicable (f32, lane-aligned bins); off-TPU the dense path stays
+(`runtime/engine.py`). `BRUTEFIR_TPU_MAC` overrides;
+``BRUTEFIR_TPU_PALLAS_VARIANT`` picks "row" (whole ring+bank rows
+resident in VMEM, partition loop in-kernel) vs "tile" (grid (F, B), one
+partition per step -- the fallback when rows exceed the VMEM budget).
+Both variants are tested against the dense path (same terms; summation
+order differs to float tolerance).
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import jax
@@ -86,28 +93,28 @@ def _mac_kernel(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref, out_ref):
 
 
 def _mac_kernel_rowmajor(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref,
-                         out_ref):
+                         out_ref, *, n_part):
     # grid (F,): one step holds a filter's whole ring row [B, 2, R, 128]
-    # and its gathered bank row in VMEM; the partition loop runs in-kernel
-    # with the rotation resolved by dynamic VMEM indexing. One DMA pass
-    # over ring+bank total; the accumulator lives in VMEM (out_ref).
+    # and its gathered bank row in VMEM; the partition loop is STATICALLY
+    # UNROLLED (B is a trace-time constant) with the rotation resolved by
+    # dynamic VMEM indexing, accumulating in vector registers. The unroll
+    # matters: a `fori_loop` version measured a ~0.35 ms fixed cost at
+    # F=26 (loop bookkeeping serializes against the VMEM reads); unrolled,
+    # the same kernel runs at DMA speed (tools/pallas_uniform_probe.py).
     f = pl.program_id(0)
-    B = ring_ref.shape[1]
-    out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
-    out_ref[0, 1] = jnp.zeros_like(out_ref[0, 1])
-
-    def body(b, _):
+    accr = jnp.zeros_like(out_ref[0, 0])
+    acci = jnp.zeros_like(out_ref[0, 1])
+    for b in range(n_part):
         m = mask_ref[f, b]
         rb = rpos_ref[b]
         rr = ring_ref[0, rb, 0]
         ri = ring_ref[0, rb, 1]
         hr = bank_ref[0, b, 0] * m
         hi = bank_ref[0, b, 1] * m
-        out_ref[0, 0] += rr * hr - ri * hi
-        out_ref[0, 1] += rr * hi + ri * hr
-        return 0
-
-    jax.lax.fori_loop(0, B, body, 0)
+        accr += rr * hr - ri * hi
+        acci += rr * hi + ri * hr
+    out_ref[0, 0] = accr
+    out_ref[0, 1] = acci
 
 
 def _rowmajor_call(ring5, bank5, coeff_idx, rpos, maskf, interpret):
@@ -125,22 +132,108 @@ def _rowmajor_call(ring5, bank5, coeff_idx, rpos, maskf, interpret):
                                lambda f, idx, rp, mk: (f, 0, 0, 0)),
     )
     return pl.pallas_call(
-        _mac_kernel_rowmajor,
+        functools.partial(_mac_kernel_rowmajor, n_part=B),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring5.dtype),
         interpret=interpret,
     )(coeff_idx, rpos, maskf, ring5, bank5)
 
 
+def _mac_kernel_uniform(rpos_ref, mask_ref, ring_ref, bank_ref, out_ref,
+                        *, n_part):
+    # grid (F,): like _mac_kernel_rowmajor but every filter shares ONE
+    # bank row [B, 2, R, 128] whose index map is constant in f — Mosaic's
+    # revolving-buffer pipeline then DMAs the bank exactly once for the
+    # whole call, cutting bank traffic from F*B*2*N to B*2*N. The mask is
+    # a single [B] row (uniform across filters) folded in per partition.
+    accr = jnp.zeros_like(out_ref[0, 0])
+    acci = jnp.zeros_like(out_ref[0, 1])
+    for b in range(n_part):
+        m = mask_ref[b]
+        rb = rpos_ref[b]
+        rr = ring_ref[0, rb, 0]
+        ri = ring_ref[0, rb, 1]
+        hr = bank_ref[b, 0] * m
+        hi = bank_ref[b, 1] * m
+        accr += rr * hr - ri * hi
+        acci += rr * hi + ri * hr
+    out_ref[0, 0] = accr
+    out_ref[0, 1] = acci
+
+
+def _uniform_call(ring5, bank_row4, rpos, mask_row, interpret):
+    F, B, _, R, _ = ring5.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec((1, B, 2, R, 128),
+                         lambda f, rp, mk: (f, 0, 0, 0, 0)),
+            pl.BlockSpec((B, 2, R, 128), lambda f, rp, mk: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, R, 128), lambda f, rp, mk: (f, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_mac_kernel_uniform, n_part=B),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring5.dtype),
+        interpret=interpret,
+    )(rpos, mask_row, ring5, bank_row4)
+
+
+def pallas_spectral_mac_uniform(ring: jax.Array, bank: jax.Array,
+                                coeff_idx: jax.Array, mask: jax.Array,
+                                t: jax.Array,
+                                interpret: bool = False) -> jax.Array:
+    """pallas_spectral_mac when every filter uses the same coefficient row.
+
+    Fused-kernel counterpart of partconv.spectral_mac_uniform (the
+    reference's bench2 massive workload drives all 26 filters from one
+    coeff, bfconf `coeff: 0`): the shared [B, 2, N] bank row is gathered
+    once (already rotation-composed via ``rpos`` on the ring side — the
+    kernel rotates the *ring* read, so the bank row is taken unrotated)
+    and stays VMEM-resident across the filter grid. Signature matches
+    spectral_mac_uniform; only ``coeff_idx[0]`` / ``mask[0]`` are read.
+    """
+    if ring.ndim == 5:
+        F, B, _, R, _ = ring.shape
+        N = R * 128
+        ring5 = ring
+        bank_row = bank[coeff_idx[0]].reshape(B, 2, R, 128)
+    else:
+        F, B, _, N = ring.shape
+        R = N // 128
+        ring5 = ring.reshape(F, B, 2, R, 128)
+        bank_row = bank[coeff_idx[0]].reshape(B, 2, R, 128)
+    rpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B).astype(jnp.int32)
+    mask_row = mask[0].astype(ring.dtype)
+    y5 = _uniform_call(ring5, bank_row, rpos, mask_row, interpret)
+    y = y5.reshape(F, 2, N)
+    y0r, y0i = _bin0(ring, bank, coeff_idx, mask, rpos)
+    return y.at[:, 0, 0].set(y0r).at[:, 1, 0].set(y0i)
+
+
 def _mac_core(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
               mask: jax.Array, rpos: jax.Array,
               interpret: bool = False) -> jax.Array:
-    """The kernel proper: all bins as normal complex lanes (no bin-0 patch)."""
-    F, B, _, N = ring.shape
-    E = bank.shape[0]
-    R = N // 128
-    ring5 = ring.reshape(F, B, 2, R, 128)
-    bank5 = bank.reshape(E, B, 2, R, 128)
+    """The kernel proper: all bins as normal complex lanes (no bin-0 patch).
+
+    Accepts ring/bank in the engine's tiled layout [.., 2, N/128, 128]
+    (preferred: no relayout) or untiled [.., 2, N] (reshaped here — fine
+    for one-shot calls, but a reshape of the flagship ring inside a scan
+    measured ~0.48 ms/block, so persistent state should stay tiled).
+    """
+    if ring.ndim == 5:
+        F, B, _, R, _ = ring.shape
+        N = R * 128
+        ring5 = ring
+        bank5 = (bank if bank.ndim == 5
+                 else bank.reshape(bank.shape[0], B, 2, R, 128))
+    else:
+        F, B, _, N = ring.shape
+        R = N // 128
+        ring5 = ring.reshape(F, B, 2, R, 128)
+        bank5 = bank.reshape(bank.shape[0], B, 2, R, 128)
     maskf = mask.astype(ring.dtype)
 
     # Variant: "row" keeps a filter's whole [B, 2, N] ring+bank rows in
@@ -179,8 +272,10 @@ def _mac_core(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
 
 def _bin0(ring, bank, coeff_idx, mask, rpos):
     """Bin 0 packs DC and Nyquist: real/imag planes multiply independently."""
-    rot0 = jnp.take(ring[:, :, :, 0], rpos, axis=1)          # [F, B, 2]
-    h0 = jnp.take(bank[:, :, :, 0], coeff_idx, axis=0) * mask[:, :, None]
+    r0 = ring[..., 0, 0] if ring.ndim == 5 else ring[..., 0]   # [F, B, 2]
+    b0 = bank[..., 0, 0] if bank.ndim == 5 else bank[..., 0]   # [E, B, 2]
+    rot0 = jnp.take(r0, rpos, axis=1)                          # [F, B, 2]
+    h0 = jnp.take(b0, coeff_idx, axis=0) * mask[:, :, None]
     y0r = jnp.sum(rot0[:, :, 0] * h0[:, :, 0], axis=1)
     y0i = jnp.sum(rot0[:, :, 1] * h0[:, :, 1], axis=1)
     return y0r, y0i
@@ -226,10 +321,17 @@ def pallas_spectral_mac_shmap(mesh, ring, bank, coeff_idx, mask, t,
         y = y.at[:, 1, 0].set(jnp.where(is0, y0i, y[:, 1, 0]))
         return y
 
+    if ring.ndim == 5:
+        # tiled layout: 'sp' shards the tile-row axis R (same bins, same
+        # granularity — contiguous 128-bin groups)
+        ring_spec = P("f", None, None, "sp", None)
+        bank_spec = P(None, None, None, "sp", None)
+    else:
+        ring_spec = P("f", None, None, "sp")
+        bank_spec = P(None, None, None, "sp")
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("f", None, None, "sp"), P(None, None, None, "sp"),
-                  P("f"), P("f", None), P()),
+        in_specs=(ring_spec, bank_spec, P("f"), P("f", None), P()),
         out_specs=P("f", None, "sp"),
         check_vma=False,
     )(ring, bank, coeff_idx.astype(jnp.int32), mask, t)

@@ -239,23 +239,33 @@ def spectral_mac_rollh(ring: jnp.ndarray, bank: jnp.ndarray,
     spectral_mac; the partition summation order differs by the rotation,
     so outputs match to float accumulation tolerance.
 
-    ring: [F, B, 2, N]   bank: [E, B, 2, N]   coeff_idx: [F] i32
+    ring: [F, B, 2, N] -- or the tiled layout [F, B, 2, N/128, 128] (the
+    engine keeps the persistent ring tiled so the Pallas MAC and the
+    scan-batched paths never pay an N -> (N/128, 128) relayout; a reshape
+    of the 27 MB flagship ring inside a scan measured ~0.48 ms/block).
+    bank: [E, B, 2, N] (tiled likewise when the ring is)
+    coeff_idx: [F] i32
     mask: [F, B] partition validity (follows the *coefficient* partition
     index, i.e. it is gathered with the same rotation)   t: scalar i32
+    Returns [F, 2, N] packed spectra (untiled).
     """
     B = ring.shape[1]
+    if bank.ndim != ring.ndim:   # callers may pass an untiled bank
+        bank = bank.reshape(bank.shape[:1] + ring.shape[1:])
     hpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B)
+    mg = mask[:, hpos].astype(ring.dtype)
     H = (bank[coeff_idx[:, None], hpos[None, :]]
-         * mask[:, hpos][:, :, None, None].astype(ring.dtype))
-    rr, ri = ring[:, :, 0], ring[:, :, 1]          # [F, B, N]
+         * mg.reshape(mg.shape + (1,) * (ring.ndim - 2)))
+    rr, ri = ring[:, :, 0], ring[:, :, 1]          # [F, B, N] or [F, B, R, 128]
     hr, hi = H[:, :, 0], H[:, :, 1]
-    yr = jnp.sum(rr * hr - ri * hi, axis=1)        # [F, N]
+    yr = jnp.sum(rr * hr - ri * hi, axis=1)        # [F, N] / [F, R, 128]
     yi = jnp.sum(rr * hi + ri * hr, axis=1)
     # bin 0: DC and Nyquist are independent real products
-    yr0 = jnp.sum(rr[..., 0] * hr[..., 0], axis=-1)
-    yi0 = jnp.sum(ri[..., 0] * hi[..., 0], axis=-1)
-    yr = yr.at[..., 0].set(yr0)
-    yi = yi.at[..., 0].set(yi0)
+    b0 = (Ellipsis, 0) if ring.ndim == 4 else (Ellipsis, 0, 0)
+    yr0 = jnp.sum(rr[b0] * hr[b0], axis=-1)
+    yi0 = jnp.sum(ri[b0] * hi[b0], axis=-1)
+    yr = yr.reshape(yr.shape[0], -1).at[:, 0].set(yr0)
+    yi = yi.reshape(yi.shape[0], -1).at[:, 0].set(yi0)
     return jnp.stack([yr, yi], axis=1)             # [F, 2, N]
 
 
@@ -277,16 +287,21 @@ def spectral_mac_uniform(ring: jnp.ndarray, bank: jnp.ndarray,
     buffers and break XLA's in-place fusion).
     """
     B = ring.shape[1]
+    if bank.ndim != ring.ndim:   # callers may pass an untiled bank
+        bank = bank.reshape(bank.shape[:1] + ring.shape[1:])
     hpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B)
-    H = bank[coeff_idx[0], hpos] * mask[0, hpos][:, None, None]  # [B, 2, N]
-    rr, ri = ring[:, :, 0], ring[:, :, 1]          # [F, B, N]
-    hr, hi = H[None, :, 0], H[None, :, 1]          # [1, B, N]
-    yr = jnp.sum(rr * hr - ri * hi, axis=1)        # [F, N]
+    mrow = mask[0, hpos]
+    H = (bank[coeff_idx[0], hpos]
+         * mrow.reshape(mrow.shape + (1,) * (ring.ndim - 2)))  # [B, 2, ...]
+    rr, ri = ring[:, :, 0], ring[:, :, 1]          # [F, B, N] / [F, B, R, 128]
+    hr, hi = H[None, :, 0], H[None, :, 1]          # [1, B, ...]
+    yr = jnp.sum(rr * hr - ri * hi, axis=1)        # [F, N] / [F, R, 128]
     yi = jnp.sum(rr * hi + ri * hr, axis=1)
-    yr0 = jnp.sum(rr[..., 0] * hr[..., 0], axis=-1)
-    yi0 = jnp.sum(ri[..., 0] * hi[..., 0], axis=-1)
-    yr = yr.at[..., 0].set(yr0)
-    yi = yi.at[..., 0].set(yi0)
+    b0 = (Ellipsis, 0) if ring.ndim == 4 else (Ellipsis, 0, 0)
+    yr0 = jnp.sum(rr[b0] * hr[b0], axis=-1)
+    yi0 = jnp.sum(ri[b0] * hi[b0], axis=-1)
+    yr = yr.reshape(yr.shape[0], -1).at[:, 0].set(yr0)
+    yi = yi.reshape(yi.shape[0], -1).at[:, 0].set(yi0)
     return jnp.stack([yr, yi], axis=1)             # [F, 2, N]
 
 

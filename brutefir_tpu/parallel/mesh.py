@@ -50,14 +50,28 @@ def make_mesh(devices=None, f_axis: int = 1, sp_axis: int = None) -> Mesh:
     return Mesh(arr, ("f", "sp"))
 
 
-def step_shardings(mesh: Mesh):
-    """(state, ctrl, bank, x, out) sharding pytrees for the compiled step."""
+def step_shardings(mesh: Mesh, tiled: bool = False, n_tile_rows: int = 0):
+    """(state, ctrl, bank, x, out) sharding pytrees for the compiled step.
+
+    ``tiled``: the spectra ring/bank carry the lane-tiled layout
+    [.., 2, N/128, 128] (GraphSpec.tiled); 'sp' then shards the tile-row
+    axis (same contiguous bin groups, one rank deeper) — or, when the
+    row count ``n_tile_rows`` does not divide over 'sp' (tiny blocks),
+    the 128-lane axis.
+    """
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
 
+    sp_n = mesh.shape.get("sp", 1)
+    if tiled and n_tile_rows % sp_n == 0:
+        ring_spec = ("f", None, None, "sp", None)
+    elif tiled:
+        ring_spec = ("f", None, None, None, "sp")
+    else:
+        ring_spec = ("f", None, None, "sp")
     state = StepState(
         prev_in=ns(),                 # [C_in, N] replicated
-        ring=ns("f", None, None, "sp"),  # [F, B, 2, N]
+        ring=ns(*ring_spec),          # [F, B, 2, (N)] spectra ring
         eval_prev=ns(),               # [n_casc, N] replicated
         t=ns(),
     )
@@ -74,7 +88,7 @@ def step_shardings(mesh: Mesh):
         any_xfade=ns(),
         ps_thresh=ns(),
     )
-    bank = ns(None, None, None, "sp")  # [E, B, 2, N]
+    bank = ns(None, None, *ring_spec[2:])  # [E, B, 2, (N)]
     x = ns()                          # [C_in, N] replicated
     y = ns()                          # [C_out, N] replicated
     return state, ctrl, bank, x, y
@@ -88,7 +102,9 @@ class ShardedGraph:
         import functools
         self.cg = cg
         self.mesh = mesh
-        st_s, ct_s, bank_s, x_s, y_s = step_shardings(mesh)
+        st_s, ct_s, bank_s, x_s, y_s = step_shardings(
+            mesh, cg.tiled,
+            cg.spec.n_bins // 128 if cg.tiled else 0)
         self.shardings = (st_s, ct_s, bank_s, x_s, y_s)
 
         # the pallas kernel runs per-shard via shard_map; if the shape
@@ -108,7 +124,8 @@ class ShardedGraph:
 
         self._step = jax.jit(
             functools.partial(_step_impl, cg.spec, mac,
-                              constrain=replicate, mesh=mesh),
+                              constrain=replicate, mesh=mesh,
+                              tiled=cg.tiled),
             in_shardings=(st_s, ct_s, bank_s, x_s),
             out_shardings=(st_s, y_s),
             donate_argnums=(0,),
@@ -121,6 +138,10 @@ class ShardedGraph:
 
     def place(self, ctrl: StepCtrl, bank, x):
         _, ct_s, bank_s, x_s, _ = self.shardings
+        spec = self.cg.spec
+        if self.cg.tiled and bank.ndim == 4:
+            bank = np.asarray(bank).reshape(
+                spec.bank_shape(bank.shape[0], True))
         return (jax.tree.map(jax.device_put, ctrl, ct_s),
                 jax.device_put(bank, bank_s),
                 jax.device_put(x, x_s))

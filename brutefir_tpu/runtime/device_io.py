@@ -56,6 +56,7 @@ class DeviceIO:
         self.rd = engine.rd
         spec = engine.spec
         mac = engine.cg.mac
+        tiled = engine.cg.tiled
 
         self.in_words = [device_format_word(d.sample_format)
                          for d in conf.iodevs[IN]]
@@ -141,7 +142,7 @@ class DeviceIO:
                 xs.append(decode_words(w, sel, vmap, spec_.real_dtype))
             x = jnp.concatenate(xs, axis=0) * in_gain[:, None]
             state, y = _step_impl(spec_, mac, state, ctrl, bank, x,
-                                  uniform=uniform)
+                                  uniform=uniform, tiled=tiled)
             nan_ok = jnp.all(jnp.isfinite(y[:, 0])) if y.shape[0] else jnp.bool_(True)
             y = y * out_gain[:, None]
             outs = []
@@ -167,8 +168,8 @@ class DeviceIO:
         self._full_step = full_step
         self._step = jax.jit(full_step, donate_argnums=(0,))
         # uniform-coefficient program variant (host-selected, see
-        # graph/compile.py); identical except the broadcast dense MAC
-        if mac == "jnp":
+        # graph/compile.py); identical except the uniform MAC
+        if mac == "jnp" or mac.startswith("pallas"):
             self._step_u = jax.jit(
                 functools.partial(full_step, uniform=True),
                 donate_argnums=(0,))

@@ -103,11 +103,15 @@ class Engine:
             self.N, self.B, conf.n_channels[IN], conf.n_channels[OUT],
             filter_inputs, [f.crossfade for f in conf.filters], self.rd,
             powersave=conf.powersave and conf.analog_powersave < 1.0)
-        # MAC implementation (measured crossover, ops/pallas_mac.py): the
-        # XLA dense path wins at small filter counts (0.16 vs 0.63 ms at
-        # F=26), the one-pass Pallas row kernel wins once the coefficient
-        # gather materializes (0.69 vs 1.00 ms at F=64, 2.82 vs 6.49 ms
-        # at F=256 with distinct coefficient sets).
+        # MAC implementation (measured on TPU v5e, ops/pallas_mac.py):
+        # the statically-unrolled Pallas kernel with the lane-tiled ring
+        # layout beats the dense path at every measured shape — full
+        # flagship device step 0.167 ms (pallas) vs 0.275 ms (dense,
+        # flat layout) vs 0.514 ms (dense forced onto the tiled layout),
+        # and in-scan MAC-only 13 vs 95 (uniform) / 178 (distinct) us —
+        # so on TPU the kernel is the default wherever it is applicable
+        # (f32, lane-aligned bins). Off-TPU the dense path stays: the
+        # interpreted kernel is orders of magnitude slower.
         mac = os.environ.get("BRUTEFIR_TPU_MAC", "auto")
         if mac == "auto":
             from ..ops.pallas_mac import pallas_available
@@ -115,15 +119,11 @@ class Engine:
                 backend = jax.default_backend()
             except RuntimeError:
                 backend = "cpu"
-            mostly_distinct = (len(conf.coeffs)
-                               >= max(2, len(conf.filters) // 2))
             # under a mesh the kernel runs per-shard via shard_map
             # (pallas_spectral_mac_shmap); require the shape to divide
             # over the mesh, else keep the dense path (which XLA shards
             # like any other HLO)
             if (backend == "tpu"
-                    and len(conf.filters) >= 48
-                    and mostly_distinct
                     and pallas_available(self.spec.n_bins, self.rd)):
                 if mesh is None:
                     mac = "pallas"
@@ -139,6 +139,11 @@ class Engine:
         from ..ops.partconv import np_c2p
         if np.iscomplexobj(bank):
             bank = np_c2p(bank)
+        bank = np.asarray(bank)
+        if self.cg.tiled:
+            # persistent device bank matches the ring's lane-tiled layout
+            # (CompiledGraph.tiled): reshaped once here, on the host
+            bank = bank.reshape(self.spec.bank_shape(bank.shape[0], True))
         self.bank = jnp.asarray(bank)
         self.control = RuntimeControl(conf, self.spec)
 
@@ -354,6 +359,7 @@ class Engine:
 
     def update_bank_entry(self, coeff_index: int, H: np.ndarray):
         """Hot-swap one coefficient set's spectral partitions (EQ render)."""
+        H = np.asarray(H).reshape(self.bank.shape[1:])
         self.bank = self.bank.at[coeff_index].set(jnp.asarray(H))
 
     # ----- host-side input path -------------------------------------------

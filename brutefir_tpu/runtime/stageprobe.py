@@ -74,7 +74,8 @@ def device_stage_slopes(spec, mac: str, bank: jax.Array) -> dict:
         m = partconv.complex_mix(in_mix, c)          # [F, 2, K]
         return c + m[0:1] * 1e-9
 
-    ring0 = jnp.full((F, spec.n_blocks, 2, K), 0.01, rd)
+    tiled = mac.startswith("pallas") and spec.tileable
+    ring0 = jnp.full(spec.ring_shape(tiled), 0.01, rd)
     idx = jnp.arange(F, dtype=jnp.int32) % bank.shape[0]
     mask = jnp.ones((F, spec.n_blocks), rd)
 
@@ -85,7 +86,7 @@ def device_stage_slopes(spec, mac: str, bank: jax.Array) -> dict:
                                     interpret=(mac == "pallas-interpret"))
         else:
             y = partconv.spectral_mac_rollh(c, bank, idx, mask, jnp.int32(1))
-        return c.at[:, 0].add(y * 1e-9)
+        return c.at[:, 0].add(y.reshape((F, 2) + c.shape[3:]) * 1e-9)
 
     Y0 = jnp.full((F, 2, K), 0.01, rd)
     out_mix = jnp.full((C_out, F), 1.0 / max(F, 1), rd)
