@@ -268,3 +268,48 @@ output {chans} {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; chan
     ratio = (np.sqrt(np.mean(outs["single"][2, 6 * N:] ** 2))
              / np.sqrt(np.mean(full[6 * N:] ** 2)))
     assert 1.9 < ratio < 2.1
+
+
+def test_dio_single_device_stance(tmp_path, rng):
+    """The device-IO wrapper (whole-block program incl. codecs) is
+    single-device by design (engine.py: the sharded path keeps host
+    codecs; its audio tensors are replicated and the per-device word
+    codecs would add collectives for no win). Under a mesh the engine
+    must run — correctly — with dio disabled, even for a dio-eligible
+    config."""
+    import jax
+    from brutefir_tpu.config import parse_config
+    from brutefir_tpu.runtime import Engine
+    from brutefir_tpu.runtime.device_io import eligible
+    from brutefir_tpu.parallel import make_mesh
+
+    N, B, C = 128, 2, 4
+    x = np.clip((rng.standard_normal((N * 4, C)) * 2**20).round(),
+                -(2**23), 2**23 - 1).astype("<i4")
+    inp, outp = tmp_path / "in.raw", tmp_path / "out.raw"
+    x.tofile(inp)
+    chans = ",".join(str(i) for i in range(C))
+    cfg = f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+coeff 0 {{ filename: "dirac pulse"; }};
+input {chans} {{ device: "file" {{ path: "{inp}"; }}; sample: "S24_4LE"; channels: {C}; }};
+output {chans} {{ device: "file" {{ path: "{outp}"; }}; sample: "S24_4LE"; channels: {C}; dither: false; }};
+""" + "\n".join(
+        f"filter {i} {{ from_inputs: {i}; to_outputs: {i}; coeff: 0; }};"
+        for i in range(C))
+    conf = parse_config(cfg)
+    assert eligible(conf)          # single-device this WOULD use dio
+    eng = Engine(conf)
+    assert eng.dio is not None
+    eng.stop()
+
+    conf2 = parse_config(cfg)
+    mesh = make_mesh(jax.devices()[:8], f_axis=2)
+    eng2 = Engine(conf2, mesh=mesh)
+    assert eng2.dio is None        # sharded path: host codecs by design
+    eng2.run()
+    y = np.fromfile(outp, dtype="<i4").reshape(-1, C)
+    # dirac pass-through: output equals input to the f32 FFT round-trip's
+    # quantization (the host-codec path re-quantizes; dio would be exact)
+    assert np.abs(y.astype(np.int64) - x.astype(np.int64)).max() <= 1
