@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..config.model import BFConfig, IN, OUT
 from ..graph.compile import _step_impl
 from ..ops.device_codec import device_format_word, decode_words, encode_words
+from ..ops.device_dither import dither_window, dither_quantize
 
 
 def _wire3(fmt) -> bool:
@@ -41,10 +42,6 @@ def eligible(conf: BFConfig) -> bool:
             return False  # runtime-changeable delays need host delay lines
     if conf.use_subdelay[IN] or conf.use_subdelay[OUT]:
         return False
-    for dev in conf.iodevs[OUT]:
-        fmt = dev.sample_format
-        if dev.apply_dither and not fmt.is_float and fmt.sbytes < 4:
-            return False
     return True
 
 
@@ -125,12 +122,69 @@ class DeviceIO:
             out_devs.append((sel, mix, dev.open_channels,
                              dev.sample_format))
 
+        # --- device-resident dither (ops/device_dither.py) ---
+        # same channel rule and table indexing as the host path
+        # (engine.py dither_init analog): int formats with sbytes < 4 on
+        # apply_dither devices, one shared Tausworthe table, channel j's
+        # pointer starting at j * spacing + 1 in sorted-phys order.
+        dith_phys = []
+        self._dev_dither = []            # per out device: bool
+        for dev in conf.iodevs[OUT]:
+            fmt = dev.sample_format
+            dithers = bool(dev.apply_dither and not fmt.is_float
+                           and fmt.sbytes < 4)
+            self._dev_dither.append(dithers)
+            if dithers:
+                for i in range(dev.used_channels):
+                    dith_phys.append(dev.phys_base + i)
+        self._dith_rows = []             # per out device: [used] -> D idx
+        self.dstate = {}
+        self._dith_tab = None
+        if dith_phys:
+            from ..core.dither import DitherTable
+            order = {p: j for j, p in enumerate(sorted(dith_phys))}
+            table = DitherTable(len(dith_phys), conf.sampling_rate,
+                                conf.max_dither_table_size, self.N,
+                                engine.rd.type)
+            self._dith_tab = jnp.asarray(table.tab)
+            self._dith_randmap = jnp.asarray(table.randmap)
+            self._dith_size = table.size
+            ptr0 = []
+            for dev in conf.iodevs[OUT]:
+                if not (dev.apply_dither and not dev.sample_format.is_float
+                        and dev.sample_format.sbytes < 4):
+                    self._dith_rows.append(None)
+                    continue
+                rows = np.asarray([order[dev.phys_base + i]
+                                   for i in range(dev.used_channels)],
+                                  np.int32)
+                self._dith_rows.append(rows)
+            D = len(dith_phys)
+            ptr0 = np.asarray([j * table.spacing + 1 for j in range(D)],
+                              np.int32)
+            last0 = np.asarray([int(table.tab[p - 1]) for p in ptr0],
+                               np.int32)
+            self.dstate = {
+                "ptr": jnp.asarray(ptr0),
+                "last": jnp.asarray(last0),
+                "sf": jnp.zeros((D, 2), engine.rd),
+            }
+        else:
+            self._dith_rows = [None] * len(conf.iodevs[OUT])
+
         spec_ = spec
         in_wire = list(self.in_wire)
         out_wire = list(self.out_wire)
 
+        dith_tab = self._dith_tab
+        dith_rows = list(self._dith_rows)
+        dev_dither = list(self._dev_dither)
+        if dith_tab is not None:
+            dith_randmap = self._dith_randmap
+            dith_size = self._dith_size
+
         def full_step(state, ctrl, in_gain, out_gain, bank, in_words,
-                      uniform=False):
+                      dstate, uniform=False):
             xs = []
             for di, (sel, vmap) in enumerate(in_devs):
                 w = in_words[di]
@@ -145,6 +199,14 @@ class DeviceIO:
                                   uniform=uniform, tiled=tiled)
             nan_ok = jnp.all(jnp.isfinite(y[:, 0])) if y.shape[0] else jnp.bool_(True)
             y = y * out_gain[:, None]
+            new_dstate = dstate
+            if dith_tab is not None:
+                # one shared window per block advances every dithered
+                # channel's pointer by N (host-path parity)
+                d_all, nptr, nlast = dither_window(
+                    dith_tab, dith_randmap, dstate["ptr"], dstate["last"],
+                    spec_.block_length, dith_size)
+                sf_all = dstate["sf"]
             outs = []
             meters = []
             for di, ((sel, mixm, open_ch, fmt), wdt) in enumerate(
@@ -154,7 +216,16 @@ class DeviceIO:
                 phys = jnp.matmul(mixm, y,
                                   precision=jax.lax.Precision.HIGHEST)
                 peak = jnp.max(jnp.abs(phys), axis=1)
-                words, m = encode_words(phys, fmt, sel, open_ch, wdt)
+                if dev_dither[di]:
+                    rows = dith_rows[di]
+                    q, sf_new, m = dither_quantize(
+                        phys, d_all[rows], sf_all[rows],
+                        fmt.imin, fmt.imax)
+                    sf_all = sf_all.at[rows].set(sf_new)
+                    words = jnp.zeros((phys.shape[1], open_ch), wdt)
+                    words = words.at[:, sel].set(q.astype(wdt).T)
+                else:
+                    words, m = encode_words(phys, fmt, sel, open_ch, wdt)
                 if out_wire[di] in ("p24", "raw3"):
                     # [N, open] int32 -> [N, open, 3] le bytes on the wire
                     w32 = words.astype(jnp.int32)
@@ -163,7 +234,9 @@ class DeviceIO:
                         axis=-1).astype(jnp.uint8)
                 outs.append(words)
                 meters.append(jnp.concatenate([m, peak[:, None]], axis=1))
-            return state, tuple(outs), tuple(meters), nan_ok
+            if dith_tab is not None:
+                new_dstate = {"ptr": nptr, "last": nlast, "sf": sf_all}
+            return state, tuple(outs), tuple(meters), nan_ok, new_dstate
 
         self._full_step = full_step
         self._step = jax.jit(full_step, donate_argnums=(0,))
@@ -180,7 +253,9 @@ class DeviceIO:
     def step(self, state, ctrl, in_gain, out_gain, bank, in_words,
              uniform=False):
         fn = self._step_u if uniform else self._step
-        return fn(state, ctrl, in_gain, out_gain, bank, in_words)
+        state, outs, meters, nan_ok, self.dstate = fn(
+            state, ctrl, in_gain, out_gain, bank, in_words, self.dstate)
+        return state, outs, meters, nan_ok
 
     def multi_step(self, m: int, uniform: bool = False):
         """A scan over m blocks per dispatch (offline throughput mode).
@@ -193,21 +268,33 @@ class DeviceIO:
         if key not in self._multi:
             fs = functools.partial(self._full_step, uniform=key[1])
 
-            def multi(state, ctrl, in_gain, out_gain, bank, in_words):
-                def body(st, words):
-                    st, outs, meters, nan = fs(st, ctrl, in_gain, out_gain,
-                                               bank, list(words))
-                    return st, (outs, meters, nan)
+            def multi(state, ctrl, in_gain, out_gain, bank, in_words,
+                      dstate):
+                def body(carry, words):
+                    st, ds = carry
+                    st, outs, meters, nan, ds = fs(st, ctrl, in_gain,
+                                                   out_gain, bank,
+                                                   list(words), ds)
+                    return (st, ds), (outs, meters, nan)
 
-                state, (outs, meters, nans) = jax.lax.scan(
-                    body, state, tuple(in_words))
+                (state, dstate), (outs, meters, nans) = jax.lax.scan(
+                    body, (state, dstate), tuple(in_words))
                 agg = tuple(
                     jnp.concatenate([
                         jnp.sum(md[:, :, :1], axis=0),      # clip counts
                         jnp.max(md[:, :, 1:], axis=0),      # peaks
                     ], axis=1)
                     for md in meters)
-                return state, outs, agg, jnp.all(nans)
+                return state, outs, agg, jnp.all(nans), dstate
 
-            self._multi[key] = jax.jit(multi, donate_argnums=(0,))
+            jfn = jax.jit(multi, donate_argnums=(0,))
+
+            def wrapped(state, ctrl, in_gain, out_gain, bank, in_words,
+                        _fn=jfn):
+                state, outs, agg, nan, self.dstate = _fn(
+                    state, ctrl, in_gain, out_gain, bank, in_words,
+                    self.dstate)
+                return state, outs, agg, nan
+
+            self._multi[key] = wrapped
         return self._multi[key]
