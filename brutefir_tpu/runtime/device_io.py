@@ -36,12 +36,8 @@ def eligible(conf: BFConfig) -> bool:
             if (device_format_word(dev.sample_format) is None
                     and not _wire3(dev.sample_format)):
                 return False
-        if any(d != 0 for d in conf.delay[io]):
-            return False
-        if any(md >= 0 for md in conf.maxdelay[io]):
-            return False  # runtime-changeable delays need host delay lines
     if conf.use_subdelay[IN] or conf.use_subdelay[OUT]:
-        return False
+        return False  # fractional delay stays on the host path
     return True
 
 
@@ -122,6 +118,32 @@ class DeviceIO:
             out_devs.append((sel, mix, dev.open_channels,
                              dev.sample_format))
 
+        # --- device-resident integer delay lines ---
+        # per-virtual-channel windows of the last W pre-delay samples;
+        # out[n] = window[W + n - delay]. Runtime changes keep the
+        # reference semantics (delay.c:283-317) via update_delays():
+        # a decrease skips the oldest samples (the gather does this
+        # naturally), an increase splices zeros into the window.
+        self._dly = [None, None]
+        for io in (IN, OUT):
+            caps = []
+            for ch in range(conf.n_channels[io]):
+                md = conf.maxdelay[io][ch]
+                d0 = conf.delay[io][ch]
+                if 0 <= md < d0:
+                    d0 = md       # DelayLine init clamp (delay.c:351-362)
+                caps.append(md if md >= 0 else d0)
+            W = max(caps) if caps else 0
+            if W > 0:
+                cur = [min(conf.delay[io][ch], caps[ch])
+                       for ch in range(conf.n_channels[io])]
+                self._dly[io] = {
+                    "W": W,
+                    "cur": cur,
+                    "max": list(conf.maxdelay[io]),
+                    "arr": jnp.asarray(np.asarray(cur, np.int32)),
+                }
+
         # --- device-resident dither (ops/device_dither.py) ---
         # same channel rule and table indexing as the host path
         # (engine.py dither_init analog): int formats with sbytes < 4 on
@@ -171,6 +193,10 @@ class DeviceIO:
             }
         else:
             self._dith_rows = [None] * len(conf.iodevs[OUT])
+        for io, key in ((IN, "dlw_in"), (OUT, "dlw_out")):
+            if self._dly[io] is not None:
+                self.dstate[key] = jnp.zeros(
+                    (conf.n_channels[io], self._dly[io]["W"]), engine.rd)
 
         spec_ = spec
         in_wire = list(self.in_wire)
@@ -183,8 +209,18 @@ class DeviceIO:
             dith_randmap = self._dith_randmap
             dith_size = self._dith_size
 
+        dly_in = self._dly[IN]
+        dly_out = self._dly[OUT]
+        N_ = self.N
+
+        def apply_delay(x, win, dvec, W):
+            joined = jnp.concatenate([win, x], axis=1)
+            idx = (W + jnp.arange(N_, dtype=jnp.int32)[None, :]
+                   - dvec[:, None])
+            return jnp.take_along_axis(joined, idx, axis=1), joined[:, -W:]
+
         def full_step(state, ctrl, in_gain, out_gain, bank, in_words,
-                      dstate, uniform=False):
+                      dstate, dvec_in=None, dvec_out=None, uniform=False):
             xs = []
             for di, (sel, vmap) in enumerate(in_devs):
                 w = in_words[di]
@@ -194,12 +230,19 @@ class DeviceIO:
                     w = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
                     w = w - ((w & 0x800000) << 1)
                 xs.append(decode_words(w, sel, vmap, spec_.real_dtype))
-            x = jnp.concatenate(xs, axis=0) * in_gain[:, None]
+            x = jnp.concatenate(xs, axis=0)
+            new_dstate = dict(dstate)
+            if dly_in is not None:
+                x, new_dstate["dlw_in"] = apply_delay(
+                    x, dstate["dlw_in"], dvec_in, dly_in["W"])
+            x = x * in_gain[:, None]
             state, y = _step_impl(spec_, mac, state, ctrl, bank, x,
                                   uniform=uniform, tiled=tiled)
             nan_ok = jnp.all(jnp.isfinite(y[:, 0])) if y.shape[0] else jnp.bool_(True)
+            if dly_out is not None:
+                y, new_dstate["dlw_out"] = apply_delay(
+                    y, dstate["dlw_out"], dvec_out, dly_out["W"])
             y = y * out_gain[:, None]
-            new_dstate = dstate
             if dith_tab is not None:
                 # one shared window per block advances every dithered
                 # channel's pointer by N (host-path parity)
@@ -235,7 +278,7 @@ class DeviceIO:
                 outs.append(words)
                 meters.append(jnp.concatenate([m, peak[:, None]], axis=1))
             if dith_tab is not None:
-                new_dstate = {"ptr": nptr, "last": nlast, "sf": sf_all}
+                new_dstate.update(ptr=nptr, last=nlast, sf=sf_all)
             return state, tuple(outs), tuple(meters), nan_ok, new_dstate
 
         self._full_step = full_step
@@ -250,11 +293,42 @@ class DeviceIO:
             self._step_u = self._step
         self._multi = {}
 
+    def _dvecs(self):
+        return (self._dly[IN]["arr"] if self._dly[IN] else None,
+                self._dly[OUT]["arr"] if self._dly[OUT] else None)
+
+    def update_delays(self, in_delays, out_delays):
+        """Apply runtime delay changes with host DelayLine semantics
+        (delay.c:283-317): silently refuse > maxdelay or fixed (-1)
+        channels; an increase splices zeros into the device window so
+        the output plays silence, not replayed history."""
+        for io, vals, key in ((IN, in_delays, "dlw_in"),
+                              (OUT, out_delays, "dlw_out")):
+            d = self._dly[io]
+            if d is None:
+                continue
+            changed = False
+            for ch, new in enumerate(vals):
+                old = d["cur"][ch]
+                md = d["max"][ch]
+                if new == old or md < 0 or new > md:
+                    continue
+                if new > old:
+                    W = d["W"]
+                    self.dstate[key] = (self.dstate[key]
+                                        .at[ch, W - new:W - old].set(0.0))
+                d["cur"][ch] = new
+                changed = True
+            if changed:
+                d["arr"] = jnp.asarray(np.asarray(d["cur"], np.int32))
+
     def step(self, state, ctrl, in_gain, out_gain, bank, in_words,
              uniform=False):
         fn = self._step_u if uniform else self._step
+        di, do = self._dvecs()
         state, outs, meters, nan_ok, self.dstate = fn(
-            state, ctrl, in_gain, out_gain, bank, in_words, self.dstate)
+            state, ctrl, in_gain, out_gain, bank, in_words, self.dstate,
+            di, do)
         return state, outs, meters, nan_ok
 
     def multi_step(self, m: int, uniform: bool = False):
@@ -269,12 +343,13 @@ class DeviceIO:
             fs = functools.partial(self._full_step, uniform=key[1])
 
             def multi(state, ctrl, in_gain, out_gain, bank, in_words,
-                      dstate):
+                      dstate, dvec_in, dvec_out):
                 def body(carry, words):
                     st, ds = carry
                     st, outs, meters, nan, ds = fs(st, ctrl, in_gain,
                                                    out_gain, bank,
-                                                   list(words), ds)
+                                                   list(words), ds,
+                                                   dvec_in, dvec_out)
                     return (st, ds), (outs, meters, nan)
 
                 (state, dstate), (outs, meters, nans) = jax.lax.scan(
@@ -291,9 +366,10 @@ class DeviceIO:
 
             def wrapped(state, ctrl, in_gain, out_gain, bank, in_words,
                         _fn=jfn):
+                di, do = self._dvecs()
                 state, outs, agg, nan, self.dstate = _fn(
                     state, ctrl, in_gain, out_gain, bank, in_words,
-                    self.dstate)
+                    self.dstate, di, do)
                 return state, outs, agg, nan
 
             self._multi[key] = wrapped

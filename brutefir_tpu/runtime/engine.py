@@ -923,7 +923,11 @@ class Engine:
                     ctrl = self.control.snapshot()
                     gains = self._mute_gains()
                     uni = self.control.snapshot_uniform
+                    if self.dio is not None:
+                        dly_snap = (list(self.control.delay[IN]),
+                                    list(self.control.delay[OUT]))
                 if self.dio is not None:
+                    self.dio.update_delays(*dly_snap)
                     # numpy words go straight into the jitted call: the
                     # h2d transfer rides the execute RPC instead of a
                     # synchronous per-block device_put (upload_probe.py)
@@ -1144,6 +1148,9 @@ class Engine:
                     ctrl = self.control.snapshot()
                     gains = self._mute_gains()
                     uni = self.control.snapshot_uniform
+                    dly_snap = (list(self.control.delay[IN]),
+                                list(self.control.delay[OUT]))
+                self.dio.update_delays(*dly_snap)
                 left = frames if frames < M * N else got_blocks * N
                 for b in range(got_blocks):
                     f = min(N, left - b * N)
@@ -1165,6 +1172,9 @@ class Engine:
                 ctrl = self.control.snapshot()
                 gains = self._mute_gains()
                 uni = self.control.snapshot_uniform
+                dly_snap = (list(self.control.delay[IN]),
+                            list(self.control.delay[OUT]))
+            self.dio.update_delays(*dly_snap)
             mstep = self.dio.multi_step(M, uniform=uni)
             self.state, outs, meters, nan_ok = mstep(
                 self.state, ctrl, gains[0], gains[1], self.bank, dstacks)

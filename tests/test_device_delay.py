@@ -1,0 +1,86 @@
+"""Device-resident integer delay lines (device_io) vs the host path."""
+
+import numpy as np
+
+from brutefir_tpu.config import parse_config
+from brutefir_tpu.runtime import Engine
+
+
+def _cfg(tmp_path, inp, outp, extra_in="", extra_out="", logic=""):
+    return parse_config(f"""
+sampling_rate: 44100;
+filter_length: 128,2;
+{logic}
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0,1 {{ device: "file" {{ path: "{inp}"; }}; sample: "S32_LE";
+             channels: 2; {extra_in} }};
+output 0,1 {{ device: "file" {{ path: "{outp}"; }}; sample: "S32_LE";
+              channels: 2; dither: false; {extra_out} }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
+""")
+
+
+def test_static_delays_dio_matches_host(tmp_path):
+    """Fixed input+output delays keep device-IO eligibility and match the
+    host DelayLine path exactly (S32 dirac: bit-exact)."""
+    rng = np.random.default_rng(2)
+    x = np.clip((rng.standard_normal((128 * 6, 2)) * 2 ** 20).round(),
+                -(2 ** 23), 2 ** 23 - 1).astype("<i4")
+    inp = tmp_path / "in.raw"
+    x.tofile(inp)
+    outs = {}
+    for mode in ("dio", "host"):
+        outp = tmp_path / f"o_{mode}.raw"
+        conf = _cfg(tmp_path, inp, outp,
+                    extra_in="delay: 7, 0;", extra_out="delay: 0, 190;")
+        eng = Engine(conf)
+        if mode == "dio":
+            assert eng.dio is not None, "delays must not disqualify dio"
+            assert eng.dio._dly[0] is not None
+            assert eng.dio._dly[1] is not None
+        else:
+            eng.dio = None
+        eng.run()
+        outs[mode] = np.fromfile(outp, dtype="<i4").reshape(-1, 2)
+    np.testing.assert_array_equal(outs["dio"], outs["host"])
+    # and against first principles: ch0 delayed 7, ch1 delayed 190
+    # (+-1 LSB: the f32 scale round trip of S32 samples)
+    y = outs["dio"].astype(np.int64)
+    assert np.abs(y[7:, 0] - x[: len(y) - 7, 0]).max() <= 1
+    np.testing.assert_array_equal(y[:7, 0], 0)
+    assert np.abs(y[190:, 1] - x[: len(y) - 190, 1]).max() <= 1
+
+
+def test_runtime_delay_change_dio_matches_host(tmp_path):
+    """A mid-run `cid` delay change (maxdelay headroom) behaves like the
+    host DelayLine: silence is spliced on increase, oldest samples are
+    dropped on decrease."""
+    rng = np.random.default_rng(3)
+    n_fr = 128 * 8
+    x = np.clip((rng.standard_normal((n_fr, 2)) * 2 ** 20).round(),
+                -(2 ** 23), 2 ** 23 - 1).astype("<i4")
+    inp = tmp_path / "in.raw"
+    x.tofile(inp)
+    # block-deterministic script: raise ch0 input delay to 40 after
+    # block 2, drop it to 5 after block 5
+    script = "sleep b2; cid 0 40; sleep b5; cid 0 5; sleep b99; quit"
+    outs = {}
+    for mode in ("dio", "host"):
+        outp = tmp_path / f"o_{mode}.raw"
+        conf = _cfg(tmp_path, inp, outp,
+                    extra_in="delay: 10, 0; maxdelay: 100;",
+                    logic=f'logic: "cli" {{ script: "{script}"; }};')
+        eng = Engine(conf)
+        if mode == "dio":
+            assert eng.dio is not None
+        else:
+            eng.dio = None
+        eng.run()
+        outs[mode] = np.fromfile(outp, dtype="<i4").reshape(-1, 2)
+    assert outs["dio"].shape == outs["host"].shape
+    np.testing.assert_array_equal(outs["dio"], outs["host"])
+    # sanity: the change actually happened (output is not a pure
+    # 10-sample delay throughout)
+    y = outs["dio"]
+    assert not np.array_equal(y[10:, 0], x[: len(y) - 10, 0])
