@@ -36,8 +36,6 @@ def eligible(conf: BFConfig) -> bool:
             if (device_format_word(dev.sample_format) is None
                     and not _wire3(dev.sample_format)):
                 return False
-    if conf.use_subdelay[IN] or conf.use_subdelay[OUT]:
-        return False  # fractional delay stays on the host path
     return True
 
 
@@ -144,6 +142,38 @@ class DeviceIO:
                     "arr": jnp.asarray(np.asarray(cur, np.int32)),
                 }
 
+        # --- device-resident subsample delay ---
+        # overlap-save filtering with the host bank (runtime/subdelay.py):
+        # within one block the chunk "rest" is just the previous chunk,
+        # so all N/B_sd chunks batch into one rfft. On a subdelay-active
+        # side, initially-undefined channels run the sd=0 (centered
+        # dirac) row -- the same +sdf_length latency as the host's
+        # compensating integer delay (bfrun.c:1512-1516); runtime
+        # out-of-range values bypass entirely, like
+        # delay_subsample_update (delay.c:424).
+        self._sd = [None, None]
+        if engine.subdelay is not None:
+            from ..config.model import BF_UNDEFINED_SUBDELAY
+            sdh = engine.subdelay
+            for io in (IN, OUT):
+                if not conf.use_subdelay[io]:
+                    continue
+                C = conf.n_channels[io]
+                defined = np.asarray(
+                    [conf.subdelay[io][ch] != BF_UNDEFINED_SUBDELAY
+                     for ch in range(C)])
+                cur = [conf.subdelay[io][ch] if defined[ch] else 0
+                       for ch in range(C)]
+                d = {
+                    "B": sdh.blocklen,
+                    "steps": sdh.steps,
+                    "H": jnp.asarray(sdh.H),      # [2s-1, B+1] complex
+                    "defined": defined,
+                    "cur": cur,
+                }
+                self._sd[io] = d
+                self._sd_refresh(io)
+
         # --- device-resident dither (ops/device_dither.py) ---
         # same channel rule and table indexing as the host path
         # (engine.py dither_init analog): int formats with sbytes < 4 on
@@ -197,6 +227,10 @@ class DeviceIO:
             if self._dly[io] is not None:
                 self.dstate[key] = jnp.zeros(
                     (conf.n_channels[io], self._dly[io]["W"]), engine.rd)
+        for io, key in ((IN, "sdr_in"), (OUT, "sdr_out")):
+            if self._sd[io] is not None:
+                self.dstate[key] = jnp.zeros(
+                    (conf.n_channels[io], self._sd[io]["B"]), engine.rd)
 
         spec_ = spec
         in_wire = list(self.in_wire)
@@ -211,7 +245,21 @@ class DeviceIO:
 
         dly_in = self._dly[IN]
         dly_out = self._dly[OUT]
+        sd_in = self._sd[IN]
+        sd_out = self._sd[OUT]
         N_ = self.N
+
+        def apply_subdelay(x, rest, hrows, byp, B):
+            C, Nn = x.shape
+            n = Nn // B
+            frames = jnp.concatenate([rest, x], axis=1)      # [C, N+B]
+            lo = frames[:, :Nn].reshape(C, n, B)
+            hi = frames[:, B:].reshape(C, n, B)
+            w = jnp.concatenate([lo, hi], axis=2)            # [C, n, 2B]
+            Y = jnp.fft.rfft(w, axis=2) * hrows[:, None, :]
+            y = jnp.fft.irfft(Y, axis=2)[:, :, :B].reshape(C, Nn)
+            y = jnp.where(byp[:, None], x, y.astype(x.dtype))
+            return y, frames[:, Nn:]
 
         def apply_delay(x, win, dvec, W):
             joined = jnp.concatenate([win, x], axis=1)
@@ -220,7 +268,9 @@ class DeviceIO:
             return jnp.take_along_axis(joined, idx, axis=1), joined[:, -W:]
 
         def full_step(state, ctrl, in_gain, out_gain, bank, in_words,
-                      dstate, dvec_in=None, dvec_out=None, uniform=False):
+                      dstate, dvec_in=None, dvec_out=None,
+                      sdrows_in=None, sdbyp_in=None,
+                      sdrows_out=None, sdbyp_out=None, uniform=False):
             xs = []
             for di, (sel, vmap) in enumerate(in_devs):
                 w = in_words[di]
@@ -235,10 +285,17 @@ class DeviceIO:
             if dly_in is not None:
                 x, new_dstate["dlw_in"] = apply_delay(
                     x, dstate["dlw_in"], dvec_in, dly_in["W"])
+            if sd_in is not None:
+                x, new_dstate["sdr_in"] = apply_subdelay(
+                    x, dstate["sdr_in"], sdrows_in, sdbyp_in, sd_in["B"])
             x = x * in_gain[:, None]
             state, y = _step_impl(spec_, mac, state, ctrl, bank, x,
                                   uniform=uniform, tiled=tiled)
             nan_ok = jnp.all(jnp.isfinite(y[:, 0])) if y.shape[0] else jnp.bool_(True)
+            if sd_out is not None:
+                y, new_dstate["sdr_out"] = apply_subdelay(
+                    y, dstate["sdr_out"], sdrows_out, sdbyp_out,
+                    sd_out["B"])
             if dly_out is not None:
                 y, new_dstate["dlw_out"] = apply_delay(
                     y, dstate["dlw_out"], dvec_out, dly_out["W"])
@@ -297,6 +354,41 @@ class DeviceIO:
         return (self._dly[IN]["arr"] if self._dly[IN] else None,
                 self._dly[OUT]["arr"] if self._dly[OUT] else None)
 
+    def _sd_refresh(self, io):
+        d = self._sd[io]
+        steps = d["steps"]
+        rows, byp = [], []
+        for ch, v in enumerate(d["cur"]):
+            in_range = -steps < v < steps
+            if not d["defined"][ch]:
+                rows.append(steps - 1)          # centered dirac row
+                byp.append(False)
+            elif in_range:
+                rows.append(v + steps - 1)
+                byp.append(False)
+            else:
+                rows.append(steps - 1)
+                byp.append(True)                # out of range: bypass
+        d["hrows"] = d["H"][jnp.asarray(np.asarray(rows, np.int32))]
+        d["byp"] = jnp.asarray(np.asarray(byp))
+
+    def _sdvecs(self):
+        out = []
+        for io in (IN, OUT):
+            d = self._sd[io]
+            out += ([d["hrows"], d["byp"]] if d else [None, None])
+        return out
+
+    def update_subdelays(self, in_vals, out_vals):
+        for io, vals in ((IN, in_vals), (OUT, out_vals)):
+            d = self._sd[io]
+            if d is None:
+                continue
+            vals = list(vals)
+            if vals != d["cur"]:
+                d["cur"] = vals
+                self._sd_refresh(io)
+
     def update_delays(self, in_delays, out_delays):
         """Apply runtime delay changes with host DelayLine semantics
         (delay.c:283-317): silently refuse > maxdelay or fixed (-1)
@@ -326,9 +418,10 @@ class DeviceIO:
              uniform=False):
         fn = self._step_u if uniform else self._step
         di, do = self._dvecs()
+        sri, sbi, sro, sbo = self._sdvecs()
         state, outs, meters, nan_ok, self.dstate = fn(
             state, ctrl, in_gain, out_gain, bank, in_words, self.dstate,
-            di, do)
+            di, do, sri, sbi, sro, sbo)
         return state, outs, meters, nan_ok
 
     def multi_step(self, m: int, uniform: bool = False):
@@ -343,13 +436,14 @@ class DeviceIO:
             fs = functools.partial(self._full_step, uniform=key[1])
 
             def multi(state, ctrl, in_gain, out_gain, bank, in_words,
-                      dstate, dvec_in, dvec_out):
+                      dstate, dvec_in, dvec_out, sri, sbi, sro, sbo):
                 def body(carry, words):
                     st, ds = carry
                     st, outs, meters, nan, ds = fs(st, ctrl, in_gain,
                                                    out_gain, bank,
                                                    list(words), ds,
-                                                   dvec_in, dvec_out)
+                                                   dvec_in, dvec_out,
+                                                   sri, sbi, sro, sbo)
                     return (st, ds), (outs, meters, nan)
 
                 (state, dstate), (outs, meters, nans) = jax.lax.scan(
@@ -367,9 +461,10 @@ class DeviceIO:
             def wrapped(state, ctrl, in_gain, out_gain, bank, in_words,
                         _fn=jfn):
                 di, do = self._dvecs()
+                sri, sbi, sro, sbo = self._sdvecs()
                 state, outs, agg, nan, self.dstate = _fn(
                     state, ctrl, in_gain, out_gain, bank, in_words,
-                    self.dstate, di, do)
+                    self.dstate, di, do, sri, sbi, sro, sbo)
                 return state, outs, agg, nan
 
             self._multi[key] = wrapped

@@ -926,8 +926,11 @@ class Engine:
                     if self.dio is not None:
                         dly_snap = (list(self.control.delay[IN]),
                                     list(self.control.delay[OUT]))
+                        sd_snap = (list(self.control.subdelay[IN]),
+                                   list(self.control.subdelay[OUT]))
                 if self.dio is not None:
                     self.dio.update_delays(*dly_snap)
+                    self.dio.update_subdelays(*sd_snap)
                     # numpy words go straight into the jitted call: the
                     # h2d transfer rides the execute RPC instead of a
                     # synchronous per-block device_put (upload_probe.py)
@@ -1150,7 +1153,10 @@ class Engine:
                     uni = self.control.snapshot_uniform
                     dly_snap = (list(self.control.delay[IN]),
                                 list(self.control.delay[OUT]))
+                    sd_snap = (list(self.control.subdelay[IN]),
+                               list(self.control.subdelay[OUT]))
                 self.dio.update_delays(*dly_snap)
+                self.dio.update_subdelays(*sd_snap)
                 left = frames if frames < M * N else got_blocks * N
                 for b in range(got_blocks):
                     f = min(N, left - b * N)
@@ -1174,7 +1180,10 @@ class Engine:
                 uni = self.control.snapshot_uniform
                 dly_snap = (list(self.control.delay[IN]),
                             list(self.control.delay[OUT]))
+                sd_snap = (list(self.control.subdelay[IN]),
+                           list(self.control.subdelay[OUT]))
             self.dio.update_delays(*dly_snap)
+            self.dio.update_subdelays(*sd_snap)
             mstep = self.dio.multi_step(M, uniform=uni)
             self.state, outs, meters, nan_ok = mstep(
                 self.state, ctrl, gains[0], gains[1], self.bank, dstacks)

@@ -84,3 +84,50 @@ def test_runtime_delay_change_dio_matches_host(tmp_path):
     # 10-sample delay throughout)
     y = outs["dio"]
     assert not np.array_equal(y[10:, 0], x[: len(y) - 10, 0])
+
+
+def test_subdelay_dio_matches_host(tmp_path):
+    """Fractional (subsample) delays now keep device-IO eligibility: the
+    batched overlap-save filter matches the host path (same spectral
+    bank; FFT rounding tolerance), including an initially-undefined
+    channel (compensating +sdf_length latency) and a runtime change."""
+    rng = np.random.default_rng(4)
+    n_fr = 128 * 8
+    x = np.clip((rng.standard_normal((n_fr, 2)) * 2 ** 20).round(),
+                -(2 ** 23), 2 ** 23 - 1).astype("<i4")
+    inp = tmp_path / "in.raw"
+    x.tofile(inp)
+    script = "sleep b3; cid 0 0/2; sleep b99; quit"
+    outs = {}
+    for mode in ("dio", "host"):
+        outp = tmp_path / f"o_{mode}.raw"
+        conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: 128,2;
+sdf_length: 15;
+logic: "cli" {{ script: "{script}"; }};
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0,1 {{ device: "file" {{ path: "{inp}"; }}; sample: "S32_LE";
+             channels: 2; subdelay: -3, -101; }};
+output 0,1 {{ device: "file" {{ path: "{outp}"; }}; sample: "S32_LE";
+              channels: 2; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
+""")
+        eng = Engine(conf)
+        if mode == "dio":
+            assert eng.dio is not None, "subdelay must not disqualify dio"
+            assert eng.dio._sd[0] is not None
+        else:
+            eng.dio = None
+        eng.run()
+        outs[mode] = np.fromfile(outp, dtype="<i4").reshape(-1, 2)
+    assert outs["dio"].shape == outs["host"].shape
+    diff = outs["dio"].astype(np.int64) - outs["host"].astype(np.int64)
+    # FFT round-trip + f32 scale differences only
+    assert np.abs(diff).max() <= 2
+    # undefined channel 1: the sd=0 filter row equals the host's
+    # compensating integer delay of sdf_length samples
+    y = outs["dio"].astype(np.int64)
+    half = 15
+    assert np.abs(y[half:, 1] - x[: len(y) - half, 1]).max() <= 2
