@@ -59,15 +59,24 @@ def unpack_spectrum(Hp):
 def rfft_packed(x):
     """rfft of real ``x [..., 2M]`` -> packed spectrum ``[..., M]``.
 
-    Computed as an M-point *complex* FFT of the even/odd interleave plus
-    an elementwise untangle: XLA:TPU's rfft costs the same as a
-    full-size complex FFT, so halving the transform size halves the
-    dominant per-block cost (measured 0.037 -> 0.022 ms forward and
-    0.048 -> 0.025 ms inverse for 26x16384 f32 on v5e; slope timing,
-    tools/step_breakdown.py). The untangle lands directly in the packed
-    layout (Nyquist in bin 0's imaginary slot), so no full-size
-    [..., 2M] spectrum is ever materialized.
+    The forward and inverse transforms deliberately use DIFFERENT
+    formulations — measured on TPU v5e at the flagship shape (26x16384
+    f32, in-scan slope with the whole output consumed):
+
+    * forward: XLA's full-size **rfft + pack** (38 us) beats an M-point
+      complex FFT of the even/odd interleave plus the hermitian
+      untangle (74 us) — the untangle's lane-reversal (flip/roll) costs
+      more than the saved transform work;
+    * inverse (:func:`irfft_packed`): the **half-size** complex ifft +
+      untangle (43 us) beats XLA's full-size irfft (51 us) — XLA:TPU's
+      irfft is the expensive direction.
     """
+    return pack_spectrum(jnp.fft.rfft(x, axis=-1))
+
+
+def rfft_packed_halfsize(x):
+    """Half-size-complex forward formulation (kept for comparison; the
+    production path is :func:`rfft_packed` — see its docstring)."""
     M = x.shape[-1] // 2
     if x.shape[-1] != 2 * M or M < 2:
         return pack_spectrum(jnp.fft.rfft(x, axis=-1))
@@ -89,7 +98,8 @@ def rfft_packed(x):
 
 def irfft_packed(Xp):
     """Inverse of :func:`rfft_packed`: packed ``[..., M]`` -> real
-    ``[..., 2M]`` via an M-point complex inverse FFT + interleave."""
+    ``[..., 2M]`` via an M-point complex inverse FFT + interleave
+    (the measured winner for the inverse direction — see rfft_packed)."""
     M = Xp.shape[-1]
     if M < 2:
         return jnp.fft.irfft(unpack_spectrum(Xp), axis=-1)
