@@ -14,11 +14,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-CHANNELS = 26
-N = 8192
-B = 16
+CHANNELS = int(os.environ.get("BENCH_C", "26"))
+N = int(os.environ.get("BENCH_N", "8192"))
+B = int(os.environ.get("BENCH_B", "16"))
 MODE = sys.argv[1] if len(sys.argv) > 1 else "uniform"
-NCOEFF = 1 if MODE == "uniform" else 4
+# uniform: one shared coeff; distinct: 4 sets; alldistinct: one per filter
+NCOEFF = {"uniform": 1, "distinct": 4, "alldistinct": CHANNELS}[MODE]
 
 CONFIG = f"""
 sampling_rate: 44100;
@@ -58,7 +59,7 @@ def measure(mac: str) -> float:
         c0 = eng.control.snapshot()
         g0 = eng._mute_gains()
         uni = eng.control.snapshot_uniform
-    M = 80
+    M = int(os.environ.get("BENCH_M", "80"))
     mstep = eng.dio.multi_step(M, uniform=uni)
     dstacks = [jnp.zeros((M, N) + eng.dio.in_wire_shape[i],
                          eng.dio.in_wire_dtype[i])
