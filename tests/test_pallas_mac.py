@@ -103,3 +103,39 @@ def test_tiled_layout_matches_flat(rng):
         tiled = fn(ring5, bank5, jnp.asarray(uidx), jnp.asarray(umask), t)
         np.testing.assert_allclose(np.asarray(tiled), np.asarray(flat),
                                    rtol=0, atol=1e-5)
+
+
+def test_engine_uniform_pallas_program_matches_dense(tmp_path, monkeypatch):
+    """The engine's uniform-coefficient fast-path program exists for the
+    Pallas MAC too (pallas_spectral_mac_uniform); outputs must match the
+    dense engine bit-for-bit at small amplitudes."""
+    from brutefir_tpu.config import parse_config
+    from brutefir_tpu.runtime import Engine
+
+    rng = np.random.RandomState(8)
+    vals = np.clip((rng.randn(512 * 3, 2) * 2 ** 18).round(),
+                   -(2 ** 23), 2 ** 23 - 1).astype("<i4")
+    inp = tmp_path / "in.raw"
+    vals.tofile(inp)
+    outs = {}
+    for mac in ("pallas", "jnp"):
+        monkeypatch.setenv("BRUTEFIR_TPU_MAC", mac)
+        outp = tmp_path / f"o_{mac}.raw"
+        conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: 256,2;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0,1 {{ device: "file" {{ path: "{inp}"; }}; sample: "S32_LE"; channels: 2; }};
+output 0,1 {{ device: "file" {{ path: "{outp}"; }}; sample: "S32_LE"; channels: 2; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
+""")
+        eng = Engine(conf)
+        if mac == "pallas":
+            assert eng.cg.mac == "pallas-interpret"
+            # both filters share coeff 0 -> host selects the uniform program
+            eng.control.snapshot()
+            assert eng.control.snapshot_uniform
+        eng.run()
+        outs[mac] = np.fromfile(outp, dtype="<i4")
+    np.testing.assert_array_equal(outs["pallas"], outs["jnp"])
