@@ -313,3 +313,43 @@ output {chans} {{ device: "file" {{ path: "{outp}"; }}; sample: "S24_4LE"; chann
     # dirac pass-through: output equals input to the f32 FFT round-trip's
     # quantization (the host-codec path re-quantizes; dio would be exact)
     assert np.abs(y.astype(np.int64) - x.astype(np.int64)).max() <= 1
+
+
+def test_sharded_pallas_crossfade_parity(rng):
+    """A live coefficient swap with crossfade runs the dual MAC through
+    the shard_map pallas kernel; outputs must match the dense
+    single-device path."""
+    N, B, C = 1024, 4, 8
+    taps_a = rng.standard_normal(N * B).astype(np.float32) * 0.1
+    taps_b = rng.standard_normal(N * B).astype(np.float32) * 0.1
+    spec = build_graph_spec(N, B, C, C, [[] for _ in range(C)], [True] * C)
+    bank = make_bank([partconv.preprocess_coeffs(t, N, B)
+                      for t in (taps_a, taps_b)])
+    xs = rng.standard_normal((4, C, N)).astype(np.float32)
+
+    def ctrl_for(idx, prev, xf):
+        return make_ctrl(
+            spec, np.eye(C, dtype=np.float32), np.zeros((C, C), np.float32),
+            np.eye(C, dtype=np.float32), np.zeros(C, np.int32),
+            np.full(C, idx, np.int32), np.ones((C, B), np.float32),
+            prev_idx=np.full(C, prev, np.int32),
+            xfade=np.full(C, xf, np.float32))
+
+    plans = [ctrl_for(0, 0, 0.0), ctrl_for(1, 0, 1.0),  # swap w/ crossfade
+             ctrl_for(1, 1, 0.0), ctrl_for(1, 1, 0.0)]
+
+    cg_ref = CompiledGraph(spec, mac="jnp")
+    state = cg_ref.init_state()
+    single = []
+    for xb, ct in zip(xs, plans):
+        state, y = cg_ref.step(state, ct, jnp.asarray(bank), jnp.asarray(xb))
+        single.append(np.asarray(y))
+
+    mesh = make_mesh(jax.devices()[:8], f_axis=2)
+    cg = CompiledGraph(spec, mac="pallas-interpret")
+    sg = ShardedGraph(cg, mesh)
+    sstate = sg.init_state()
+    for xb, ct, ref in zip(xs, plans, single):
+        sctrl, sbank, sx = sg.place(ct, jnp.asarray(bank), jnp.asarray(xb))
+        sstate, y = sg.step(sstate, sctrl, sbank, sx)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-4)
