@@ -255,7 +255,7 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
 
     out_spec = partconv.complex_mix(ctrl.out_mix, y_all)   # [C_out, 2, N]
     out_spec = tap("output_freqd", out_spec, np.arange(spec.n_outputs))
-    y_time = partconv.irfft_planes(out_spec)[:, :N]        # valid lower half
+    y_time = partconv.irfft_planes_valid(out_spec)         # valid lower half
 
     new_state = StepState(prev_in=x, ring=ring, eval_prev=eval_prev, t=t + 1)
     return new_state, y_time

@@ -161,6 +161,39 @@ def irfft_planes(p: jnp.ndarray) -> jnp.ndarray:
     return irfft_packed(p2c(p))
 
 
+def irfft_planes_valid(p: jnp.ndarray) -> jnp.ndarray:
+    """Valid (lower) half of :func:`irfft_planes`: packed planes
+    ``[..., 2, M]`` -> real ``[..., M]`` — the overlap-save step only
+    keeps samples 0..M-1, so the upper half's interleave is skipped and
+    the untangle runs as two constant complex multiplies
+    (``V[k] = a[k] X[k] + b[k] conj(X[M-k])`` with
+    ``a = (1 + i W)/2``, ``b = (1 - i W)/2``, ``W[k] = e^{i pi k / M}``)
+    instead of the Xe/Xo form. Measured 44.7 -> 41.7 us in isolation at
+    the flagship shape (in-scan weighted-consume slope, TPU v5e); the
+    full-step gain is within noise, kept for the smaller live range."""
+    Xp = p2c(p)
+    M = Xp.shape[-1]
+    if M < 2:
+        return irfft_packed(Xp)[..., :M]
+    dc = Xp[..., :1].real
+    nyq = Xp[..., :1].imag
+    zero = jnp.zeros_like(dc)
+    Xk = jnp.concatenate(
+        [jax.lax.complex(dc, zero).astype(Xp.dtype), Xp[..., 1:]], axis=-1)
+    Xr = jnp.concatenate(
+        [jax.lax.complex(nyq, zero).astype(Xp.dtype),
+         jnp.conj(jnp.flip(Xp[..., 1:], axis=-1))], axis=-1)
+    k = jnp.arange(M)
+    W = jnp.exp(1j * jnp.pi * k / M)
+    a = ((1.0 + 1j * W) * 0.5).astype(Xp.dtype)
+    b = ((1.0 - 1j * W) * 0.5).astype(Xp.dtype)
+    z = jnp.fft.ifft(a * Xk + b * Xr, axis=-1)
+    h = M // 2
+    zv = z[..., :h]
+    return jnp.stack([zv.real, zv.imag], axis=-1).reshape(
+        *z.shape[:-1], M)
+
+
 def preprocess_coeffs(
     taps: np.ndarray,
     block_length: int,
@@ -348,8 +381,7 @@ def convolve_eval(z: jnp.ndarray, eval_prev: jnp.ndarray, n_fft2: int,
     shards these transforms.
     """
     c = constrain if constrain is not None else (lambda a: a)
-    t = irfft_planes(c(z))
-    valid = t[..., :n_fft2]
+    valid = irfft_planes_valid(c(z))
     frame = c(jnp.concatenate([c(eval_prev), valid], axis=-1))
     return c(rfft_planes(frame)), valid
 
