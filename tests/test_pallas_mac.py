@@ -139,3 +139,34 @@ filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
         eng.run()
         outs[mac] = np.fromfile(outp, dtype="<i4")
     np.testing.assert_array_equal(outs["pallas"], outs["jnp"])
+
+
+def test_pallas_step_with_predelay_matches_dense(rng):
+    """Filter pre-delay (delayblocks) writes into a rotated ring slot;
+    the tiled-pallas program must match the dense one."""
+    from brutefir_tpu.graph import build_graph_spec, CompiledGraph, make_ctrl
+    from brutefir_tpu.ops.partconv import make_bank, preprocess_coeffs
+
+    N, B, C = 256, 4, 3
+    taps = rng.standard_normal(N * B).astype(np.float32) * 0.1
+    spec = build_graph_spec(N, B, C, C, [[] for _ in range(C)], [False] * C)
+    bank = make_bank([preprocess_coeffs(taps, N, B)])
+    delay = np.array([0, 1, 3], np.int32)
+    ctrl = make_ctrl(
+        spec, np.eye(C, dtype=np.float32), np.zeros((C, C), np.float32),
+        np.eye(C, dtype=np.float32), delay,
+        np.zeros(C, np.int32), np.ones((C, B), np.float32))
+    xs = rng.standard_normal((6, C, N)).astype(np.float32)
+
+    outs = {}
+    for mac in ("jnp", "pallas-interpret"):
+        cg = CompiledGraph(spec, mac=mac)
+        assert cg.tiled == (mac != "jnp")
+        st = cg.init_state()
+        ys = []
+        for xb in xs:
+            st, y = cg.step(st, ctrl, jnp.asarray(bank), jnp.asarray(xb))
+            ys.append(np.asarray(y))
+        outs[mac] = np.stack(ys)
+    np.testing.assert_allclose(outs["pallas-interpret"], outs["jnp"],
+                               rtol=0, atol=1e-5)
