@@ -216,6 +216,9 @@ def main():
     from brutefir_tpu.runtime import Engine
     import jax
 
+    if os.environ.get("BENCH_FORCE_CPU"):
+        sys.stderr.write("bench: BENCH_FORCE_CPU set; using CPU backend\n")
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.default_backend()
     except RuntimeError as e:
@@ -351,16 +354,34 @@ def main():
 
 
 def _main_with_retries(attempts: int = 3):
-    """The remote TPU runtime occasionally fails to register transiently;
-    retry in a fresh subprocess so the driver always gets a JSON line."""
+    """The remote TPU runtime occasionally fails to register transiently
+    -- or hangs outright (compiles that never return were observed) --
+    so each attempt runs in a fresh subprocess under a watchdog, and the
+    last resort forces the CPU backend so the driver always gets a JSON
+    line (clearly labeled by its "backend" field)."""
     import subprocess
+    budget = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
     for i in range(attempts - 1):
-        r = subprocess.run([sys.executable, __file__, "--once"])
+        try:
+            r = subprocess.run([sys.executable, __file__, "--once"],
+                               timeout=budget)
+            if r.returncode == 0:
+                return 0
+            why = f"rc {r.returncode}"
+        except subprocess.TimeoutExpired:
+            why = f"hang (> {budget} s; relay wedge)"
+        sys.stderr.write(f"bench: attempt {i + 1} failed "
+                         f"({why}); retrying in 30 s\n")
+        time.sleep(30)
+    # last resort: a fresh subprocess on the CPU backend, still watched
+    try:
+        r = subprocess.run([sys.executable, __file__, "--once"],
+                           timeout=budget,
+                           env={**os.environ, "BENCH_FORCE_CPU": "1"})
         if r.returncode == 0:
             return 0
-        sys.stderr.write(f"bench: attempt {i + 1} failed "
-                         f"(rc {r.returncode}); retrying in 30 s\n")
-        time.sleep(30)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write("bench: CPU fallback also timed out\n")
     main()
     return 0
 
