@@ -55,18 +55,18 @@ class CompiledGraph:
 
     ``mac``: "jnp" (dense gather + reduce), "pallas" (fused TPU kernel),
     "pallas-interpret" (kernel in interpreter mode, for CPU tests), or
-    "auto" (the dense path -- the measured winner at all tested shapes,
-    see ops/pallas_mac.py).
+    "auto" (the dense path; the *engine* resolves auto to "pallas" on
+    TPU wherever the kernel applies -- the measured winner at every
+    shape, see ops/pallas_mac.py -- before constructing this).
     """
 
     def __init__(self, spec: GraphSpec, mac: str = "auto", taps=None):
         self.spec = spec
         self.taps = taps
         if mac == "auto":
-            # XLA fuses the dense MAC's gathers into the reduction and
-            # runs it at ~2/3 HBM speed-of-light regardless of
-            # coefficient diversity (forced-completion measurements in
-            # ops/pallas_mac.py); the Pallas kernel is opt-in.
+            # off-TPU default: the dense MAC (the interpreted Pallas
+            # kernel is orders of magnitude slower); the engine picks
+            # "pallas" explicitly on TPU (runtime/engine.py)
             mac = "jnp"
         if mac.startswith("pallas") and not pallas_available(
                 spec.n_bins, spec.real_dtype):
