@@ -131,3 +131,53 @@ filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
     y = outs["dio"].astype(np.int64)
     half = 15
     assert np.abs(y[half:, 1] - x[: len(y) - half, 1]).max() <= 2
+
+
+def test_kitchensink_dio_matches_host_and_offline(tmp_path):
+    """Dither + integer delays + subsample delays together: the device-IO
+    per-block path, the device-IO batched offline path (multi_step scan
+    carrying all three states), and the host codec path agree."""
+    rng = np.random.default_rng(12)
+    n_fr = 128 * 8
+    x = np.clip((rng.standard_normal((n_fr, 2)) * 4000).round(),
+                -32768, 32767).astype("<i2")
+    inp = tmp_path / "in.raw"
+    x.tofile(inp)
+
+    def build(outp):
+        return parse_config(f"""
+sampling_rate: 44100;
+filter_length: 128,2;
+sdf_length: 15;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0,1 {{ device: "file" {{ path: "{inp}"; }}; sample: "S16_LE";
+             channels: 2; delay: 5, 0; subdelay: 2, -101; }};
+output 0,1 {{ device: "file" {{ path: "{outp}"; }}; sample: "S16_LE";
+              channels: 2; dither: true; delay: 0, 9; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
+""")
+
+    outs = {}
+    for mode in ("dio", "host", "offline"):
+        outp = tmp_path / f"o_{mode}.raw"
+        conf = build(outp)
+        eng = Engine(conf)
+        if mode == "host":
+            eng.dio = None
+        else:
+            assert eng.dio is not None
+            assert eng.dio.dstate and eng.dio._sd[0] is not None
+        if mode == "offline":
+            eng.run_offline(batch_blocks=3)
+        else:
+            eng.run()
+        outs[mode] = np.fromfile(outp, dtype="<i2").reshape(-1, 2)
+
+    assert outs["dio"].shape == outs["host"].shape == outs["offline"].shape
+    # dio per-block and dio offline share the exact same device program
+    np.testing.assert_array_equal(outs["dio"], outs["offline"])
+    # vs host: FFT rounding + the dither recurrence's f32-grid (<= 2 LSB)
+    diff = outs["dio"].astype(np.int64) - outs["host"].astype(np.int64)
+    assert np.abs(diff).max() <= 2
+    assert np.mean(diff == 0) > 0.9
