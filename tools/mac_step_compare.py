@@ -18,6 +18,7 @@ CHANNELS = int(os.environ.get("BENCH_C", "26"))
 N = int(os.environ.get("BENCH_N", "8192"))
 B = int(os.environ.get("BENCH_B", "16"))
 MODE = sys.argv[1] if len(sys.argv) > 1 else "uniform"
+FMT = os.environ.get("BENCH_FMT", "S24_4LE")
 # uniform: one shared coeff; distinct: 4 sets; alldistinct: one per filter
 NCOEFF = {"uniform": 1, "distinct": 4, "alldistinct": CHANNELS}[MODE]
 
@@ -30,12 +31,12 @@ benchmark: true;
 ) + f"""
 input {",".join(str(i) for i in range(CHANNELS))} {{
     device: "file" {{ path: "/dev/zero"; }};
-    sample: "S24_4LE";
+    sample: "{FMT}";
     channels: {CHANNELS};
 }};
 output {",".join(str(i) for i in range(CHANNELS))} {{
     device: "file" {{ path: "/dev/null"; }};
-    sample: "S24_4LE";
+    sample: "{FMT}";
     channels: {CHANNELS};
     dither: false;
 }};
