@@ -260,6 +260,8 @@ class JackDevice(CallbackDevice):
         self._client = None
         self._ports = []
         self._cb_ref = None
+        self._nring = None
+        self._nctx = None
 
     def init(self, period_size: int) -> None:
         super().init(period_size)
@@ -288,31 +290,56 @@ class JackDevice(CallbackDevice):
                 raise IoModuleError("JACK I/O: port registration failed")
             self._ports.append(port)
 
-        dev = self
-        np_ = np
+        # Realtime path: prefer the native C process callback + SPSC ring
+        # (core/native/rtfifo.cpp) -- no Python (and no GIL) in JACK's
+        # realtime thread, like the reference's bfio_jack.c. Fallback:
+        # the ctypes->Python callback over the byte-FIFO bridge.
+        from ..core.native import rtfifo as _rt
+        self._nring = None
+        self._nctx = None
+        if _rt.available():
+            rtlib = _rt.lib()
+            framebytes = 4 * self.open_channels
+            self._nring = _rt.NativeRing(
+                max(1, self._periods) * period_size * framebytes)
+            ports_arr = (ctypes.c_void_p * len(self._ports))(
+                *[ctypes.c_void_p(p) for p in self._ports])
+            get_buf = ctypes.cast(lib.jack_port_get_buffer,
+                                  ctypes.c_void_p)
+            self._nctx = rtlib.bf_jack_ctx_create(
+                get_buf, 0 if self.io == IN else 1, len(self._ports),
+                ports_arr, ctypes.c_void_p(self._nring.handle))
+            if self._nctx:
+                cb = ctypes.cast(rtlib.bf_jack_process, ctypes.c_void_p)
+                lib.jack_set_process_callback(
+                    ctypes.c_void_p(self._client), cb,
+                    ctypes.c_void_p(self._nctx))
+        if not self._nctx:
+            dev = self
+            np_ = np
 
-        def process(nframes, _arg):
-            n = int(nframes)
-            bufs = [lib.jack_port_get_buffer(ctypes.c_void_p(p),
-                                             ctypes.c_uint32(n))
-                    for p in dev._ports]
-            planes = [np_.ctypeslib.as_array(
-                ctypes.cast(b, ctypes.POINTER(ctypes.c_float)), (n,))
-                for b in bufs]
-            if dev.io == IN:
-                frame = np_.stack(planes, axis=1)  # [n, ch] interleaved
-                dev.deliver_input(frame.tobytes())
-            else:
-                raw = dev.fetch_output(n * dev.open_channels * 4)
-                frame = np_.frombuffer(raw, np_.float32).reshape(
-                    n, dev.open_channels)
-                for c, pl_ in enumerate(planes):
-                    pl_[:] = frame[:, c]
-            return 0
+            def process(nframes, _arg):
+                n = int(nframes)
+                bufs = [lib.jack_port_get_buffer(ctypes.c_void_p(p),
+                                                 ctypes.c_uint32(n))
+                        for p in dev._ports]
+                planes = [np_.ctypeslib.as_array(
+                    ctypes.cast(b, ctypes.POINTER(ctypes.c_float)), (n,))
+                    for b in bufs]
+                if dev.io == IN:
+                    frame = np_.stack(planes, axis=1)  # [n, ch] interleaved
+                    dev.deliver_input(frame.tobytes())
+                else:
+                    raw = dev.fetch_output(n * dev.open_channels * 4)
+                    frame = np_.frombuffer(raw, np_.float32).reshape(
+                        n, dev.open_channels)
+                    for c, pl_ in enumerate(planes):
+                        pl_[:] = frame[:, c]
+                return 0
 
-        self._cb_ref = self._PROC_CB(process)
-        lib.jack_set_process_callback(ctypes.c_void_p(self._client),
-                                      self._cb_ref, None)
+            self._cb_ref = self._PROC_CB(process)
+            lib.jack_set_process_callback(ctypes.c_void_p(self._client),
+                                          self._cb_ref, None)
 
     def start(self) -> None:
         lib = self._jack()
@@ -327,6 +354,34 @@ class JackDevice(CallbackDevice):
             lib.jack_connect(ctypes.c_void_p(self._client),
                              pair[0], pair[1])
 
+    # engine-side I/O rides the native ring when the C callback is in
+    # charge; otherwise the inherited Python FIFO bridge
+    def read(self, nbytes: int) -> bytes:
+        if self._nring is not None:
+            return self._nring.read_blocking(nbytes)
+        return super().read(nbytes)
+
+    def write(self, data) -> int:
+        if self._nring is not None:
+            return self._nring.write_blocking(bytes(data))
+        return super().write(data)
+
+    def stop_stream(self) -> None:
+        if self._nctx:
+            from ..core.native import rtfifo as _rt
+            _rt.lib().bf_jack_ctx_stop(ctypes.c_void_p(self._nctx))
+        if self._nring is not None:
+            self._nring.close()
+        super().stop_stream()
+
+    @property
+    def native_xruns(self) -> int:
+        if self._nctx:
+            from ..core.native import rtfifo as _rt
+            return int(_rt.lib().bf_jack_ctx_xruns(
+                ctypes.c_void_p(self._nctx)))
+        return self.underruns + self.overruns
+
     def stop(self) -> None:
         if self._client:
             self._jack().jack_deactivate(ctypes.c_void_p(self._client))
@@ -336,6 +391,13 @@ class JackDevice(CallbackDevice):
         if self._client:
             self._jack().jack_client_close(ctypes.c_void_p(self._client))
             self._client = None
+        if self._nctx:
+            from ..core.native import rtfifo as _rt
+            _rt.lib().bf_jack_ctx_destroy(ctypes.c_void_p(self._nctx))
+            self._nctx = None
+        if self._nring is not None:
+            self._nring.destroy()
+            self._nring = None
         super().close()
 
 
