@@ -810,10 +810,36 @@ class Engine:
                 pass
             wth.join(timeout=30.0)
 
+        # opt-in stall watchdog (BRUTEFIR_TPU_WATCHDOG=<seconds>): abort
+        # the process when NO block completes for that long mid-run --
+        # a wedged device/transport otherwise hangs the pipeline forever
+        # (the reference likewise dies on a dead device). Armed only
+        # after the first block, so slow first compiles never trip it.
+        wd_timeout = float(os.environ.get("BRUTEFIR_TPU_WATCHDOG", "0")
+                           or 0.0)
+        wd_stop = threading.Event()
+        if wd_timeout > 0:
+            def _watchdog():
+                last = (self.blockcounter, time.monotonic())
+                while not wd_stop.wait(min(1.0, wd_timeout / 4)):
+                    bc = self.blockcounter
+                    if bc != last[0]:
+                        last = (bc, time.monotonic())
+                    elif (bc > 0
+                          and time.monotonic() - last[1] > wd_timeout):
+                        sys.stderr.write(
+                            f"no block completed for {wd_timeout:.0f} s "
+                            "(stalled device or transport); aborting.\n")
+                        sys.stderr.flush()
+                        os._exit(1)   # BF_EXIT_OTHER
+            threading.Thread(target=_watchdog, daemon=True,
+                             name="bf-watchdog").start()
+
         try:
             self._run_loop(max_blocks, sink_output, wq, wstats, N, budget,
                            show)
         finally:
+            wd_stop.set()
             shutdown_writer()
         if wstats["err"] is not None:
             raise wstats["err"]

@@ -204,3 +204,54 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
     assert "device stage calibration" in err
     for col in ("t2f", "mix1", "conv", "mix2", "f2t", "decode", "encode"):
         assert col in err
+
+
+def test_watchdog_aborts_stalled_run(tmp_path, monkeypatch):
+    """BRUTEFIR_TPU_WATCHDOG kills a run whose device/transport stalls
+    (here: an input device that blocks forever after one block)."""
+    import os
+    import subprocess
+    import sys as _sys
+    code = f"""
+import os, sys, time
+os.environ["BRUTEFIR_TPU_WATCHDOG"] = "2"
+sys.path.insert(0, {repr(os.getcwd())})
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from brutefir_tpu.config import parse_config
+from brutefir_tpu.runtime.engine import Engine
+from brutefir_tpu.io import IoDevice
+
+mp = {repr(str(tmp_path))}
+os.makedirs(mp, exist_ok=True)
+open(os.path.join(mp, "bfio_stall.py"), "w").write('''
+import time
+from brutefir_tpu.io import IoDevice, register_io_module
+class Device(IoDevice):
+    def read(self, nbytes):
+        if getattr(self, "_n", 0) >= 2:
+            time.sleep(3600)
+        self._n = getattr(self, "_n", 0) + 1
+        return b"\\\\x00" * nbytes
+    def write(self, data):
+        return len(data)
+register_io_module("stall", Device)
+''')
+conf = parse_config(\"\"\"
+sampling_rate: 44100;
+filter_length: 256,2;
+modules_path: "{{mp}}";
+coeff 0 {{{{ filename: "dirac pulse"; }}}};
+input 0 {{{{ device: "stall" {{{{}}}}; sample: "S16_LE"; channels: 1; }}}};
+output 0 {{{{ device: "file" {{{{ path: "/dev/null"; }}}}; sample: "S16_LE"; channels: 1; dither: false; }}}};
+filter 0 {{{{ from_inputs: 0; to_outputs: 0; coeff: 0; }}}};
+\"\"\".format(mp=mp))
+Engine(conf).run()
+print("UNREACHABLE")
+"""
+    r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 1
+    assert "stalled device or transport" in r.stderr
+    assert "UNREACHABLE" not in r.stdout
