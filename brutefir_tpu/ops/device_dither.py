@@ -73,11 +73,11 @@ def dither_window(tab: jax.Array, randmap: jax.Array, ptr: jax.Array,
     p = jnp.where(wraps, 1, ptr)                      # [C]
     idx = p[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]
     cur = tab[idx].astype(jnp.int32)                  # [C, n]
-    prev_in = tab[idx - 1].astype(jnp.int32)
-    # first diff of a wrapped window continues from the last consumed
-    # byte (the reference writes it into tab[0])
-    prev0 = jnp.where(wraps, last, prev_in[:, 0])
-    prev = jnp.concatenate([prev0[:, None], prev_in[:, 1:]], axis=1)
+    # prev is cur shifted by one sample; only column 0 needs its own
+    # (tiny [C]) gather — and on a wrap it continues from the last
+    # consumed byte (the reference writes it into tab[0])
+    prev0 = jnp.where(wraps, last, tab[p - 1].astype(jnp.int32))
+    prev = jnp.concatenate([prev0[:, None], cur[:, :-1]], axis=1)
     d = randmap[(cur - prev) + 256]                   # [C, n] f32
     return d, p + n, cur[:, -1]
 
@@ -121,11 +121,15 @@ def dither_quantize(x: jax.Array, d: jax.Array, sf: jax.Array,
     tf = tf.at[:, 1:].add(g[:, :-1])
     if N > 1:
         tf = tf.at[:, 2:].add(-g[:, :-2])
+    t_val = xi + tf                                    # the dithered value
     s = xi + jnp.floor(tf)                             # full-precision floor
-    ovf = (s < f32(imin)) | (s > f32(imax))
+    # host clip/count semantics (dither_funs.h / _quantize_py): count on
+    # the PRE-floor dithered value — ``dithered <= rmin`` or ``> rmax``
+    # (e.g. t in (imax, imax+1) floors to imax but still counts)
+    ovf = (t_val <= f32(imin)) | (t_val > f32(imax))
     sq = jnp.clip(s, f32(imin), f32(imax)).astype(jnp.int32)
     # meters in encode_words' convention: [n_overflows, clip peak, int peak]
-    mag = jnp.abs(xi + tf)                             # |dithered|
+    mag = jnp.abs(t_val)
     meters = jnp.stack([
         jnp.sum(ovf.astype(f32), axis=1),
         jnp.max(jnp.where(ovf, mag, 0.0), axis=1),

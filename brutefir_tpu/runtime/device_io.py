@@ -201,10 +201,8 @@ class DeviceIO:
             self._dith_tab = jnp.asarray(table.tab)
             self._dith_randmap = jnp.asarray(table.randmap)
             self._dith_size = table.size
-            ptr0 = []
-            for dev in conf.iodevs[OUT]:
-                if not (dev.apply_dither and not dev.sample_format.is_float
-                        and dev.sample_format.sbytes < 4):
+            for dev, dithers in zip(conf.iodevs[OUT], self._dev_dither):
+                if not dithers:
                     self._dith_rows.append(None)
                     continue
                 rows = np.asarray([order[dev.phys_base + i]
@@ -339,13 +337,13 @@ class DeviceIO:
             return state, tuple(outs), tuple(meters), nan_ok, new_dstate
 
         self._full_step = full_step
-        self._step = jax.jit(full_step, donate_argnums=(0,))
+        self._step = jax.jit(full_step, donate_argnums=(0, 6))
         # uniform-coefficient program variant (host-selected, see
         # graph/compile.py); identical except the uniform MAC
         if mac == "jnp" or mac.startswith("pallas"):
             self._step_u = jax.jit(
                 functools.partial(full_step, uniform=True),
-                donate_argnums=(0,))
+                donate_argnums=(0, 6))
         else:
             self._step_u = self._step
         self._multi = {}
@@ -456,7 +454,7 @@ class DeviceIO:
                     for md in meters)
                 return state, outs, agg, jnp.all(nans), dstate
 
-            jfn = jax.jit(multi, donate_argnums=(0,))
+            jfn = jax.jit(multi, donate_argnums=(0, 6))
 
             def wrapped(state, ctrl, in_gain, out_gain, bank, in_words,
                         _fn=jfn):

@@ -536,11 +536,19 @@ class Engine:
                 words = [np.zeros((self.N,) + self.dio.in_wire_shape[i],
                                   self.dio.in_wire_dtype[i])
                          for i in range(len(self.conf.iodevs[IN]))]
-                for uni in (False, True):
-                    st = self.cg.init_state()
-                    r = self.dio.step(st, ctrl, g0, g1, self.bank,
-                                      list(words), uniform=uni)
-                    jax.block_until_ready(r[1])
+                # warmup must not advance the persistent dither/delay
+                # state (the dither pointers' start offset is part of the
+                # bit-exact sequence contract, ops/device_dither.py);
+                # deep-copy: the step donates dstate buffers
+                dstate0 = jax.tree.map(jnp.copy, self.dio.dstate)
+                try:
+                    for uni in (False, True):
+                        st = self.cg.init_state()
+                        r = self.dio.step(st, ctrl, g0, g1, self.bank,
+                                          list(words), uniform=uni)
+                        jax.block_until_ready(r[1])
+                finally:
+                    self.dio.dstate = dstate0
             else:
                 x = np.zeros((self.conf.n_channels[IN], self.N), self.rd)
                 for uni in (False, True):

@@ -156,3 +156,45 @@ filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
     assert np.abs(diff).max() <= 2
     # identical dither sequence + recurrence: overwhelmingly bit-equal
     assert np.mean(diff == 0) > 0.95
+
+
+def test_overflow_counts_on_prefloor_value():
+    """t in (imax, imax+1) floors to imax but must still count as an
+    overflow (host 'dithered > rmax' semantics)."""
+    fmt = parse_sample_format("S16_LE")
+    x = np.array([[32766.8, 100.0]], np.float32)
+    d = np.array([[0.5, 0.5]], np.float32)   # t[0] = 32767.3 > imax
+    s, sf, meters = dither_quantize(jnp.asarray(x), jnp.asarray(d),
+                                    jnp.zeros((1, 2), jnp.float32),
+                                    fmt.imin, fmt.imax)
+    assert int(np.asarray(s)[0, 0]) == fmt.imax
+    assert float(np.asarray(meters)[0, 0]) == 1.0
+
+
+def test_warmup_preserves_dither_state(tmp_path):
+    """Program warmup must not advance the persistent dither pointers
+    (the sequence's start offset is part of the bit-exact contract)."""
+    from brutefir_tpu.config import parse_config
+    from brutefir_tpu.runtime import Engine
+
+    x = np.zeros((512, 1), "<i2")
+    inp = tmp_path / "in.raw"
+    x.tofile(inp)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: 256,2;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "S16_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{tmp_path / 'o.raw'}"; }}; sample: "S16_LE"; channels: 1; dither: true; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    eng = Engine(conf)
+    assert eng.dio is not None and eng.dio.dstate
+    ptr_before = np.asarray(eng.dio.dstate["ptr"]).copy()
+    sf_before = np.asarray(eng.dio.dstate["sf"]).copy()
+    eng.setup()
+    eng._warm_programs()
+    np.testing.assert_array_equal(np.asarray(eng.dio.dstate["ptr"]),
+                                  ptr_before)
+    np.testing.assert_array_equal(np.asarray(eng.dio.dstate["sf"]),
+                                  sf_before)
