@@ -44,7 +44,8 @@ def _load():
     lib.bf_ring_used.restype = c.c_uint64
     lib.bf_ring_used.argtypes = [c.c_void_p]
     lib.bf_ring_write.restype = c.c_uint64
-    lib.bf_ring_write.argtypes = [c.c_void_p, c.c_char_p, c.c_uint64]
+    lib.bf_ring_write.argtypes = [c.c_void_p, c.c_void_p, c.c_uint64]
+    lib.bf_ring_write_at = lib.bf_ring_write  # byref-offset alias
     lib.bf_ring_read.restype = c.c_uint64
     lib.bf_ring_read.argtypes = [c.c_void_p, c.c_void_p, c.c_uint64]
     lib.bf_jack_ctx_create.restype = c.c_void_p
@@ -94,9 +95,20 @@ class NativeRing:
         self._closed = True
 
     def destroy(self) -> None:
-        if self._ring:
-            self._lib.bf_ring_destroy(self._ring)
-            self._ring = None
+        """Free the C ring. Only safe when no other thread can still be
+        inside read_blocking/write_blocking or the C callback — device
+        close() paths therefore only ``close()`` and leave the free to
+        the GC finalizer (refcount 0 implies no such thread exists)."""
+        self._closed = True
+        ring, self._ring = self._ring, None
+        if ring:
+            self._lib.bf_ring_destroy(ring)
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.destroy()
+        except Exception:
+            pass
 
     def read_blocking(self, nbytes: int, poll_s: float = 0.0005) -> bytes:
         """Block until nbytes are available (or closed -> short read)."""
@@ -104,8 +116,11 @@ class NativeRing:
         view = (ctypes.c_char * nbytes).from_buffer(out)
         got = 0
         while got < nbytes:
+            ring = self._ring
+            if ring is None:
+                return bytes(out[:got])
             n = int(self._lib.bf_ring_read(
-                self._ring, ctypes.byref(view, got), nbytes - got))
+                ring, ctypes.byref(view, got), nbytes - got))
             got += n
             if got < nbytes:
                 if self._closed:
@@ -115,10 +130,14 @@ class NativeRing:
 
     def write_blocking(self, data: bytes, poll_s: float = 0.0005) -> int:
         data = bytes(data)
+        buf = (ctypes.c_char * len(data)).from_buffer_copy(data)
         sent = 0
         while sent < len(data):
-            n = int(self._lib.bf_ring_write(
-                self._ring, data[sent:], len(data) - sent))
+            ring = self._ring
+            if ring is None:
+                return sent
+            n = int(self._lib.bf_ring_write_at(
+                ring, ctypes.byref(buf, sent), len(data) - sent))
             sent += n
             if sent < len(data):
                 if self._closed:

@@ -14,7 +14,8 @@ setup and the blocking read/write calls.
 * ``jack``: a real ctypes libjack client over the callback FIFO bridge
   (io/callback.py) -- JACK owns the clock, the engine's blocking pipeline
   rides the bridge. Gated on libjack's presence with a clear error.
-* ``pulse``: requires libpulse-simple, gated off in this build.
+* ``pulse``: blocking libpulse-simple client; gated on the library's
+  presence with a clear error, like the others.
 
 All four register so configs referencing them parse and fail with a clear
 message only when the host lacks the library.
@@ -396,7 +397,9 @@ class JackDevice(CallbackDevice):
             _rt.lib().bf_jack_ctx_destroy(ctypes.c_void_p(self._nctx))
             self._nctx = None
         if self._nring is not None:
-            self._nring.destroy()
+            # only close(); the GC finalizer frees the C ring once no
+            # thread can still be blocked inside it (rtfifo.NativeRing)
+            self._nring.close()
             self._nring = None
         super().close()
 

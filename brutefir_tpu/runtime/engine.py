@@ -517,6 +517,12 @@ class Engine:
             for inst in self.devices[io]:
                 inst.start()
         self._iodelay_fill()
+        # synchronized start fires when processing begins, after the
+        # iodelay fill (dai.c:720 for callback modules, dai.c:1178 for
+        # modules that declare it -- e.g. ALSA's linked snd_pcm_start)
+        for io in (IN, OUT):
+            for inst in self.devices[io]:
+                inst.synch_start()
 
     def _warm_programs(self):
         """Pre-compile both step-program variants before clocked devices
@@ -612,6 +618,7 @@ class Engine:
     def teardown(self):
         for io in (IN, OUT):
             for inst in self.devices[io]:
+                inst.synch_stop()
                 inst.stop()
                 inst.close()
 
@@ -683,27 +690,31 @@ class Engine:
                     N, dev.open_channels))
         return words, frames
 
+    def _account_output_meters(self, dev, meters_d):
+        """Fold one device's [used, 4] meter rows into the per-channel
+        Overflow stats and enforce safety_limit (real2raw.h:32-42) --
+        before anything is written to the device."""
+        m = np.asarray(meters_d)
+        fmt = dev.sample_format
+        limit = self.conf.safety_limit
+        for i in range(dev.used_channels):
+            ovf = self._phys_overflow[dev.phys_base + i]
+            ovf.n_overflows += int(m[i, 0])
+            ovf.largest = max(ovf.largest, float(m[i, 1]))
+            if not fmt.is_float:
+                ovf.intlargest = max(ovf.intlargest, int(m[i, 2]))
+            if limit != 0.0 and float(m[i, 3]) > limit * ovf.max:
+                raise EngineError(
+                    f"safety limit exceeded on output "
+                    f"({20 * np.log10(float(m[i, 3]) / ovf.max):.2f} > "
+                    f"{20 * np.log10(limit):.2f} dB)")
+
     def write_block_dio(self, outs, meters, nan_ok, frames):
         conf = self.conf
         if not bool(nan_ok):
             raise EngineError("NaN or Inf values in the system! Invalid input?")
-        limit = conf.safety_limit
         for di, dev in enumerate(conf.iodevs[OUT]):
-            m = np.asarray(meters[di])
-            fmt = dev.sample_format
-            for i in range(dev.used_channels):
-                ovf = self._phys_overflow[dev.phys_base + i]
-                ovf.n_overflows += int(m[i, 0])
-                if fmt.is_float:
-                    ovf.largest = max(ovf.largest, float(m[i, 1]))
-                else:
-                    ovf.largest = max(ovf.largest, float(m[i, 1]))
-                    ovf.intlargest = max(ovf.intlargest, int(m[i, 2]))
-                if limit != 0.0 and float(m[i, 3]) > limit * ovf.max:
-                    raise EngineError(
-                        f"safety limit exceeded on output "
-                        f"({20 * np.log10(float(m[i, 3]) / ovf.max):.2f} > "
-                        f"{20 * np.log10(limit):.2f} dB)")
+            self._account_output_meters(dev, meters[di])
             raw = np.asarray(outs[di])
             if self.dio.out_wire[di] == "p24":
                 raw = _expand_p24(raw)        # 3-byte wire -> 4-byte file
@@ -1093,6 +1104,10 @@ class Engine:
                                 "NaN or Inf values in the system! "
                                 "Invalid input?")
                         for di, dev in enumerate(conf.iodevs[OUT]):
+                            # meters + safety abort BEFORE the device
+                            # write, like write_block_dio / the
+                            # reference's real2raw.h:32-42 speaker guard
+                            self._account_output_meters(dev, meters[di])
                             raw = np.asarray(outs[di])
                             if self.dio.out_wire[di] == "p24":
                                 raw = _expand_p24(raw)
@@ -1101,23 +1116,6 @@ class Engine:
                             else:
                                 raw = raw.reshape(-1, dev.open_channels)
                             self.devices[OUT][di].write(raw[:fk].tobytes())
-                            m = np.asarray(meters[di])
-                            limit = conf.safety_limit
-                            for i in range(dev.used_channels):
-                                ovf = self._phys_overflow[dev.phys_base + i]
-                                ovf.n_overflows += int(m[i, 0])
-                                ovf.largest = max(ovf.largest, float(m[i, 1]))
-                                if not dev.sample_format.is_float:
-                                    ovf.intlargest = max(ovf.intlargest,
-                                                         int(m[i, 2]))
-                                # same abort as write_block_dio / the
-                                # reference's real2raw.h:32-42 speaker guard
-                                if (limit != 0.0
-                                        and float(m[i, 3]) > limit * ovf.max):
-                                    raise EngineError(
-                                        f"safety limit exceeded on output "
-                                        f"({20 * np.log10(float(m[i, 3]) / ovf.max):.2f}"
-                                        f" > {20 * np.log10(limit):.2f} dB)")
                         self._peak_push()
                     wstats["frames"] += fk
                 except Exception as e:

@@ -106,3 +106,48 @@ def test_byte_fifo_overrun_drop_and_eof():
     f.close()
     data, _ = f.pop(5)                                  # EOF: short read
     assert data == b"xy"
+
+
+def test_setup_fires_synch_start_after_start(tmp_path):
+    """Engine.setup must fire synch_start on every device after start()
+    and the iodelay fill (dai.c:720/1178 — e.g. ALSA's linked
+    snd_pcm_start); teardown fires synch_stop."""
+    from brutefir_tpu.config import parse_config
+    from brutefir_tpu.runtime.engine import Engine
+    from brutefir_tpu.io import IoDevice, register_io_module
+
+    calls = []
+
+    class Synthetic(IoDevice):
+        def init(self, period_size):
+            calls.append("init")
+
+        def start(self):
+            calls.append("start")
+
+        def synch_start(self):
+            calls.append("synch_start")
+
+        def synch_stop(self):
+            calls.append("synch_stop")
+
+        def read(self, nbytes):
+            return b""
+
+        def write(self, data):
+            return len(data)
+
+    register_io_module("synthsync", Synthetic)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: 128,2;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "synthsync" {{}}; sample: "S16_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{tmp_path / 'o.raw'}"; }}; sample: "S16_LE"; channels: 1; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+    eng = Engine(conf)
+    eng.setup()
+    assert calls.index("start") < calls.index("synch_start")
+    eng.teardown()
+    assert "synch_stop" in calls
