@@ -382,6 +382,8 @@ def _main_with_retries(attempts: int = 3):
             return 0
     except subprocess.TimeoutExpired:
         sys.stderr.write("bench: CPU fallback also timed out\n")
+    # in-process last word: force CPU here too (the docstring's promise)
+    os.environ["BENCH_FORCE_CPU"] = "1"
     main()
     return 0
 

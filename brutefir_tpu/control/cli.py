@@ -410,6 +410,9 @@ class CliModule:
                 if d < 0 or not ctrl.set_delay(io_, ch, d):
                     out.write(f'Invalid {"input" if io_ == IN else "output"} '
                               "delay.\n")
+                # the subdelay applies independently of the delay's
+                # validity, like the reference (bflogic_cli.c cid/cod:
+                # both fields parse and apply on their own)
                 if len(parts) > 1:
                     try:
                         sd = int(parts[1])
@@ -589,9 +592,18 @@ class CliModule:
     def _serial_loop(self, path):
         """CLI over a serial/character device. The reference configures
         the line speed with cfsetispeed/cfsetospeed and raw mode
-        (bflogic_cli.c); sessions persist across hangups."""
+        (bflogic_cli.c); sessions persist across hangups — on EOF or
+        'quit' the device is reopened for the next session."""
+        while True:
+            self._serial_session(path)
+            time.sleep(0.5)        # hangup backoff; then a new session
+
+    def _serial_session(self, path):
         import termios
-        fd = os.open(path, os.O_RDWR | os.O_NOCTTY)
+        try:
+            fd = os.open(path, os.O_RDWR | os.O_NOCTTY)
+        except OSError:
+            return
         try:
             attrs = termios.tcgetattr(fd)
             speed = getattr(termios, f"B{self.line_speed}",

@@ -57,7 +57,18 @@ class EqModule:
         self.equalisers = []
         self._parse_params(params)
         self._check_disjoint()
-        engine.control.coeff_final_hook = self._coeff_final
+        # chain (not overwrite): a config may declare several eq logic
+        # modules; each module's redirect passes through coefficients it
+        # does not own, so composition is order-independent for the
+        # disjoint sets each _check_disjoint enforces
+        prev_hook = engine.control.coeff_final_hook
+
+        def _chained(n, c, _prev=prev_hook, _mine=self._coeff_final):
+            if _prev is not None:
+                c = _prev(n, c)
+            return _mine(n, c)
+
+        engine.control.coeff_final_hook = _chained
         for eq in self.equalisers:
             self._render(eq)
 
@@ -115,6 +126,8 @@ class EqModule:
             f = t.value
             if f == "bands":
                 t = peek()
+                if t is None:
+                    raise RuntimeError("EQ: parse error: unexpected end")
                 if t.kind == T.STRING:
                     need(T.STRING, "")
                     if t.value == "ISO octave":
@@ -149,6 +162,9 @@ class EqModule:
             elif f == "coeff":
                 for k in range(2):
                     t = peek()
+                    if t is None:
+                        raise RuntimeError(
+                            "EQ: parse error: unexpected end")
                     if t.kind == T.STRING:
                         need(T.STRING, "")
                         names = [c.name for c in conf.coeffs]
@@ -165,6 +181,9 @@ class EqModule:
                             "EQ: parse error: expected integer or string")
                     if k == 0:
                         t = peek()
+                        if t is None:
+                            raise RuntimeError(
+                                "EQ: parse error: unexpected end")
                         if t.kind == T.EOS:
                             need(T.EOS, "")
                             eq.coeff[1] = eq.coeff[0]

@@ -138,14 +138,18 @@ class FileDevice(IoDevice):
                 n_raw = len(raw)
             data = self._text_tail + (raw or b"")
             if n_raw == 0:
-                # EOF: parse what remains, then stop
+                # EOF: parse what remains, keeping any unconsumed tokens
+                # for the next call (a large pushed-back tail can hold
+                # more than one period's worth of samples)
                 toks = data.split()
-                for t in toks:
+                for ti, t in enumerate(toks):
                     if got == count:
+                        self._text_tail = b" ".join(toks[ti:])
                         break
                     vals[got] = float(t)
                     got += 1
-                self._text_tail = b""
+                else:
+                    self._text_tail = b""
                 break
             # keep a possibly-split trailing token for the next round
             cut = max(data.rfind(b"\n"), data.rfind(b" "), data.rfind(b"\t"))

@@ -95,7 +95,9 @@ class RuntimeControl:
         if not (0 <= ch < self.conf.n_channels[io]):
             return False
         md = self.conf.maxdelay[io][ch]
-        if delay < 0 or (md >= 0 and delay > md) or md < 0:
+        # reject: negative, beyond maxdelay, or not runtime-changeable
+        # (maxdelay unset) -- delay.c:283-317
+        if delay < 0 or md < 0 or delay > md:
             return False
         self.delay[io][ch] = delay
         self._dirty = True

@@ -130,3 +130,41 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
     assert eqmod.equalisers[1].coeff == [2, 2]  # single coeff doubles up
     eng.run(setup=False)
     eng.teardown()
+
+
+def test_two_eq_modules_chain_coeff_final(tmp_path):
+    """Two eq logic modules must both keep their double-buffer redirect
+    (the hook chains instead of the second module replacing the first)."""
+    import numpy as np
+    from brutefir_tpu.config import parse_config
+    from brutefir_tpu.runtime import Engine
+
+    x = np.zeros((512, 2), "<i2")
+    inp = tmp_path / "in.raw"
+    x.tofile(inp)
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: 256,2;
+logic: "eq" {{ coeff: 0, 1; bands: "ISO octave"; }},
+       "eq" {{ coeff: 2, 3; bands: "ISO octave"; }};
+coeff 0 {{ filename: "dirac pulse"; shared_mem: true; }};
+coeff 1 {{ filename: "dirac pulse"; shared_mem: true; }};
+coeff 2 {{ filename: "dirac pulse"; shared_mem: true; }};
+coeff 3 {{ filename: "dirac pulse"; shared_mem: true; }};
+input 0,1 {{ device: "file" {{ path: "{inp}"; }}; sample: "S16_LE"; channels: 2; }};
+output 0,1 {{ device: "file" {{ path: "{tmp_path / 'o.raw'}"; }}; sample: "S16_LE"; channels: 2; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 2; }};
+""")
+    eng = Engine(conf)
+    eng.attach_logic()
+    # each module redirects its own filter's coeff to that module's
+    # active buffer; both redirects must survive
+    hook = eng.control.coeff_final_hook
+    assert hook is not None
+    c0 = hook(0, 0)
+    c1 = hook(1, 2)
+    assert c0 in (0, 1) and c1 in (2, 3)
+    # flip module 2's active buffer via its own hook path: rendering is
+    # exercised by run; here the chain shape is what matters
+    eng.run()
