@@ -98,9 +98,20 @@ def _read_text_taps(path: str, skip: int, max_items: int, dtype) -> np.ndarray:
             s = line.strip()
             if not s:
                 continue
-            # strtod semantics: parse the leading float, ignore the rest
+            # strtod semantics (real_read, bfconf.c:1750): parse the
+            # leading float of the line, ignoring any trailing junk
+            # (e.g. comma-terminated lines); a line with no parseable
+            # prefix is a clean config error, not a traceback
             tok = s.split()[0]
-            vals.append(float(tok))
+            try:
+                vals.append(float(tok))
+            except ValueError:
+                import re
+                m = re.match(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", tok)
+                if not m:
+                    raise ValueError(
+                        f'invalid floating point number in file "{path}"')
+                vals.append(float(m.group(0)))
             if 0 < max_items <= len(vals):
                 break
     return np.asarray(vals, dtype=dtype)

@@ -356,6 +356,12 @@ class _Parser:
         if not self.defaults.get("has_defaults"):
             if c.filename == "dirac pulse" and "format" not in bitset:
                 c.format = "PROCESSED"
+            # note: the reference's field_mandatory_test 0x05 would
+            # demand an explicit format here under -nodefault, but its
+            # own shipped configs (xtc_config etc.) omit it and rely on
+            # the stock defaults file's TEXT default -- CoeffDef keeps
+            # that default, and a raw file misread as TEXT now fails
+            # with a clean "invalid floating point number" error
             if c.filename == "" and not c.shm_parts:
                 self.error("coeff filename missing")
         elif c.filename == "" and not c.shm_parts:
@@ -366,6 +372,10 @@ class _Parser:
             self.error("shared memory coefficients must be in processed format")
         if c.shm_parts:
             c.is_shared = True
+        if c.skip > 0 and (c.filename == "dirac pulse" or c.shm_parts):
+            # skip only works on files (bfconf.c:1897-1901)
+            self.error(f'cannot use skip field for coeff "{c.name}" '
+                       "(skip only works on files)")
         conf.coeffs.append(c)
 
     # --- filter (bfconf.c:986-1102) ----------------------------------------
@@ -585,6 +595,8 @@ class _Parser:
                     self.error("channel amount exceeds allocated", t)
             elif f == "delay":
                 vals = self.get_int_list(self.expect(T.REAL), T.EOS)
+                if len(vals) > len(conf.delay[io]) - virtual_base:
+                    self.error("too many values in list", t)
                 for i, v in enumerate(vals):
                     if v < 0:
                         self.error("negative delay", t)
@@ -596,6 +608,8 @@ class _Parser:
                 self.expect(T.EOS)
             elif f == "mute":
                 vals = self.get_bool_list(T.EOS)
+                if len(vals) > len(conf.mute[io]) - virtual_base:
+                    self.error("too many values in list", t)
                 for i, v in enumerate(vals):
                     conf.mute[io][virtual_base + i] = v
             elif f == "maxdelay":
@@ -605,6 +619,8 @@ class _Parser:
                 self.expect(T.EOS)
             elif f == "individual_maxdelay":
                 vals = self.get_int_list(self.expect(T.REAL), T.EOS)
+                if len(vals) > len(conf.maxdelay[io]) - virtual_base:
+                    self.error("too many values in list", t)
                 indmaxd_count = len(vals)
                 for i, v in enumerate(vals):
                     conf.maxdelay[io][virtual_base + i] = v if v >= 0 else -1
@@ -623,6 +639,8 @@ class _Parser:
                 self.expect(T.EOS)
             elif f == "subdelay":
                 vals = self.get_int_list(self.expect(T.REAL), T.EOS)
+                if len(vals) > len(conf.subdelay[io]) - virtual_base:
+                    self.error("too many values in list", t)
                 for i, v in enumerate(vals):
                     if v <= -BF_SAMPLE_SLOTS:
                         conf.subdelay[io][virtual_base + i] = BF_UNDEFINED_SUBDELAY
@@ -641,6 +659,13 @@ class _Parser:
             iod[io] = dev
             return
 
+        if self.parse_default or not self.defaults.get("has_defaults"):
+            # mandatory fields (field_mandatory_test 0x07,
+            # bfconf.c:1370-1376)
+            for req in ("device", "sample", "channels"):
+                if req not in bitset:
+                    self.error(f'mandatory field "{req}" omitted in '
+                               f'{"input" if io == IN else "output"}')
         if maxdelay_setting != -2:
             for i in range(indmaxd_count, dev.virtual_channels):
                 conf.maxdelay[io][virtual_base + i] = maxdelay_setting
@@ -846,6 +871,15 @@ def parse_config(
     if defaults_text is not None:
         dp = _Parser(defaults_text, "<defaults>", conf, True, defaults)
         dp.parse()
+        # mandatory defaults settings (get_defaults bits 0x05DB,
+        # bfconf.c:1650; config_file only when the convolver needs one,
+        # which the XLA-cache analog does not)
+        for req in DEFAULT_CONFIG_TEXT_HAS:
+            if req == "config_file":
+                continue
+            if req not in dp.seen_settings:
+                raise ConfigParseError(
+                    f'mandatory setting "{req}" missing in defaults')
         for io in (IN, OUT):
             if not defaults.get("iodev") or defaults["iodev"][io] is None:
                 raise ConfigParseError(

@@ -59,10 +59,6 @@ class Overflow:
         return 20.0 * np.log10(peak / self.max)
 
 
-def _byteswap_view(a: np.ndarray) -> np.ndarray:
-    return a.byteswap()
-
-
 def raw_to_float(
     raw: np.ndarray,
     fmt: SampleFormat,
@@ -84,7 +80,6 @@ def raw_to_float(
     sel = np.asarray(channel_selection, dtype=np.int64)
     nbytes = n_frames * open_channels * fmt.bytes
     buf = raw[:nbytes]
-    swap = fmt.little_endian != (np.little_endian)
 
     if fmt.is_float:
         base = np.dtype(np.float32 if fmt.bytes == 4 else np.float64)

@@ -41,8 +41,9 @@ class SubsampleDelay:
         self.blocklen = _next_pow2(L)
         if conf.filter_length % self.blocklen != 0:
             raise ValueError(
-                f"incompatible fragment/filter sizes "
-                f"({conf.filter_length}/{L})")
+                f"incompatible fragment/filter sizes: filter_length "
+                f"{conf.filter_length} must divide by the subdelay "
+                f"chunk {self.blocklen} (next pow2 of {L})")
         steps = BF_SAMPLE_SLOTS
         n_fft = 2 * self.blocklen
         # spectral bank indexed by subdelay in [-(steps-1) .. steps-1]
