@@ -68,21 +68,10 @@ def main(argv=None) -> int:
         sys.stderr.write(f"{e}\n")
         return BF_EXIT_OTHER
 
-    if daemon and os.fork() != 0:
-        return BF_EXIT_OK
-
     import signal
-    eng = Engine(conf)
+    from .io import IoModuleError
 
-    def _stop(signum, frame):
-        eng.stop()
-
-    signal.signal(signal.SIGINT, _stop)
-    signal.signal(signal.SIGTERM, _stop)
-    try:
-        stats = eng.run()
-    except EngineError as e:
-        sys.stderr.write(f"{e}\n")
+    def _exit_code(e) -> int:
         # reference exit-code contract (bfmod.h:64-70): buffer underflow
         # and invalid-input aborts are distinguishable to supervisors
         msg = str(e)
@@ -91,6 +80,31 @@ def main(argv=None) -> int:
         if "Invalid input" in msg or "NaN" in msg:
             return BF_EXIT_INVALID_INPUT
         return BF_EXIT_OTHER
+
+    try:
+        eng = Engine(conf)
+    except (EngineError, IoModuleError) as e:
+        # init-time failures (device open, float64-on-TPU, AUTO format)
+        # still honor the clean-message + exit-code contract
+        sys.stderr.write(f"{e}\n")
+        return _exit_code(e)
+
+    # daemonize only after successful initialization, like the
+    # reference (a supervisor must not see exit 0 before the devices
+    # and the engine actually came up)
+    if daemon and os.fork() != 0:
+        return BF_EXIT_OK
+
+    def _stop(signum, frame):
+        eng.stop()
+
+    signal.signal(signal.SIGINT, _stop)
+    signal.signal(signal.SIGTERM, _stop)
+    try:
+        stats = eng.run()
+    except (EngineError, IoModuleError) as e:
+        sys.stderr.write(f"{e}\n")
+        return _exit_code(e)
     if not quiet:
         sys.stderr.write(
             f"Finished: {stats['blocks']} blocks, {stats['frames']} frames, "

@@ -56,7 +56,7 @@ _TOKEN_RE = re.compile(
   | (?P<nl>\n)
   | (?P<comment>\#[^\n]*)
   | (?P<lbrace>\{) | (?P<rbrace>\}) | (?P<comma>,) | (?P<slash>/) | (?P<eos>;)
-  | (?P<string>"(\\"|[^"])*")
+  | (?P<string>"(\\.|[^"\\])*")
   | (?P<field>[A-Za-z_0-9]+:)
   | (?P<real>[+-]?[0-9]*\.?[0-9]+(e[+-][0-9]{2})?)
   | (?P<word>[A-Za-z_][A-Za-z_0-9]*)

@@ -102,13 +102,12 @@ class ShardedGraph:
         import functools
         self.cg = cg
         self.mesh = mesh
-        st_s, ct_s, bank_s, x_s, y_s = step_shardings(
-            mesh, cg.tiled,
-            cg.spec.n_bins // 128 if cg.tiled else 0)
-        self.shardings = (st_s, ct_s, bank_s, x_s, y_s)
 
         # the pallas kernel runs per-shard via shard_map; if the shape
-        # does not divide over this mesh, degrade to the dense MAC
+        # does not divide over this mesh, degrade to the dense MAC --
+        # and drop the lane-tiled state layout with it (the dense MAC's
+        # gather-into-reduce compiles far better on the flat layout,
+        # graph/spec.py)
         mac = cg.mac
         if mac.startswith("pallas"):
             from ..ops.pallas_mac import pallas_shardable
@@ -116,6 +115,11 @@ class ShardedGraph:
                                     cg.spec.real_dtype):
                 mac = "jnp"
         self.mac = mac
+        self.tiled = cg.tiled and mac.startswith("pallas")
+        st_s, ct_s, bank_s, x_s, y_s = step_shardings(
+            mesh, self.tiled,
+            cg.spec.n_bins // 128 if self.tiled else 0)
+        self.shardings = (st_s, ct_s, bank_s, x_s, y_s)
 
         def replicate(a):
             # cascade intermediates stay replicated (see convolve_eval)
@@ -125,23 +129,36 @@ class ShardedGraph:
         self._step = jax.jit(
             functools.partial(_step_impl, cg.spec, mac,
                               constrain=replicate, mesh=mesh,
-                              tiled=cg.tiled),
+                              tiled=self.tiled),
             in_shardings=(st_s, ct_s, bank_s, x_s),
             out_shardings=(st_s, y_s),
             donate_argnums=(0,),
         )
 
     def init_state(self) -> StepState:
-        st = self.cg.init_state()
+        import jax.numpy as jnp
+        s = self.cg.spec
+        rd = s.real_dtype
+        st = StepState(
+            prev_in=jnp.zeros((s.n_inputs, s.block_length), rd),
+            ring=jnp.zeros(s.ring_shape(self.tiled), rd),
+            eval_prev=jnp.zeros((s.n_casc, s.block_length), rd),
+            t=jnp.zeros((), jnp.int32),
+        )
         st_s = self.shardings[0]
         return jax.tree.map(jax.device_put, st, st_s)
 
     def place(self, ctrl: StepCtrl, bank, x):
         _, ct_s, bank_s, x_s, _ = self.shardings
         spec = self.cg.spec
-        if self.cg.tiled and bank.ndim == 4:
+        if self.tiled and bank.ndim == 4:
             bank = np.asarray(bank).reshape(
                 spec.bank_shape(bank.shape[0], True))
+        elif not self.tiled and bank.ndim == 5:
+            # degrade path with a pre-tiled bank (forced pallas on an
+            # indivisible mesh): back to the flat layout
+            bank = np.asarray(bank).reshape(
+                spec.bank_shape(bank.shape[0], False))
         return (jax.tree.map(jax.device_put, ctrl, ct_s),
                 jax.device_put(bank, bank_s),
                 jax.device_put(x, x_s))

@@ -208,6 +208,13 @@ class Engine:
         if mesh is not None:
             from ..parallel.mesh import ShardedGraph
             self._sharded = ShardedGraph(self.cg, mesh)
+            if self._sharded.tiled != self.cg.tiled:
+                # ShardedGraph degraded pallas -> dense (indivisible
+                # mesh): its state/bank layout follows the dense MAC
+                bank_np = np.asarray(self.bank)
+                self.bank = jnp.asarray(bank_np.reshape(
+                    self.spec.bank_shape(bank_np.shape[0],
+                                         self._sharded.tiled)))
             _, _, bank_s, _, _ = self._sharded.shardings
             self.bank = jax.device_put(self.bank, bank_s)
             self.state = self._sharded.init_state()
