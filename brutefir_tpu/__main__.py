@@ -14,16 +14,12 @@ import sys
 
 from .config.defaults import ensure_defaults_file
 from .config.parser import parse_config_file, ConfigParseError
+from .errors import (BF_EXIT_OK, BF_EXIT_OTHER, BF_EXIT_INVALID_CONFIG,
+                     BF_EXIT_NO_MEMORY, BF_EXIT_INVALID_INPUT,
+                     BF_EXIT_BUFFER_UNDERFLOW)
 from .runtime.engine import Engine, EngineError
 
 USAGE = ("Usage: %s [-quiet] [-nodefault] [-daemon] [config file]\n")
-
-BF_EXIT_OK = 0
-BF_EXIT_OTHER = 1
-BF_EXIT_INVALID_CONFIG = 2
-BF_EXIT_NO_MEMORY = 3
-BF_EXIT_INVALID_INPUT = 4
-BF_EXIT_BUFFER_UNDERFLOW = 5
 
 
 def main(argv=None) -> int:
@@ -72,14 +68,11 @@ def main(argv=None) -> int:
     from .io import IoModuleError
 
     def _exit_code(e) -> int:
-        # reference exit-code contract (bfmod.h:64-70): buffer underflow
-        # and invalid-input aborts are distinguishable to supervisors
-        msg = str(e)
-        if "underflow" in msg or "xrun" in msg:
-            return BF_EXIT_BUFFER_UNDERFLOW
-        if "Invalid input" in msg or "NaN" in msg:
-            return BF_EXIT_INVALID_INPUT
-        return BF_EXIT_OTHER
+        # reference exit-code contract (bfmod.h:64-70): every abort-worthy
+        # exception is a BFError carrying its typed BF_EXIT_* code
+        # (errors.py), so supervisors can distinguish underflow and
+        # invalid-signal aborts without message sniffing
+        return getattr(e, "exit_code", BF_EXIT_OTHER)
 
     try:
         eng = Engine(conf)

@@ -14,11 +14,12 @@ from __future__ import annotations
 from typing import Dict, Optional, Type
 
 from ..core.sampleformat import SampleFormat
+from ..errors import BFError
 
 IN, OUT = 0, 1
 
 
-class IoModuleError(RuntimeError):
+class IoModuleError(BFError):
     pass
 
 

@@ -28,6 +28,7 @@ import ctypes.util
 import os
 
 from ..config.lexer import T
+from ..errors import BF_EXIT_BUFFER_UNDERFLOW, BF_EXIT_INVALID_INPUT
 from . import IoDevice, IoModuleError, register_io_module, IN
 from .callback import CallbackDevice
 
@@ -124,7 +125,13 @@ class AlsaDevice(IoDevice):
                 if self.ignore_xrun and rc == -32:  # EPIPE: xrun
                     lib.snd_pcm_prepare(self.pcm)
                     continue
-                raise IoModuleError(f"ALSA I/O: read failed (error {rc})")
+                # errno contract of dai.c:1279-1310: EPIPE = overflow/
+                # underflow abort, EIO = invalid signal on the input
+                raise IoModuleError(
+                    f"ALSA I/O: read failed (error {rc})",
+                    exit_code=(BF_EXIT_BUFFER_UNDERFLOW if rc == -32
+                               else BF_EXIT_INVALID_INPUT if rc == -5
+                               else None))
             got += rc
         return buf.raw[: got * self._frame_bytes]
 
@@ -141,7 +148,9 @@ class AlsaDevice(IoDevice):
                     lib.snd_pcm_prepare(self.pcm)
                     continue
                 raise IoModuleError(
-                    f"ALSA I/O: write failed (error {rc}), buffer underflow")
+                    f"ALSA I/O: write failed (error {rc}), buffer underflow",
+                    exit_code=(BF_EXIT_BUFFER_UNDERFLOW if rc == -32
+                               else None))
             done += rc
         return len(data)
 

@@ -1,11 +1,13 @@
 """Device-side I/O path: the whole block program including sample codecs.
 
-When every device format is word-addressable, no dither is configured and
-no delay lines are in play (see ops/device_codec.py), the engine swaps its
-host codec for this wrapper: one jitted function takes the raw input words
-of every input device and returns the raw output words of every output
-device plus per-channel meters. Host work per block collapses to file
-reads/writes and transfers shrink to wire format width.
+When every device format is word-addressable (see ``eligible`` below), the
+engine swaps its host codec for this wrapper: one jitted function takes the
+raw input words of every input device and returns the raw output words of
+every output device plus per-channel meters. Dither (ops/device_dither.py),
+integer delay lines (device-resident window gather) and subsample delays
+all run inside the same program; only exotic formats force the host codec.
+Host work per block collapses to file reads/writes and transfers shrink to
+wire format width.
 """
 
 from __future__ import annotations

@@ -32,13 +32,14 @@ from ..config.coeffs import build_bank
 from ..core.codecs import Overflow, raw_to_float, float_to_raw
 from ..core.delayline import DelayLine
 from ..core.dither import DitherTable
+from ..errors import BFError, BF_EXIT_INVALID_INPUT
 from ..graph.compile import CompiledGraph
 from ..graph.spec import build_graph_spec
 from ..io import get_io_module
 from .control import RuntimeControl
 
 
-class EngineError(RuntimeError):
+class EngineError(BFError):
     pass
 
 
@@ -236,6 +237,12 @@ class Engine:
         self.blockcounter = 0
         self.realtime_index = 0.0
         self._rti_max = 0.0
+        # full-processing gate for the rti meter (bfrun.c:1436-1445,
+        # 1567-1571): the reference counts a period only once every
+        # filter has run full length -- i.e. after the B-block spectrum
+        # ring has ramped, and (under powersave) only while the input is
+        # live. The ramp counter is the engine-level procblocks analog.
+        self._procblocks = 0
         self.logic = []          # logic module instances (cli/eq)
         self._peak_hooks = []    # bfevents.peak analogs (set in attach_logic)
         self._last_peak_state = None
@@ -244,10 +251,14 @@ class Engine:
         self._stopped = False
         self._has_timed_hooks = False  # set when a logic module defines them
         # debug timeline ring (print_debug analog, bfrun.c:230-434):
-        # (wall time, event, blockcounter) per pipeline event, dumped at exit
+        # (wall time, stage, event, blockcounter) per pipeline event from
+        # all three stages (reader / dispatcher / writer thread; deque
+        # append is thread-safe), dumped in full at exit as a per-process
+        # per-period timeline. 1024 periods x ~8 events matches the
+        # reference's DEBUG_MAX ring depth.
         if conf.debug:
             from collections import deque
-            self._debug_ring = deque(maxlen=4096)  # O(1) trim per event
+            self._debug_ring = deque(maxlen=8192)  # O(1) trim per event
         else:
             self._debug_ring = None
 
@@ -452,7 +463,8 @@ class Engine:
                     hook(y[ch], ch)
         # NaN guard (bfrun.c:1900-1911): check one sample per channel
         if y.shape[0] and not np.all(np.isfinite(y[:, 0])):
-            raise EngineError("NaN or Inf values in the system! Invalid input?")
+            raise EngineError("NaN or Inf values in the system! Invalid input?",
+                              exit_code=BF_EXIT_INVALID_INPUT)
 
         plain = (self.subdelay is None
                  and not any(snap_mute)
@@ -568,8 +580,13 @@ class Engine:
                     st = self.cg.init_state()
                     _, y = self.cg.step(st, ctrl, self.bank, x, uniform=uni)
                     jax.block_until_ready(y)
-        except Exception:
-            pass  # warmup is best-effort; the lazy path still works
+        except Exception as e:
+            # warmup is best-effort (the lazy path still works), but a
+            # failure here almost always means the same compile will fail
+            # again mid-audio -- surface it loudly at setup time
+            sys.stderr.write(
+                f"Warning: step-program warmup failed ({type(e).__name__}: "
+                f"{e}); compilation will be retried on the audio path.\n")
 
     def _iodelay_fill(self):
         """Pre-write 2 silent fragments to clocked output devices.
@@ -638,6 +655,45 @@ class Engine:
                 [0.0 if m else 1.0 for m in self.control.mute[OUT]], self.rd)
             self._gain_version = ver
         return self._in_gain, self._out_gain
+
+    def _dbg(self, stage: str, event: str, block: int):
+        """Append one event to the debug timeline ring (no-op unless
+        ``debug: true;``). Called from all pipeline threads -- deque
+        append is atomic."""
+        if self._debug_ring is not None:
+            self._debug_ring.append(
+                (time.perf_counter(), stage, event, block))
+
+    def _update_full_proc(self, silent: bool, nblocks: int = 1) -> bool:
+        """Advance the full-processing ramp (procblocks, bfrun.c:1567-1571):
+        rti counts only after B+1 live blocks; a powersave-silent block
+        resets the ramp (bfrun.c:1721-1722)."""
+        if silent:
+            self._procblocks = 0
+        else:
+            self._procblocks = min(self._procblocks + nblocks, self.B + 1)
+        return self._procblocks > self.B
+
+    def _input_silent(self, x) -> bool:
+        """Powersave silence test on the decoded input block (test_silent,
+        bfrun.c:722-772): exact zero for digital powersave, below the
+        analog threshold when one is configured. Engine-level: all input
+        channels must be quiet (per-filter granularity would need the
+        filter graph's mixed-input zero flags)."""
+        if not self.conf.powersave or x is None:
+            return False
+        peak = float(np.abs(x).max()) if x.size else 0.0
+        thr = self.conf.analog_powersave
+        return peak < thr if thr < 1.0 else peak == 0.0
+
+    def _input_silent_words(self, xw) -> bool:
+        """Silence test on raw input words (device-IO path): exact-zero
+        only -- the analog threshold would need a decode, so analog
+        powersave on this path never resets the rti ramp (documented
+        deviation; digital silence, the common case, is exact)."""
+        if not self.conf.powersave:
+            return False
+        return all(not np.asarray(w).any() for w in xw)
 
     def _read_device(self, inst, want: int, framebytes: int) -> bytes:
         """One device's fragment read; in poll mode, nanosleep-paced
@@ -719,7 +775,8 @@ class Engine:
     def write_block_dio(self, outs, meters, nan_ok, frames):
         conf = self.conf
         if not bool(nan_ok):
-            raise EngineError("NaN or Inf values in the system! Invalid input?")
+            raise EngineError("NaN or Inf values in the system! Invalid input?",
+                              exit_code=BF_EXIT_INVALID_INPUT)
         for di, dev in enumerate(conf.iodevs[OUT]):
             self._account_output_meters(dev, meters[di])
             raw = np.asarray(outs[di])
@@ -778,7 +835,7 @@ class Engine:
         # the newest result bounds the whole backlog).
         import queue
         wq: "queue.Queue" = queue.Queue(maxsize=2)
-        wstats = {"frames": 0, "err": None}
+        wstats = {"frames": 0, "blocks": 0, "err": None}
         # Pacing sync ~once per second of audio (not a fixed block count):
         # at small N a fixed 64-block interval spends a transport round
         # trip every 93 ms of audio, and the writer stall backs up the
@@ -807,6 +864,8 @@ class Engine:
                         wstats["err"] = e
                     return
                 try:
+                    wblk = wstats["blocks"]
+                    self._dbg("output", "call write", wblk)
                     if item[0] == "dio":
                         _, outs, meters, nan_ok, fk = item
                         if sink_output:
@@ -821,6 +880,8 @@ class Engine:
                         else:
                             self.write_block(np.asarray(yk), fk, osnap)
                     wstats["frames"] += fk
+                    wstats["blocks"] += 1
+                    self._dbg("output", f"ret {fk} frames", wblk)
                 except Exception as e:  # propagate to the main loop
                     wstats["err"] = e
                     return
@@ -926,7 +987,10 @@ class Engine:
                 try:
                     while not pstate["stop"]:
                         xw, f = self.read_block_dio()
-                        item = (up_pool.submit(upload, xw), f)
+                        # silence test on the host-side words (the uploaded
+                        # arrays would cost a device->host fetch)
+                        item = (up_pool.submit(upload, xw), f,
+                                self._input_silent_words(xw))
                         while not pstate["stop"]:
                             try:
                                 pq.put(item, timeout=0.5)
@@ -938,7 +1002,7 @@ class Engine:
                 except Exception as e:
                     pstate["err"] = e
                     try:
-                        pq.put_nowait((None, 0))
+                        pq.put_nowait((None, 0, False))
                     except queue.Full:
                         pass
 
@@ -952,11 +1016,10 @@ class Engine:
             if wstats["err"] is not None:
                 break
             t0 = time.perf_counter()
-            if self._debug_ring is not None:
-                self._debug_ring.append((t0, "r_input", self.blockcounter))
+            self._dbg("input", "call read", self.blockcounter)
             self._block_start_hooks()
             if pq is not None:
-                fut, frames = pq.get()
+                fut, frames, pre_silent = pq.get()
                 if pstate["err"] is not None:
                     raise pstate["err"]
                 xw = fut.result() if fut is not None else []
@@ -964,6 +1027,7 @@ class Engine:
                 xw, frames = self.read_block_dio()
             else:
                 x, frames = self.read_block()
+            self._dbg("input", f"ret {frames} frames", self.blockcounter)
             if frames < N:
                 eof = True
                 if frames == 0 and self.blockcounter == 0:
@@ -971,6 +1035,7 @@ class Engine:
             t1 = time.perf_counter()
             pending_item = None
             if frames > 0 or self.blockcounter == 0:
+                self._dbg("filter", "call dispatch", self.blockcounter)
                 with self.control_mutex:
                     ctrl = self.control.snapshot()
                     gains = self._mute_gains()
@@ -1007,6 +1072,7 @@ class Engine:
                         self.state, y_dev = self.cg.step(
                             self.state, ctrl, self.bank, x, uniform=uni)
                     pending_item = ("host", y_dev, frames, out_snap)
+                self._dbg("filter", "ret", self.blockcounter)
                 self.blockcounter += 1
             t2 = time.perf_counter()
             if pending_item is not None and frames > 0:
@@ -1021,8 +1087,16 @@ class Engine:
             period = t3 - t0
             self._periods.append(period)
             rti = period / budget
-            self.realtime_index = rti
-            self._rti_max = max(self._rti_max, rti)
+            if pq is not None:
+                silent = pre_silent
+            elif self.dio is not None:
+                silent = self._input_silent_words(xw)
+            else:
+                silent = self._input_silent(x if frames > 0 else None)
+            full = self._update_full_proc(silent)
+            if full:
+                self.realtime_index = rti
+                self._rti_max = max(self._rti_max, rti)
             self._stage_t += (t1 - t0, t2 - t1, t3 - t2, period)
             self._stage_blocks += 1
             if show and self._stage_blocks % 10 == 0:
@@ -1031,7 +1105,11 @@ class Engine:
                     and not getattr(self.conf, "quiet", False)
                     and t3 - self._last_progress > 1.0):
                 self._last_progress = t3
-                sys.stderr.write(f"rti: {rti:.3f}\n")
+                if full:
+                    sys.stderr.write(f"rti: {rti:.3f}\n")
+                else:
+                    sys.stderr.write(
+                        "rti: not full processing - no rti update\n")
             if self._monitor_clock is not None:
                 # sample-rate drift abort at +-2% (dai.c:1336-1369)
                 w = t3 - self._monitor_clock[0]
@@ -1109,7 +1187,8 @@ class Engine:
                         if not bool(nan_ok):
                             raise EngineError(
                                 "NaN or Inf values in the system! "
-                                "Invalid input?")
+                                "Invalid input?",
+                                exit_code=BF_EXIT_INVALID_INPUT)
                         for di, dev in enumerate(conf.iodevs[OUT]):
                             # meters + safety abort BEFORE the device
                             # write, like write_block_dio / the
@@ -1272,12 +1351,33 @@ class Engine:
         return stats
 
     def _dump_debug_timeline(self):
-        t0 = self._debug_ring[0][0] if self._debug_ring else 0.0
-        sys.stderr.write("debug timeline (last %d events):\n"
-                         % len(self._debug_ring))
-        for ts, ev, blk in list(self._debug_ring)[-64:]:
-            sys.stderr.write(f"  {1e3 * (ts - t0):12.3f} ms  {ev:<10s} "
-                             f"block {blk}\n")
+        """Full-ring timeline dump (print_debug, bfrun.c:230-434): one
+        section per pipeline stage (the analog of the reference's
+        input/filter/output process sections), each listing every retained
+        period's call/ret events with microsecond offsets from the first
+        retained event. The whole ring is printed -- up to 1024 periods of
+        history, like the reference's DEBUG_MAX ring."""
+        events = list(self._debug_ring)
+        if not events:
+            sys.stderr.write("debug timeline: no events recorded\n")
+            return
+        t0 = min(e[0] for e in events)
+        sys.stderr.write(
+            f"\ndebug timeline ({len(events)} events; timestamps in "
+            "microseconds from first retained event):\n\n")
+        for stage in ("input", "filter", "output"):
+            sec = [e for e in events if e[1] == stage]
+            if not sec:
+                continue
+            sys.stderr.write(f"{stage}_process:\n")
+            last_blk = None
+            for ts, _, ev, blk in sec:
+                if blk != last_blk:
+                    sys.stderr.write(f"  period {blk}:\n")
+                    last_blk = blk
+                sys.stderr.write(
+                    f"    {int((ts - t0) * 1e6)}\t{ev}\n")
+            sys.stderr.write("\n")
 
     def _print_overflow_warnings(self):
         """Per-channel clip summary (print_overflows, bfrun.c:555-587)."""
