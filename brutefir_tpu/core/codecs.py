@@ -122,9 +122,17 @@ def quantize_no_dither(x: np.ndarray, fmt: SampleFormat, overflow: Overflow) -> 
     nat = _native()
     if nat is not None and x.dtype == np.float32:
         return nat.quantize_no_dither(x, fmt, overflow)
-    shifted = x.astype(np.float64) + 0.5 if x.dtype == np.float64 else x + np.array(0.5, x.dtype)
-    rmin = np.array(fmt.imin, x.dtype)
-    rmax = np.array(fmt.imax, x.dtype)
+    # the reference's no-dither quantizer always runs in DOUBLE (both
+    # real2rawf_no_dither and real2rawd_no_dither call the ditherd_
+    # variant, fftw_convolver.c:447-450/470-473); on the float32 path the
+    # rmin/rmax bounds are float-rounded before promotion (golden-verified)
+    shifted = x.astype(np.float64) + 0.5
+    if x.dtype == np.float32:
+        rmin = np.float64(np.float32(fmt.imin))
+        rmax = np.float64(np.float32(fmt.imax))
+    else:
+        rmin = np.float64(fmt.imin)
+        rmax = np.float64(fmt.imax)
 
     under = shifted <= rmin
     over = shifted > rmax

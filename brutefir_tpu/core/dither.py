@@ -46,10 +46,17 @@ def tausrand_table(n: int, seed: int = 0) -> np.ndarray:
     state = [s0, s1, s2]
 
     def step():
+        # every intermediate wraps to uint32 like the C macro's arithmetic:
+        # the left-shifts must be masked BEFORE the xor/right-shift, or the
+        # sequence diverges (verified against reference-compiled golden
+        # vectors, tests/test_golden_reference.py)
         s0, s1, s2 = state
-        s0 = (((s0 & 4294967294) << 12) ^ (((s0 << 13) ^ s0) >> 19)) & M
-        s1 = (((s1 & 4294967288) << 4) ^ (((s1 << 2) ^ s1) >> 25)) & M
-        s2 = (((s2 & 4294967280) << 17) ^ (((s2 << 3) ^ s2) >> 11)) & M
+        s0 = ((((s0 & 4294967294) << 12) & M)
+              ^ ((((s0 << 13) & M) ^ s0) >> 19))
+        s1 = ((((s1 & 4294967288) << 4) & M)
+              ^ ((((s1 << 2) & M) ^ s1) >> 25))
+        s2 = ((((s2 & 4294967280) << 17) & M)
+              ^ ((((s2 << 3) & M) ^ s2) >> 11))
         state[0], state[1], state[2] = s0, s1, s2
         return (s0 ^ s1 ^ s2) & M
 
@@ -155,7 +162,10 @@ class DitherState:
         largest = overflow.largest
         intlargest = overflow.intlargest
         for i in range(x.shape[0]):
-            real = rt(x[i]) + sf0 - sf1
+            # feedback difference first, then add -- the reference's
+            # `real_sample += sf[0] - sf[1]` association; (x + sf0) - sf1
+            # rounds differently in float32 (golden-vector verified)
+            real = rt(x[i]) + (sf0 - sf1)
             sf1 = sf0
             dithered = real + rt(d[i])
             if dithered < 0:

@@ -88,14 +88,18 @@ void bf_quantize_nd(const float* x, int64_t n, int32_t bits, int32_t* q,
                     OvfStats* st) {
     const int32_t imax = (int32_t)((1u << (bits - 1)) - 1);
     const int32_t imin = -imax - 1;
-    const float rmin = (float)imin, rmax = (float)imax;
+    // the reference's float path promotes through the DOUBLE quantizer
+    // (real2rawf_no_dither calls ditherd_real2int_no_dither,
+    // fftw_convolver.c:447-450) with float-typed rmin/rmax arguments --
+    // so: double arithmetic, float-rounded bounds (golden-verified)
+    const double rmin = (double)(float)imin, rmax = (double)(float)imax;
     uint32_t novf = st->n_overflows;
     int32_t il = st->intlargest;
     double lg = st->largest;
     for (int64_t i = 0; i < n; i++) {
-        float v = x[i] + 0.5f;
+        double v = (double)x[i] + 0.5;
         int32_t s;
-        if (v < 0.0f) {
+        if (v < 0.0) {
             if (v <= rmin) {
                 s = imin;
                 novf++;
@@ -134,7 +138,9 @@ void bf_quantize_dither(const float* x, const float* dith, int64_t n,
     int32_t il = st->intlargest;
     double lg = st->largest;
     for (int64_t i = 0; i < n; i++) {
-        float real = x[i] + sf0 - sf1;
+        // difference first: the reference's `real_sample += sf[0] - sf[1]`
+        // association; (x + sf0) - sf1 rounds differently in float32
+        float real = x[i] + (sf0 - sf1);
         sf1 = sf0;
         float d = real + dith[i];
         int32_t s;
@@ -174,16 +180,19 @@ void bf_quantize_nd_rows(const float* x, int32_t n_rows, int64_t n,
                          int32_t bits, int32_t* q, OvfStats* stats) {
     const int32_t imax = (int32_t)((1u << (bits - 1)) - 1);
     const int32_t imin = -imax - 1;
-    const float rmin = (float)imin, rmax = (float)imax;
+    // double arithmetic + float-rounded bounds, matching the scalar
+    // variant / the reference's promotion through ditherd_ (see
+    // bf_quantize_nd above; golden-verified)
+    const double rmin = (double)(float)imin, rmax = (double)(float)imax;
     for (int32_t r = 0; r < n_rows; r++) {
         const float* xr = x + (int64_t)r * n;
         int32_t* qr = q + (int64_t)r * n;
         OvfStats* st = stats + r;
         uint32_t novf = 0;
         int32_t il = st->intlargest;
-        float lgc = 0.0f;  // max |v| among clipped samples this block
+        double lgc = 0.0;  // max |v| among clipped samples this block
         for (int64_t i = 0; i < n; i++) {
-            float v = xr[i] + 0.5f;
+            double v = (double)xr[i] + 0.5;
             // the float->int cast is well-defined only for in-range
             // values; clipped (and NaN, which fails both comparisons)
             // samples take the saturated constants instead, like the
@@ -191,10 +200,10 @@ void bf_quantize_nd_rows(const float* x, int32_t n_rows, int64_t n,
             const bool in_range = (v > rmin) & (v <= rmax);
             const bool over = v > rmax;
             const bool clip = !in_range;
-            int32_t s = in_range ? (int32_t)v - (v < 0.0f)
+            int32_t s = in_range ? (int32_t)v - (v < 0.0)
                                  : (over ? imax : imin);
             novf += clip;
-            float a = v < 0.0f ? -v : v;
+            double a = v < 0.0 ? -v : v;
             lgc = (clip && a > lgc) ? a : lgc;
             int32_t sa = s < 0 ? -s : s;
             il = (!clip && sa > il) ? sa : il;
@@ -202,7 +211,7 @@ void bf_quantize_nd_rows(const float* x, int32_t n_rows, int64_t n,
         }
         st->n_overflows += novf;
         st->intlargest = il;
-        if ((double)lgc > st->largest) st->largest = (double)lgc;
+        if (lgc > st->largest) st->largest = lgc;
     }
 }
 
