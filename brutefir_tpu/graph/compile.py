@@ -169,6 +169,29 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
     F = spec.n_filters
     rd = spec.real_dtype
 
+    if mesh is not None:
+        # Under a mesh the channel transforms run as shard_map-local
+        # computations on replicated operands: every device computes its
+        # own full copy (they are replicated anyway -- the MAC/ring is
+        # where the sharding lives), the partitioner never rewrites the
+        # fft, and the XLA:CPU test backend's fft layout RET_CHECK (which
+        # otherwise trips at small channel counts, where the layout cost
+        # model picks a transposed fft operand) cannot be hit.
+        from jax.sharding import PartitionSpec as _P
+
+        def rfft_fn(a):
+            return jax.shard_map(partconv.rfft_planes, mesh=mesh,
+                                 in_specs=_P(), out_specs=_P(),
+                                 check_vma=False)(a)
+
+        def irfft_fn(a):
+            return jax.shard_map(partconv.irfft_planes_valid, mesh=mesh,
+                                 in_specs=_P(), out_specs=_P(),
+                                 check_vma=False)(a)
+    else:
+        rfft_fn = partconv.rfft_planes
+        irfft_fn = partconv.irfft_planes_valid
+
     frame = jnp.concatenate([state.prev_in, x], axis=-1)
     if spec.powersave:
         # analog powersave gate (test_silent, bfrun.c:722-772): the whole
@@ -178,7 +201,7 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
         frame = jnp.where((ctrl.ps_thresh[:, None] > 0)
                           & (peak < ctrl.ps_thresh[:, None]),
                           jnp.zeros_like(frame), frame)
-    X = partconv.rfft_planes(frame)                       # [C_in, 2, N]
+    X = rfft_fn(frame)                                    # [C_in, 2, N]
     X = tap("input_freqd", X, np.arange(spec.n_inputs))
     ring = state.ring
     eval_prev = state.eval_prev
@@ -255,7 +278,11 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
 
     out_spec = partconv.complex_mix(ctrl.out_mix, y_all)   # [C_out, 2, N]
     out_spec = tap("output_freqd", out_spec, np.arange(spec.n_outputs))
-    y_time = partconv.irfft_planes_valid(out_spec)         # valid lower half
+    if constrain is not None:
+        # pin the mixed output spectra replicated before the inverse
+        # transform: the all-gather lands here (once, [C_out, 2, N])
+        out_spec = constrain(out_spec)
+    y_time = irfft_fn(out_spec)                            # valid lower half
 
     new_state = StepState(prev_in=x, ring=ring, eval_prev=eval_prev, t=t + 1)
     return new_state, y_time

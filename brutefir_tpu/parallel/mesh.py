@@ -50,6 +50,78 @@ def make_mesh(devices=None, f_axis: int = 1, sp_axis: int = None) -> Mesh:
     return Mesh(arr, ("f", "sp"))
 
 
+def auto_mesh(n_filters: int, n_bins: int, real_dtype,
+              devices=None, env=None):
+    """Pick an ('f', 'sp') mesh for the visible devices automatically.
+
+    The analog of the reference's default multi-CPU behavior: it forks one
+    filter process per CPU and load-balances filters onto them with no
+    user action (``load_balance_filters``, bfconf.c:2227-2318). Here, a
+    multi-device host gets a mesh by default and XLA's partitioner does
+    the balancing; the connected-filters / shared-output constraints of
+    the reference (bfconf.c:2893-2931) dissolve into the psum the
+    partitioner inserts over 'f'.
+
+    Selection: prefer pure bin-parallelism (sp=n: embarrassingly parallel,
+    one all-gather, no psum), then mixed f x sp meshes, preferring shapes
+    where the Pallas kernel path survives (pallas_shardable); shrink the
+    device count only when nothing divides. Returns None for a single
+    device, when disabled, or when no usable shape exists.
+
+    ``env`` overrides the BRUTEFIR_TPU_MESH environment variable:
+      "off"/"0"/"1"  -> single device (no mesh)
+      "FxS"          -> explicit mesh axes (e.g. "2x4")
+      "auto"/unset   -> heuristic above
+    """
+    import os
+    from ..ops.pallas_mac import pallas_shardable, pallas_available
+
+    setting = (os.environ.get("BRUTEFIR_TPU_MESH", "auto")
+               if env is None else env)
+    setting = (setting or "auto").strip().lower()
+    if setting in ("off", "none", "0", "1"):
+        return None
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n <= 1:
+        return None
+    if setting != "auto":
+        f_s, _, s_s = setting.partition("x")
+        f = int(f_s)
+        sp = int(s_s) if s_s else max(1, n // f)
+        if f * sp > n:
+            raise ValueError(
+                f"BRUTEFIR_TPU_MESH={setting!r} needs {f * sp} devices, "
+                f"only {n} visible")
+        return make_mesh(devices[: f * sp], f_axis=f, sp_axis=sp)
+
+    def usable(f, sp):
+        if f > 1 and n_filters % f != 0:
+            return 0
+        trial_mesh = type("M", (), {"shape": {"f": f, "sp": sp}})()
+        if (pallas_available(n_bins, real_dtype)
+                and pallas_shardable(trial_mesh, n_filters, n_bins,
+                                     real_dtype)):
+            return 2                              # kernel path survives
+        if n_bins % sp == 0:
+            return 1                              # dense path shards
+        return 0
+
+    # candidate device counts, largest first; per count, prefer sp-pure
+    # then growing f
+    for total in range(n, 1, -1):
+        best = None
+        for f in [d for d in range(1, total + 1) if total % d == 0]:
+            sp = total // f
+            score = usable(f, sp)
+            if score and (best is None or score > best[0]):
+                best = (score, f, sp)
+        if best is not None:
+            _, f, sp = best
+            return make_mesh(devices[:total], f_axis=f, sp_axis=sp)
+    return None
+
+
 def step_shardings(mesh: Mesh, tiled: bool = False, n_tile_rows: int = 0):
     """(state, ctrl, bank, x, out) sharding pytrees for the compiled step.
 

@@ -48,8 +48,17 @@ class DeviceIO:
         self.N = engine.N
         self.rd = engine.rd
         spec = engine.spec
-        mac = engine.cg.mac
-        tiled = engine.cg.tiled
+        self.mesh = getattr(engine, "mesh", None)
+        if self.mesh is not None:
+            # sharded engine: the step inside this program uses the
+            # (possibly degraded) MAC/layout the ShardedGraph resolved,
+            # and the jit below pins the same state/bank shardings --
+            # decode/encode/meters stay replicated (tiny next to the MAC)
+            mac = engine._sharded.mac
+            tiled = engine._sharded.tiled
+        else:
+            mac = engine.cg.mac
+            tiled = engine.cg.tiled
 
         self.in_words = [device_format_word(d.sample_format)
                          for d in conf.iodevs[IN]]
@@ -249,6 +258,17 @@ class DeviceIO:
         sd_out = self._sd[OUT]
         N_ = self.N
 
+        mesh_ = self.mesh
+        if mesh_ is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def constrain_(a):
+                # cascade intermediates replicated (see parallel/mesh.py)
+                return jax.lax.with_sharding_constraint(
+                    a, NamedSharding(mesh_, P(*([None] * a.ndim))))
+        else:
+            constrain_ = None
+
         def apply_subdelay(x, rest, hrows, byp, B):
             C, Nn = x.shape
             n = Nn // B
@@ -289,8 +309,16 @@ class DeviceIO:
                 x, new_dstate["sdr_in"] = apply_subdelay(
                     x, dstate["sdr_in"], sdrows_in, sdbyp_in, sd_in["B"])
             x = x * in_gain[:, None]
+            if constrain_ is not None:
+                # pin the time-domain block replicated before the rfft:
+                # the partitioner otherwise picks fft layouts the XLA:CPU
+                # test backend rejects (see parallel/mesh.py docstring)
+                x = constrain_(x)
             state, y = _step_impl(spec_, mac, state, ctrl, bank, x,
-                                  uniform=uniform, tiled=tiled)
+                                  uniform=uniform, tiled=tiled,
+                                  mesh=mesh_, constrain=constrain_)
+            if constrain_ is not None:
+                y = constrain_(y)
             nan_ok = jnp.all(jnp.isfinite(y[:, 0])) if y.shape[0] else jnp.bool_(True)
             if sd_out is not None:
                 y, new_dstate["sdr_out"] = apply_subdelay(
@@ -339,13 +367,29 @@ class DeviceIO:
             return state, tuple(outs), tuple(meters), nan_ok, new_dstate
 
         self._full_step = full_step
-        self._step = jax.jit(full_step, donate_argnums=(0, 6))
+        if mesh_ is not None:
+            # pin the persistent state/ctrl/bank shardings; everything
+            # else (wire words, meters, dither/delay state) is replicated
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import step_shardings
+            st_s, ct_s, bank_s, _, _ = step_shardings(
+                mesh_, tiled, spec.n_bins // 128 if tiled else 0)
+            repl = NamedSharding(mesh_, P())
+            self._in_sh = (st_s, ct_s, repl, repl, bank_s,
+                           repl, repl, repl, repl, repl, repl, repl, repl)
+            self._out_sh = (st_s, repl, repl, repl, repl)
+            jit_kw = dict(in_shardings=self._in_sh,
+                          out_shardings=self._out_sh,
+                          donate_argnums=(0, 6))
+        else:
+            self._in_sh = self._out_sh = None
+            jit_kw = dict(donate_argnums=(0, 6))
+        self._step = jax.jit(full_step, **jit_kw)
         # uniform-coefficient program variant (host-selected, see
         # graph/compile.py); identical except the uniform MAC
         if mac == "jnp" or mac.startswith("pallas"):
             self._step_u = jax.jit(
-                functools.partial(full_step, uniform=True),
-                donate_argnums=(0, 6))
+                functools.partial(full_step, uniform=True), **jit_kw)
         else:
             self._step_u = self._step
         self._multi = {}
@@ -456,7 +500,12 @@ class DeviceIO:
                     for md in meters)
                 return state, outs, agg, jnp.all(nans), dstate
 
-            jfn = jax.jit(multi, donate_argnums=(0, 6))
+            if self._in_sh is not None:
+                jfn = jax.jit(multi, in_shardings=self._in_sh,
+                              out_shardings=self._out_sh,
+                              donate_argnums=(0, 6))
+            else:
+                jfn = jax.jit(multi, donate_argnums=(0, 6))
 
             def wrapped(state, ctrl, in_gain, out_gain, bank, in_words,
                         _fn=jfn):

@@ -104,6 +104,33 @@ class Engine:
             self.N, self.B, conf.n_channels[IN], conf.n_channels[OUT],
             filter_inputs, [f.crossfade for f in conf.filters], self.rd,
             powersave=conf.powersave and conf.analog_powersave < 1.0)
+        if mesh is None:
+            # multi-device hosts shard by default, like the reference's
+            # one-filter-process-per-CPU default with its automatic load
+            # balancer (bfconf.c:2227-2318); BRUTEFIR_TPU_MESH overrides
+            # ("off", "2x4", ...). An explicit mesh= argument wins.
+            from ..parallel.mesh import auto_mesh
+            try:
+                mesh = auto_mesh(max(self.spec.n_filters, 1),
+                                 self.spec.n_bins, self.rd)
+            except RuntimeError:
+                mesh = None   # no backend yet (import-time probing)
+            if mesh is not None and not getattr(conf, "quiet", False):
+                sys.stderr.write(
+                    f"Multi-device mesh: f={mesh.shape['f']} x "
+                    f"sp={mesh.shape['sp']} over "
+                    f"{mesh.devices.size} devices\n")
+        if (any(f.process > 0 for f in conf.filters)
+                and not getattr(conf, "quiet", False)):
+            # reference: `filter { process: N; }` pins a filter to a forked
+            # CPU process (bfconf.c:1024-1036). Here placement over the
+            # mesh's 'f' axis belongs to the XLA partitioner, which also
+            # load-balances -- manual pins are advisory and ignored
+            # (docs/PARITY.md #1)
+            sys.stderr.write(
+                "Warning: filter process: settings are ignored -- device "
+                "placement is chosen by the XLA partitioner over the mesh "
+                "('f' axis)\n")
         # MAC implementation (measured on TPU v5e, ops/pallas_mac.py):
         # the statically-unrolled Pallas kernel with the lane-tiled ring
         # layout beats the dense path at every measured shape — full
@@ -263,10 +290,10 @@ class Engine:
             self._debug_ring = None
 
         from .device_io import eligible as _dio_eligible, DeviceIO
-        # the device-IO wrapper is single-device; the sharded path uses
-        # the host codec (transfers are replicated either way)
-        self.dio = (DeviceIO(self)
-                    if mesh is None and _dio_eligible(conf) else None)
+        # device-side codecs run single-device AND sharded (the DeviceIO
+        # jit pins the same state/bank shardings as ShardedGraph; wire
+        # words are replicated -- decode is tiny next to the MAC)
+        self.dio = DeviceIO(self) if _dio_eligible(conf) else None
         self._gain_version = -1
         self._in_gain = self._out_gain = None
 

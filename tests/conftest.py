@@ -17,6 +17,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Auto-mesh (Engine builds an 8-device mesh by default on multi-device
+# hosts) stays OFF for the suite baseline -- the sharded paths are
+# exercised deliberately by test_parallel.py / test_auto_mesh.py with
+# explicit meshes or env overrides.
+os.environ.setdefault("BRUTEFIR_TPU_MESH", "off")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -270,13 +270,11 @@ output {chans} {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; chan
     assert 1.9 < ratio < 2.1
 
 
-def test_dio_single_device_stance(tmp_path, rng):
-    """The device-IO wrapper (whole-block program incl. codecs) is
-    single-device by design (engine.py: the sharded path keeps host
-    codecs; its audio tensors are replicated and the per-device word
-    codecs would add collectives for no win). Under a mesh the engine
-    must run — correctly — with dio disabled, even for a dio-eligible
-    config."""
+def test_dio_runs_sharded(tmp_path, rng):
+    """The device-IO wrapper (whole-block program incl. codecs) runs under
+    a mesh since round 3: the jit pins the same state/bank shardings as
+    ShardedGraph, wire words stay replicated, and the whole
+    decode->step->encode program is one sharded dispatch."""
     import jax
     from brutefir_tpu.config import parse_config
     from brutefir_tpu.runtime import Engine
@@ -299,7 +297,7 @@ output {chans} {{ device: "file" {{ path: "{outp}"; }}; sample: "S24_4LE"; chann
         f"filter {i} {{ from_inputs: {i}; to_outputs: {i}; coeff: 0; }};"
         for i in range(C))
     conf = parse_config(cfg)
-    assert eligible(conf)          # single-device this WOULD use dio
+    assert eligible(conf)
     eng = Engine(conf)
     assert eng.dio is not None
     eng.stop()
@@ -307,11 +305,11 @@ output {chans} {{ device: "file" {{ path: "{outp}"; }}; sample: "S24_4LE"; chann
     conf2 = parse_config(cfg)
     mesh = make_mesh(jax.devices()[:8], f_axis=2)
     eng2 = Engine(conf2, mesh=mesh)
-    assert eng2.dio is None        # sharded path: host codecs by design
+    assert eng2.dio is not None    # sharded device-IO path active
     eng2.run()
     y = np.fromfile(outp, dtype="<i4").reshape(-1, C)
-    # dirac pass-through: output equals input to the f32 FFT round-trip's
-    # quantization (the host-codec path re-quantizes; dio would be exact)
+    # dirac pass-through: sharded reduction order may differ by 1 ulp in
+    # the f32 FFT round trip -> at most 1 LSB after quantization
     assert np.abs(y.astype(np.int64) - x.astype(np.int64)).max() <= 1
 
 
