@@ -115,7 +115,12 @@ class CompiledGraph:
 
 def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
                bank: jax.Array, x: jax.Array, constrain=None, mesh=None,
-               taps=None, uniform=False, tiled=False):
+               taps=None, uniform=False, tiled=False, pre_X=None):
+    """One block step. ``pre_X``: precomputed input spectra [C_in, 2, N]
+    (planes) -- the offline batched path hoists decode+framing+rfft of a
+    whole batch out of its scan (they depend only on the input stream,
+    not the ring) and feeds each block's spectra here; ``x`` then only
+    carries the block's time samples for the prev_in state."""
     def tap(name, planes, idx):
         # opt-in frequency-domain module hooks (bfevents input_freqd /
         # pre_convolve / post_convolve / output_freqd, bfmod.h:192-215,
@@ -192,16 +197,20 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
         rfft_fn = partconv.rfft_planes
         irfft_fn = partconv.irfft_planes_valid
 
-    frame = jnp.concatenate([state.prev_in, x], axis=-1)
-    if spec.powersave:
-        # analog powersave gate (test_silent, bfrun.c:722-772): the whole
-        # 2N overlap-save frame must be quiet; it is then made truly zero
-        # for this transform (history in the double buffer is untouched)
-        peak = jnp.max(jnp.abs(frame), axis=1, keepdims=True)
-        frame = jnp.where((ctrl.ps_thresh[:, None] > 0)
-                          & (peak < ctrl.ps_thresh[:, None]),
-                          jnp.zeros_like(frame), frame)
-    X = rfft_fn(frame)                                    # [C_in, 2, N]
+    if pre_X is None:
+        frame = jnp.concatenate([state.prev_in, x], axis=-1)
+        if spec.powersave:
+            # analog powersave gate (test_silent, bfrun.c:722-772): the
+            # whole 2N overlap-save frame must be quiet; it is then made
+            # truly zero for this transform (history in the double buffer
+            # is untouched)
+            peak = jnp.max(jnp.abs(frame), axis=1, keepdims=True)
+            frame = jnp.where((ctrl.ps_thresh[:, None] > 0)
+                              & (peak < ctrl.ps_thresh[:, None]),
+                              jnp.zeros_like(frame), frame)
+        X = rfft_fn(frame)                                # [C_in, 2, N]
+    else:
+        X = pre_X
     X = tap("input_freqd", X, np.arange(spec.n_inputs))
     ring = state.ring
     eval_prev = state.eval_prev

@@ -283,43 +283,43 @@ class DeviceIO:
 
         def apply_delay(x, win, dvec, W):
             joined = jnp.concatenate([win, x], axis=1)
-            idx = (W + jnp.arange(N_, dtype=jnp.int32)[None, :]
+            idx = (W + jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
                    - dvec[:, None])
             return jnp.take_along_axis(joined, idx, axis=1), joined[:, -W:]
 
-        def full_step(state, ctrl, in_gain, out_gain, bank, in_words,
-                      dstate, dvec_in=None, dvec_out=None,
-                      sdrows_in=None, sdbyp_in=None,
-                      sdrows_out=None, sdbyp_out=None, uniform=False):
+        def sext24(w):
+            # [.., 3] le bytes -> sign-extended int32 words
+            w = w.astype(jnp.int32)
+            w = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
+            return w - ((w & 0x800000) << 1)
+
+        def input_half(in_words, dstate, new_dstate, in_gain, dvec_in,
+                       sdrows_in, sdbyp_in):
+            """decode -> input delay/subdelay -> mute gains. Works on one
+            block ([N, open] words -> [C, N]) or, in the batched offline
+            path, a whole stream ([C, m*N]) -- delay gathers and the
+            blockwise subdelay filter are length-agnostic."""
             xs = []
             for di, (sel, vmap) in enumerate(in_devs):
                 w = in_words[di]
                 if in_wire[di] in ("p24", "raw3"):
-                    # [N, open, 3] le bytes -> sign-extended int32 words
-                    w = w.astype(jnp.int32)
-                    w = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
-                    w = w - ((w & 0x800000) << 1)
+                    w = sext24(w)
                 xs.append(decode_words(w, sel, vmap, spec_.real_dtype))
             x = jnp.concatenate(xs, axis=0)
-            new_dstate = dict(dstate)
             if dly_in is not None:
                 x, new_dstate["dlw_in"] = apply_delay(
                     x, dstate["dlw_in"], dvec_in, dly_in["W"])
             if sd_in is not None:
                 x, new_dstate["sdr_in"] = apply_subdelay(
                     x, dstate["sdr_in"], sdrows_in, sdbyp_in, sd_in["B"])
-            x = x * in_gain[:, None]
-            if constrain_ is not None:
-                # pin the time-domain block replicated before the rfft:
-                # the partitioner otherwise picks fft layouts the XLA:CPU
-                # test backend rejects (see parallel/mesh.py docstring)
-                x = constrain_(x)
-            state, y = _step_impl(spec_, mac, state, ctrl, bank, x,
-                                  uniform=uniform, tiled=tiled,
-                                  mesh=mesh_, constrain=constrain_)
-            if constrain_ is not None:
-                y = constrain_(y)
-            nan_ok = jnp.all(jnp.isfinite(y[:, 0])) if y.shape[0] else jnp.bool_(True)
+            return x * in_gain[:, None]
+
+        def output_half(y, dstate, new_dstate, out_gain, dvec_out,
+                        sdrows_out, sdbyp_out):
+            """NaN gate -> output delay/subdelay -> gains -> per-device
+            mix + (dithered) quantize + wire packing + meters."""
+            nan_ok = (jnp.all(jnp.isfinite(y[:, 0])) if y.shape[0]
+                      else jnp.bool_(True))
             if sd_out is not None:
                 y, new_dstate["sdr_out"] = apply_subdelay(
                     y, dstate["sdr_out"], sdrows_out, sdbyp_out,
@@ -364,6 +364,32 @@ class DeviceIO:
                 meters.append(jnp.concatenate([m, peak[:, None]], axis=1))
             if dith_tab is not None:
                 new_dstate.update(ptr=nptr, last=nlast, sf=sf_all)
+            return outs, meters, nan_ok, new_dstate
+
+        self._input_half = input_half
+        self._output_half = output_half
+        self._core_refs = (mac, tiled, mesh_, constrain_, spec_)
+
+        def full_step(state, ctrl, in_gain, out_gain, bank, in_words,
+                      dstate, dvec_in=None, dvec_out=None,
+                      sdrows_in=None, sdbyp_in=None,
+                      sdrows_out=None, sdbyp_out=None, uniform=False):
+            new_dstate = dict(dstate)
+            x = input_half(in_words, dstate, new_dstate, in_gain, dvec_in,
+                           sdrows_in, sdbyp_in)
+            if constrain_ is not None:
+                # pin the time-domain block replicated before the rfft:
+                # the partitioner otherwise picks fft layouts the XLA:CPU
+                # test backend rejects (see parallel/mesh.py docstring)
+                x = constrain_(x)
+            state, y = _step_impl(spec_, mac, state, ctrl, bank, x,
+                                  uniform=uniform, tiled=tiled,
+                                  mesh=mesh_, constrain=constrain_)
+            if constrain_ is not None:
+                y = constrain_(y)
+            outs, meters, nan_ok, new_dstate = output_half(
+                y, dstate, new_dstate, out_gain, dvec_out, sdrows_out,
+                sdbyp_out)
             return state, tuple(outs), tuple(meters), nan_ok, new_dstate
 
         self._full_step = full_step
@@ -474,24 +500,78 @@ class DeviceIO:
         Controls are frozen across the m blocks; the host amortizes the
         dispatch/transfer round trip. Inputs are per-device stacked words
         [m, N, open_ch]; outputs stacked likewise, meters aggregated.
+
+        BRUTEFIR_TPU_PREFFT=1 opts into the pre-FFT-hoisted variant:
+        decode, input delay/subdelay, gains, framing and the forward rfft
+        of all m blocks run as one batched computation before the scan
+        (they depend only on the input stream, not the ring). MEASURED
+        SLOWER on TPU v5e at the flagship shape -- 0.309 vs 0.138
+        ms/block interleaved same-session A/B (tools/prefft_ab.py): the
+        in-scan forward transform fuses into the step with VMEM-resident
+        intermediates, while the hoisted batch pays several full HBM
+        passes over the ~136 MB frames/spectra batch. Kept as an opt-in
+        experiment; the scanned path is the default.
         """
         key = (m, uniform and self._step_u is not self._step)
         if key not in self._multi:
-            fs = functools.partial(self._full_step, uniform=key[1])
+            if os.environ.get("BRUTEFIR_TPU_PREFFT", "0") != "1":
+                return self._multi_step_scanned(m, key)
+            N = self.N
+            input_half = self._input_half
+            output_half = self._output_half
+            mac, tiled, mesh_, constrain_, ps_spec = self._core_refs
+            if mesh_ is not None:
+                from jax.sharding import PartitionSpec as _P
+                from ..ops import partconv as _pc
+                rfft_b = jax.shard_map(_pc.rfft_planes, mesh=mesh_,
+                                       in_specs=_P(), out_specs=_P(),
+                                       check_vma=False)
+            else:
+                from ..ops import partconv as _pc
+                rfft_b = _pc.rfft_planes
 
             def multi(state, ctrl, in_gain, out_gain, bank, in_words,
                       dstate, dvec_in, dvec_out, sri, sbi, sro, sbo):
-                def body(carry, words):
+                # ---- batched front half over the whole m-block stream
+                new_dstate = dict(dstate)
+                stream_words = [
+                    w.reshape((w.shape[0] * w.shape[1],) + w.shape[2:])
+                    for w in in_words]
+                xs = input_half(stream_words, dstate, new_dstate, in_gain,
+                                dvec_in, sri, sbi)          # [C, m*N]
+                C = xs.shape[0]
+                swp = jnp.concatenate([state.prev_in, xs], axis=1)
+                lo = swp[:, :m * N].reshape(C, m, N)
+                hi = swp[:, N:].reshape(C, m, N)
+                frames = jnp.concatenate([lo, hi], axis=2)  # [C, m, 2N]
+                frames = jnp.moveaxis(frames, 1, 0)         # [m, C, 2N]
+                if ps_spec.powersave:
+                    thr = ctrl.ps_thresh[None, :, None]
+                    peak = jnp.max(jnp.abs(frames), axis=2, keepdims=True)
+                    frames = jnp.where((thr > 0) & (peak < thr),
+                                       jnp.zeros_like(frames), frames)
+                if constrain_ is not None:
+                    frames = constrain_(frames)
+                X_all = rfft_b(frames)                      # [m, C, 2, N]
+                x_seq = jnp.moveaxis(xs.reshape(C, m, N), 1, 0)
+
+                # ---- sequential half: ring/MAC/mix/irfft/encode
+                def body(carry, inp):
                     st, ds = carry
-                    st, outs, meters, nan, ds = fs(st, ctrl, in_gain,
-                                                   out_gain, bank,
-                                                   list(words), ds,
-                                                   dvec_in, dvec_out,
-                                                   sri, sbi, sro, sbo)
-                    return (st, ds), (outs, meters, nan)
+                    Xk, xk = inp
+                    st, y = _step_impl(ps_spec, mac, st, ctrl, bank, xk,
+                                       uniform=key[1], tiled=tiled,
+                                       mesh=mesh_, constrain=constrain_,
+                                       pre_X=Xk)
+                    if constrain_ is not None:
+                        y = constrain_(y)
+                    nd = dict(ds)
+                    outs, meters, nan, nd = output_half(
+                        y, ds, nd, out_gain, dvec_out, sro, sbo)
+                    return (st, nd), (tuple(outs), tuple(meters), nan)
 
                 (state, dstate), (outs, meters, nans) = jax.lax.scan(
-                    body, (state, dstate), tuple(in_words))
+                    body, (state, new_dstate), (X_all, x_seq))
                 agg = tuple(
                     jnp.concatenate([
                         jnp.sum(md[:, :, :1], axis=0),      # clip counts
@@ -517,4 +597,50 @@ class DeviceIO:
                 return state, outs, agg, nan
 
             self._multi[key] = wrapped
+        return self._multi[key]
+
+    def _multi_step_scanned(self, m: int, key):
+        """Default batched dispatch: the whole per-block step (incl.
+        decode and forward rfft) inside the scan body -- the measured
+        winner on TPU v5e (see multi_step docstring)."""
+        fs = functools.partial(self._full_step, uniform=key[1])
+
+        def multi(state, ctrl, in_gain, out_gain, bank, in_words,
+                  dstate, dvec_in, dvec_out, sri, sbi, sro, sbo):
+            def body(carry, words):
+                st, ds = carry
+                st, outs, meters, nan, ds = fs(st, ctrl, in_gain,
+                                               out_gain, bank,
+                                               list(words), ds,
+                                               dvec_in, dvec_out,
+                                               sri, sbi, sro, sbo)
+                return (st, ds), (outs, meters, nan)
+
+            (state, dstate), (outs, meters, nans) = jax.lax.scan(
+                body, (state, dstate), tuple(in_words))
+            agg = tuple(
+                jnp.concatenate([
+                    jnp.sum(md[:, :, :1], axis=0),
+                    jnp.max(md[:, :, 1:], axis=0),
+                ], axis=1)
+                for md in meters)
+            return state, outs, agg, jnp.all(nans), dstate
+
+        if self._in_sh is not None:
+            jfn = jax.jit(multi, in_shardings=self._in_sh,
+                          out_shardings=self._out_sh,
+                          donate_argnums=(0, 6))
+        else:
+            jfn = jax.jit(multi, donate_argnums=(0, 6))
+
+        def wrapped(state, ctrl, in_gain, out_gain, bank, in_words,
+                    _fn=jfn):
+            di, do = self._dvecs()
+            sri, sbi, sro, sbo = self._sdvecs()
+            state, outs, agg, nan, self.dstate = _fn(
+                state, ctrl, in_gain, out_gain, bank, in_words,
+                self.dstate, di, do, sri, sbi, sro, sbo)
+            return state, outs, agg, nan
+
+        self._multi[key] = wrapped
         return self._multi[key]
