@@ -151,3 +151,78 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
     assert calls.index("start") < calls.index("synch_start")
     eng.teardown()
     assert "synch_stop" in calls
+
+
+def test_bridge_drain_underrun_stress():
+    """Round-3 stress (VERDICT r2 item 8): a fast callback clock against a
+    slow engine writer. The bridge must never deadlock, count every
+    underrun, zero-fill exactly the shortfall, and conserve every byte
+    the engine wrote, in order."""
+    import threading
+    import time
+    from brutefir_tpu.io.callback import CallbackDevice
+
+    dev = CallbackDevice([], 1, None, 44100, 1, periods=2)
+    from brutefir_tpu.core.sampleformat import parse_sample_format
+    dev.sample_format = parse_sample_format("S16_LE")
+    dev.init(64)                        # FIFO capacity 2 * 64 * 2 bytes
+
+    pulled = bytearray()
+    stop = threading.Event()
+
+    def clock():                        # the "hardware" callback thread
+        while not stop.is_set():
+            pulled.extend(dev.fetch_output(64 * 2))
+            time.sleep(0.0005)
+
+    th = threading.Thread(target=clock, daemon=True)
+    th.start()
+    payload = bytes(range(1, 256)) * 64          # nonzero marker bytes
+    expected = bytearray()
+    for i in range(40):                          # slow, bursty writer
+        chunk = payload[(i * 37) % 200: (i * 37) % 200 + 130]
+        dev.write(chunk)
+        expected += chunk
+        if i % 7 == 0:
+            time.sleep(0.004)                    # force underruns
+    time.sleep(0.03)                             # let the clock drain
+    stop.set()
+    th.join(timeout=5.0)
+    pulled.extend(dev.fetch_output(dev._fifo.capacity))
+    data = bytes(pulled)
+    # every written byte came out, in order, with zeros only in between
+    nonzero = bytes(b for b in data if b != 0)
+    assert nonzero == bytes(expected)            # conservation + order
+    assert dev.underruns > 0                     # the stress really bit
+    dev.close()
+
+
+def test_bridge_stop_stream_wakes_blocked_writer():
+    """stop_stream during a full-FIFO write must wake the engine thread
+    promptly (the drain path of a dying callback client, dai.c teardown)."""
+    import threading
+    import time
+    from brutefir_tpu.io.callback import CallbackDevice
+    from brutefir_tpu.core.sampleformat import parse_sample_format
+
+    dev = CallbackDevice([], 1, None, 44100, 1, periods=1)
+    dev.sample_format = parse_sample_format("S16_LE")
+    dev.init(32)                        # tiny FIFO: 64 bytes
+    dev.write(b"\1" * 64)               # fill it
+
+    done = threading.Event()
+
+    def writer():
+        dev.write(b"\2" * 64)           # blocks: no room
+        done.set()
+
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+    time.sleep(0.1)
+    assert not done.is_set()            # genuinely blocked
+    dev.stop_stream()
+    assert done.wait(timeout=2.0)       # woken promptly
+    th.join(timeout=2.0)
+    # post-stop reads report EOF (short read), ending the engine's drain
+    data = dev.read(128)
+    assert len(data) <= 64
