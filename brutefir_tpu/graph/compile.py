@@ -18,6 +18,7 @@ cascade evaluation, output inverse FFTs -- becomes ONE traced function:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -215,6 +216,34 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
     ring = state.ring
     eval_prev = state.eval_prev
     t = state.t
+
+    # Fused MAC+mix fast path (VERDICT r2 item 4): for the plain
+    # single-stage graph (no cascades, no crossfade, no spectral taps) on
+    # the single-device pallas path, the output-mix contraction runs
+    # INSIDE the MAC kernel's grid with the [C_out, 2, N] output block
+    # VMEM-resident, so the per-filter spectra Y never reach HBM.
+    fused_mix = (mac.startswith("pallas") and mesh is None and not taps
+                 and len(spec.stages) == 1
+                 and spec.stages[0].casc_local.size == 0
+                 and not spec.stages[0].any_crossfade
+                 and np.array_equal(spec.stages[0].idx, np.arange(F))
+                 and os.environ.get("BRUTEFIR_TPU_FUSED_MIX", "1") != "0")
+    if fused_mix:
+        from ..ops.pallas_mac import pallas_spectral_mac_mix
+        mixed = partconv.complex_mix(ctrl.in_mix, X)       # [F, 2, N]
+        wpos = jnp.mod(t + ctrl.delay, B)                  # [F]
+        if tiled:
+            ring = ring.at[np.arange(F), wpos].set(
+                mixed.reshape(F, 2, K // 128, 128))
+        else:
+            ring = ring.at[np.arange(F), wpos].set(mixed)
+        out_spec = pallas_spectral_mac_mix(
+            ring, bank, ctrl.coeff_idx, ctrl.mask, t, ctrl.out_mix,
+            uniform=uniform, interpret=mac == "pallas-interpret")
+        out_spec = tap("output_freqd", out_spec, np.arange(spec.n_outputs))
+        y_time = irfft_fn(out_spec)
+        return StepState(prev_in=x, ring=ring, eval_prev=eval_prev,
+                         t=t + 1), y_time
 
     # Per-stage filter-output spectra, concatenated once at the end instead
     # of scattered into a preallocated array (fewer copies, friendlier

@@ -170,3 +170,75 @@ def test_pallas_step_with_predelay_matches_dense(rng):
         outs[mac] = np.stack(ys)
     np.testing.assert_allclose(outs["pallas-interpret"], outs["jnp"],
                                rtol=0, atol=1e-5)
+
+
+def test_fused_mac_mix_matches_dense(rng):
+    """pallas_spectral_mac_mix == complex_mix(w, pallas_spectral_mac)."""
+    from brutefir_tpu.ops.pallas_mac import pallas_spectral_mac_mix
+    F, B, N, E, C = 4, 4, 256, 2, 3
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    idx = np.array([0, 1, 0, 1], np.int32)
+    mask = (rng.uniform(size=(F, B)) > 0.3).astype(np.float32)
+    w = rng.standard_normal((C, F)).astype(np.float32)
+    for t in (0, 3, 6):
+        y = pallas_spectral_mac(jnp.asarray(ring), jnp.asarray(bank),
+                                jnp.asarray(idx), jnp.asarray(mask),
+                                jnp.int32(t), interpret=True)
+        ref = partconv.complex_mix(jnp.asarray(w), y)
+        got = pallas_spectral_mac_mix(
+            jnp.asarray(ring), jnp.asarray(bank), jnp.asarray(idx),
+            jnp.asarray(mask), jnp.int32(t), jnp.asarray(w),
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-4)
+
+
+def test_fused_mac_mix_uniform_matches_dense(rng):
+    from brutefir_tpu.ops.pallas_mac import (pallas_spectral_mac_mix,
+                                             pallas_spectral_mac_uniform)
+    F, B, N, E, C = 4, 4, 256, 2, 4
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    idx = np.ones(F, np.int32)
+    mask = np.tile((rng.uniform(size=B) > 0.2).astype(np.float32), (F, 1))
+    w = rng.standard_normal((C, F)).astype(np.float32)
+    for t in (0, 2, 5):
+        y = pallas_spectral_mac_uniform(
+            jnp.asarray(ring), jnp.asarray(bank), jnp.asarray(idx),
+            jnp.asarray(mask), jnp.int32(t), interpret=True)
+        ref = partconv.complex_mix(jnp.asarray(w), y)
+        got = pallas_spectral_mac_mix(
+            jnp.asarray(ring), jnp.asarray(bank), jnp.asarray(idx),
+            jnp.asarray(mask), jnp.int32(t), jnp.asarray(w),
+            uniform=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-4)
+
+
+def test_fused_mix_step_matches_unfused(tmp_path, rng, monkeypatch):
+    """The engine step with BRUTEFIR_TPU_FUSED_MIX on vs off (pallas
+    interpret) produces identical audio."""
+    from brutefir_tpu.graph import build_graph_spec, CompiledGraph, make_ctrl
+    from brutefir_tpu.ops.partconv import preprocess_coeffs, make_bank
+    N, B, C = 256, 2, 3
+    taps = (rng.standard_normal(N * B) * 0.1).astype(np.float32)
+    spec = build_graph_spec(N, B, C, C, [[] for _ in range(C)], [False] * C)
+    bank = make_bank([preprocess_coeffs(taps, N, B)])
+    ctrl = make_ctrl(spec, rng.standard_normal((C, C)).astype(np.float32),
+                     np.zeros((C, C), np.float32),
+                     rng.standard_normal((C, C)).astype(np.float32),
+                     np.zeros(C, np.int32), np.zeros(C, np.int32),
+                     np.ones((C, B), np.float32))
+    xs = rng.standard_normal((4, C, N)).astype(np.float32)
+    outs = {}
+    for fused in ("1", "0"):
+        monkeypatch.setenv("BRUTEFIR_TPU_FUSED_MIX", fused)
+        cg = CompiledGraph(spec, mac="pallas-interpret")
+        st = cg.init_state()
+        ys = []
+        for xb in xs:
+            st, y = cg.step(st, ctrl, jnp.asarray(bank), jnp.asarray(xb))
+            ys.append(np.asarray(y))
+        outs[fused] = np.concatenate(ys, axis=1)
+    np.testing.assert_allclose(outs["1"], outs["0"], rtol=0, atol=1e-4)
