@@ -222,11 +222,17 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
     # the single-device pallas path, the output-mix contraction runs
     # INSIDE the MAC kernel's grid with the [C_out, 2, N] output block
     # VMEM-resident, so the per-filter spectra Y never reach HBM.
+    # VMEM budget: the fused kernel keeps the [C_out, 2, K] output block
+    # resident alongside the double-buffered ring+bank rows; beyond ~12 MB
+    # (e.g. 256 outputs x 8k bins = 16.8 MB) it cannot fit -- fall back
+    _out_block = spec.n_outputs * 2 * K * 4
+    _row_bytes = B * 2 * K * 4
     fused_mix = (mac.startswith("pallas") and mesh is None and not taps
                  and len(spec.stages) == 1
                  and spec.stages[0].casc_local.size == 0
                  and not spec.stages[0].any_crossfade
                  and np.array_equal(spec.stages[0].idx, np.arange(F))
+                 and _out_block + 4 * _row_bytes <= 12 * 2**20
                  and os.environ.get("BRUTEFIR_TPU_FUSED_MIX", "1") != "0")
     if fused_mix:
         from ..ops.pallas_mac import pallas_spectral_mac_mix

@@ -237,15 +237,26 @@ def _mac_core(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
     maskf = mask.astype(ring.dtype)
 
     # Variant: "row" keeps a filter's whole [B, 2, N] ring+bank rows in
-    # VMEM and loops partitions in-kernel (one DMA pass total); "tile"
-    # (grid (F, B)) streams one partition per step and is the fallback
-    # when the rows exceed the VMEM budget (double-buffered).
+    # VMEM and loops partitions in-kernel (one DMA pass total; the
+    # measured winner at flagship scale, F<=~64); "chunked" (grid
+    # (R/Rc, F), register accumulators) wins at the big-F scale shapes
+    # where the MAC is HBM/VMEM-traffic-bound (256 filters x 16 x 8192:
+    # 1.47 vs 1.80 ms/block); "tile" (grid (F, B)) streams one partition
+    # per step and is the fallback when rows exceed the VMEM budget.
     import os
     variant = os.environ.get("BRUTEFIR_TPU_PALLAS_VARIANT", "auto")
     row_bytes = B * 2 * N * 4
     if variant == "auto":
-        variant = "row" if 4 * row_bytes <= 12 * 2**20 else "tile"
-    if variant == "row":
+        if 4 * row_bytes > 12 * 2**20:
+            variant = "tile"
+        elif F * row_bytes >= 100 * 2**20 and R % 8 == 0:
+            variant = "chunked"
+        else:
+            variant = "row"
+    if variant == "chunked":
+        y5 = _chunked_call(ring5, bank5, coeff_idx.astype(jnp.int32),
+                           rpos, maskf, interpret)
+    elif variant == "row":
         y5 = _rowmajor_call(ring5, bank5, coeff_idx.astype(jnp.int32),
                             rpos, maskf, interpret)
     else:
@@ -295,6 +306,59 @@ def pallas_spectral_mac(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
     y = _mac_core(ring, bank, coeff_idx, mask, rpos, interpret)
     y0r, y0i = _bin0(ring, bank, coeff_idx, mask, rpos)
     return y.at[:, 0, 0].set(y0r).at[:, 1, 0].set(y0i)
+
+
+def _mac_kernel_chunked_reg(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref,
+                            out_ref, *, n_part, n_sub):
+    # Big-shape variant (grid (R/Rc, F)): bin-chunked blocks with a
+    # loop interchange -- outer over vreg-sized sublane chunks, inner
+    # over partitions -- so the accumulators live in vector registers
+    # instead of round-tripping VMEM per partition. Measured at the
+    # 256-filter scale shape: 1.47 ms/block vs 1.80 row / 2.44 tile
+    # (same terms, bit-identical result; /tmp probes round 3).
+    f = pl.program_id(1)
+    Rc = out_ref.shape[2]
+    for s in range(0, Rc, n_sub):
+        accr = None
+        acci = None
+        for b in range(n_part):
+            m = mask_ref[f, b]
+            rb = rpos_ref[b]
+            rr = ring_ref[0, rb, 0, pl.ds(s, n_sub)]
+            ri = ring_ref[0, rb, 1, pl.ds(s, n_sub)]
+            hr = bank_ref[0, b, 0, pl.ds(s, n_sub)] * m
+            hi = bank_ref[0, b, 1, pl.ds(s, n_sub)] * m
+            tr = rr * hr - ri * hi
+            ti = rr * hi + ri * hr
+            accr = tr if accr is None else accr + tr
+            acci = ti if acci is None else acci + ti
+        out_ref[0, 0, pl.ds(s, n_sub)] = accr
+        out_ref[0, 1, pl.ds(s, n_sub)] = acci
+
+
+def _chunked_call(ring5, bank5, coeff_idx, rpos, maskf, interpret,
+                  chunk_rows: int = 16, n_sub: int = 16):
+    F, B, _, R, _ = ring5.shape
+    Rc = chunk_rows if R % chunk_rows == 0 else R
+    sub = n_sub if Rc % n_sub == 0 else Rc
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(R // Rc, F),
+        in_specs=[
+            pl.BlockSpec((1, B, 2, Rc, 128),
+                         lambda r, f, idx, rp, mk: (f, 0, 0, r, 0)),
+            pl.BlockSpec((1, B, 2, Rc, 128),
+                         lambda r, f, idx, rp, mk: (idx[f], 0, 0, r, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, Rc, 128),
+                               lambda r, f, idx, rp, mk: (f, 0, r, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_mac_kernel_chunked_reg, n_part=B, n_sub=sub),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring5.dtype),
+        interpret=interpret,
+    )(coeff_idx, rpos, maskf, ring5, bank5)
 
 
 def _mac_mix_kernel_rowmajor(idx_ref, rpos_ref, mask_ref, w_ref, ring_ref,

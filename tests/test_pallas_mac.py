@@ -26,7 +26,7 @@ def test_pallas_matches_dense(rng):
                                    rtol=0, atol=1e-5)
 
 
-@pytest.mark.parametrize("variant", ["row", "tile"])
+@pytest.mark.parametrize("variant", ["row", "tile", "chunked"])
 def test_pallas_variants_match_dense(rng, variant, monkeypatch):
     monkeypatch.setenv("BRUTEFIR_TPU_PALLAS_VARIANT", variant)
     F, B, N, E = 5, 8, 384, 3
