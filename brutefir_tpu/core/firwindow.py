@@ -35,11 +35,21 @@ def _kaiser(x: float, beta: float, inv_izbeta: float) -> float:
 
 
 def firwindow_kaiser(target: np.ndarray, offset: float, beta: float) -> None:
-    """Apply the Kaiser window in place to ``target`` (any float dtype)."""
+    """Apply the Kaiser window in place to ``target`` (any float dtype).
+
+    Store semantics follow the reference exactly: the window value y stays
+    DOUBLE and each store rounds the double product to the target dtype
+    (`((float *)target)[n] *= y` promotes through double,
+    firwindow.c:107-113) -- pre-rounding y to float32 diverges by 1 ulp
+    on the fractional-offset branch (golden-vector verified).
+    """
     length = target.shape[0]
     len_div2 = length >> 1
     inv_izbeta = 1.0 / i_zero(beta)
     rt = target.dtype.type
+
+    def mul(i, y):
+        target[i] = rt(float(target[i]) * y)
 
     if offset != 0.0:
         mx = len_div2 + int(math.floor(offset))
@@ -51,30 +61,30 @@ def firwindow_kaiser(target: np.ndarray, offset: float, beta: float) -> None:
             mx -= 1
         n = 0
         while n <= mx:
-            y = rt(_kaiser(-1.0 + float(n) * step, beta, inv_izbeta))
-            target[n] *= y
-            target[n] *= y  # applied twice, as in the reference
+            y = _kaiser(-1.0 + float(n) * step, beta, inv_izbeta)
+            mul(n, y)
+            mul(n, y)  # applied twice, as in the reference
             n += 1
         if offset == 0.0:
             mx += 1
         step = 1.0 / (float(length - mx - 1) - offset)
         while n < length:
-            y = rt(_kaiser((float(n - mx) - offset) * step, beta, inv_izbeta))
-            target[n] *= y
-            target[n] *= y
+            y = _kaiser((float(n - mx) - offset) * step, beta, inv_izbeta)
+            mul(n, y)
+            mul(n, y)
             n += 1
     elif length & 1:
         step = 1.0 / float(len_div2)
         for n in range(1, len_div2 + 1):
-            y = rt(_kaiser(float(n) * step, beta, inv_izbeta))
-            target[len_div2 + n] *= y
-            target[len_div2 - n] *= y
+            y = _kaiser(float(n) * step, beta, inv_izbeta)
+            mul(len_div2 + n, y)
+            mul(len_div2 - n, y)
     else:
         step = (1.0 / float(len_div2)) * (float(len_div2) / (float(len_div2) - 0.5))
         for n in range(1, len_div2 + 1):
-            y = rt(_kaiser((float(n) - 0.5) * step, beta, inv_izbeta))
-            target[len_div2 + n - 1] *= y
-            target[len_div2 - n] *= y
+            y = _kaiser((float(n) - 0.5) * step, beta, inv_izbeta)
+            mul(len_div2 + n - 1, y)
+            mul(len_div2 - n, y)
 
 
 def sample_sinc(half_length: int, offset: float, kaiser_beta: float,

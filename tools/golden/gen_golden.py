@@ -25,6 +25,7 @@ def main(outdir=None):
     cmd = ["gcc", "-O2", "-I", REF,
            os.path.join(HERE, "harness.c"),
            os.path.join(REF, "dither.c"),
+           os.path.join(REF, "firwindow.c"),
            "-lm", "-o", exe]
     subprocess.run(cmd, check=True)
     subprocess.run([exe, outdir], check=True)

@@ -25,6 +25,7 @@
 #include "numunion.h"
 #include "swap.h"
 #include "dither.h"
+#include "firwindow.h"
 
 /* ---- minimal runtime the reference files expect ---- */
 
@@ -399,6 +400,38 @@ main(int argc, char *argv[])
                 "\"sample_rate\": 8000, \"max_size\": 8001, "
                 "\"max_samples_per_loop\": %d, \"randtab_size\": %d}",
                 NBLOCK, dither_randtab_size);
+    }
+
+    /* Kaiser windows (firwindow.c firwindow_kaiser, incl. the
+       fractional-offset branch that applies the window twice): windows
+       over a ones vector for a sweep of (len, offset, beta) x f32/f64 */
+    {
+        static const struct { int len; double offset; double beta; }
+        wcases[] = {
+            {63, 0.0, 9.0}, {64, 0.0, 9.0}, {63, 0.25, 9.0},
+            {64, -0.37, 5.0}, {127, 0.499, 16.0}, {32, 0.0, 2.5},
+        };
+        int wi;
+        fprintf(manifest, ", \"kaiser_cases\": [");
+        for (wi = 0; wi < 6; wi++) {
+            char nm[64];
+            int len = wcases[wi].len;
+            float *tf = malloc(sizeof(float) * len);
+            double *td = malloc(sizeof(double) * len);
+            for (n = 0; n < len; n++) { tf[n] = 1.0f; td[n] = 1.0; }
+            firwindow_kaiser(tf, len, wcases[wi].offset, wcases[wi].beta, 4);
+            firwindow_kaiser(td, len, wcases[wi].offset, wcases[wi].beta, 8);
+            snprintf(nm, sizeof nm, "kaiser_%d_f32", wi);
+            dump(nm, tf, sizeof(float) * len);
+            snprintf(nm, sizeof nm, "kaiser_%d_f64", wi);
+            dump(nm, td, sizeof(double) * len);
+            fprintf(manifest, "%s{\"len\": %d, \"offset\": %.17g, "
+                    "\"beta\": %.17g}", wi ? ", " : "",
+                    len, wcases[wi].offset, wcases[wi].beta);
+            free(tf);
+            free(td);
+        }
+        fprintf(manifest, "]");
     }
 
     fprintf(manifest, "\n}\n");
