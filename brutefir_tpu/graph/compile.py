@@ -222,12 +222,15 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
     # the single-device pallas path, the output-mix contraction runs
     # INSIDE the MAC kernel's grid with the [C_out, 2, N] output block
     # VMEM-resident, so the per-filter spectra Y never reach HBM.
-    # VMEM budget: the fused kernel keeps the [C_out, 2, K] output block
-    # resident alongside the double-buffered ring+bank rows; beyond ~12 MB
-    # (e.g. 256 outputs x 8k bins = 16.8 MB) it cannot fit -- fall back
-    _out_block = spec.n_outputs * 2 * K * 4
-    _row_bytes = B * 2 * K * 4
-    fused_mix = (mac.startswith("pallas") and mesh is None and not taps
+    # VMEM budget: the fused kernel keeps the [C_out, 2, K_local] output
+    # block resident alongside the double-buffered ring+bank rows; beyond
+    # ~12 MB (e.g. 256 outputs x 8k bins = 16.8 MB) it cannot fit -- fall
+    # back. Under a mesh the per-device shard sizes apply ('sp' divides
+    # the bins, guaranteed by pallas_shardable when mac is pallas).
+    _sp = mesh.shape.get("sp", 1) if mesh is not None else 1
+    _out_block = spec.n_outputs * 2 * (K // _sp) * 4
+    _row_bytes = B * 2 * (K // _sp) * 4
+    fused_mix = (mac.startswith("pallas") and not taps
                  and len(spec.stages) == 1
                  and spec.stages[0].casc_local.size == 0
                  and not spec.stages[0].any_crossfade
@@ -235,7 +238,8 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
                  and _out_block + 4 * _row_bytes <= 12 * 2**20
                  and os.environ.get("BRUTEFIR_TPU_FUSED_MIX", "1") != "0")
     if fused_mix:
-        from ..ops.pallas_mac import pallas_spectral_mac_mix
+        from ..ops.pallas_mac import (pallas_spectral_mac_mix,
+                                      pallas_spectral_mac_mix_shmap)
         mixed = partconv.complex_mix(ctrl.in_mix, X)       # [F, 2, N]
         wpos = jnp.mod(t + ctrl.delay, B)                  # [F]
         if tiled:
@@ -243,10 +247,18 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
                 mixed.reshape(F, 2, K // 128, 128))
         else:
             ring = ring.at[np.arange(F), wpos].set(mixed)
-        out_spec = pallas_spectral_mac_mix(
-            ring, bank, ctrl.coeff_idx, ctrl.mask, t, ctrl.out_mix,
-            uniform=uniform, interpret=mac == "pallas-interpret")
+        if mesh is not None:
+            out_spec = pallas_spectral_mac_mix_shmap(
+                mesh, ring, bank, ctrl.coeff_idx, ctrl.mask, t,
+                ctrl.out_mix, uniform=uniform,
+                interpret=mac == "pallas-interpret")
+        else:
+            out_spec = pallas_spectral_mac_mix(
+                ring, bank, ctrl.coeff_idx, ctrl.mask, t, ctrl.out_mix,
+                uniform=uniform, interpret=mac == "pallas-interpret")
         out_spec = tap("output_freqd", out_spec, np.arange(spec.n_outputs))
+        if constrain is not None:
+            out_spec = constrain(out_spec)
         y_time = irfft_fn(out_spec)
         return StepState(prev_in=x, ring=ring, eval_prev=eval_prev,
                          t=t + 1), y_time

@@ -426,7 +426,8 @@ def _mac_mix_kernel_uniform(rpos_ref, mask_ref, w_ref, ring_ref, bank_ref,
 
 def pallas_spectral_mac_mix(ring, bank, coeff_idx, mask, t, w,
                             uniform: bool = False,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            patch_bin0: bool = True):
     """Fused MAC + output mix: out[c] = sum_f w[c, f] * Y[f].
 
     Returns the mixed output spectra [C_out, 2, N] directly -- the
@@ -501,7 +502,52 @@ def pallas_spectral_mac_mix(ring, bank, coeff_idx, mask, t, w,
                      precision=jax.lax.Precision.HIGHEST)
     o0i = jnp.einsum("cf,f->c", w.astype(ring.dtype), y0i,
                      precision=jax.lax.Precision.HIGHEST)
-    return out.at[:, 0, 0].set(o0r).at[:, 1, 0].set(o0i)
+    if patch_bin0:
+        return out.at[:, 0, 0].set(o0r).at[:, 1, 0].set(o0i)
+    return out, o0r, o0i
+
+
+def pallas_spectral_mac_mix_shmap(mesh, ring, bank, coeff_idx, mask, t, w,
+                                  uniform: bool = False,
+                                  interpret: bool = False) -> jax.Array:
+    """Fused MAC+mix under an ('f','sp') mesh.
+
+    Each device runs the fused kernel on its local [F/f, ..., K/sp] ring
+    shard against its bank bin-shard and its w column slice, producing a
+    PARTIAL [C_out, 2, K/sp] sum; one psum over 'f' completes the output
+    mix -- the same reduce the partitioner inserts for the unfused
+    complex_mix, but with Y never materialized. The bin-0 (packed
+    DC/Nyquist) patch applies only on the first 'sp' shard, whose local
+    bin 0 is the global one.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    B = ring.shape[1]
+
+    def local(ring_l, bank_l, idx_l, mask_l, t_l, w_l):
+        out, o0r, o0i = pallas_spectral_mac_mix(
+            ring_l, bank_l, idx_l, mask_l, t_l, w_l,
+            uniform=uniform, interpret=interpret, patch_bin0=False)
+        is0 = jax.lax.axis_index("sp") == 0
+        out = out.at[:, 0, 0].set(
+            jnp.where(is0, o0r, out[:, 0, 0]))
+        out = out.at[:, 1, 0].set(
+            jnp.where(is0, o0i, out[:, 1, 0]))
+        return jax.lax.psum(out, "f")
+
+    if ring.ndim == 5:
+        ring_spec = P("f", None, None, "sp", None)
+        bank_spec = P(None, None, None, "sp", None)
+    else:
+        ring_spec = P("f", None, None, "sp")
+        bank_spec = P(None, None, None, "sp")
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(ring_spec, bank_spec, P("f"), P("f", None), P(),
+                  P(None, "f")),
+        out_specs=P(None, None, "sp"),
+        check_vma=False,
+    )(ring, bank, coeff_idx.astype(jnp.int32), mask, t, w)
 
 
 def pallas_spectral_mac_shmap(mesh, ring, bank, coeff_idx, mask, t,

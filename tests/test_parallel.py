@@ -351,3 +351,43 @@ def test_sharded_pallas_crossfade_parity(rng):
         sctrl, sbank, sx = sg.place(ct, jnp.asarray(bank), jnp.asarray(xb))
         sstate, y = sg.step(sstate, sctrl, sbank, sx)
         np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-4)
+
+
+def test_sharded_fused_mix_matches_dense(rng, monkeypatch):
+    """The fused MAC+mix kernel under shard_map (psum over 'f') matches
+    the dense single-device step. N/sp stays lane-aligned and >=256 bins
+    per shard, so N=1024 on the 2x4 mesh (interpret-mode kernel)."""
+    import os
+    N, B, C = 1024, 2, 4
+    taps = (rng.standard_normal(N * B) * 0.1).astype(np.float32)
+    spec = build_graph_spec(N, B, C, C, [[] for _ in range(C)], [False] * C)
+    bank = make_bank([partconv.preprocess_coeffs(taps, N, B)])
+    in_mix = rng.standard_normal((C, C)).astype(np.float32)
+    out_mix = rng.standard_normal((C, C)).astype(np.float32)
+    from brutefir_tpu.graph import make_ctrl
+    ctrl = make_ctrl(spec, in_mix, np.zeros((C, C), np.float32), out_mix,
+                     np.zeros(C, np.int32), np.zeros(C, np.int32),
+                     np.ones((C, B), np.float32))
+    xs = rng.standard_normal((4, C, N)).astype(np.float32)
+
+    monkeypatch.setenv("BRUTEFIR_TPU_FUSED_MIX", "0")
+    cg = CompiledGraph(spec, mac="jnp")
+    st = cg.init_state()
+    dense = []
+    for xb in xs:
+        st, y = cg.step(st, ctrl, jnp.asarray(bank), jnp.asarray(xb))
+        dense.append(np.asarray(y))
+
+    monkeypatch.setenv("BRUTEFIR_TPU_FUSED_MIX", "1")
+    mesh = make_mesh(jax.devices()[:8], f_axis=2)
+    cgp = CompiledGraph(spec, mac="pallas-interpret")
+    sg = ShardedGraph(cgp, mesh)
+    assert sg.mac.startswith("pallas")
+    sst = sg.init_state()
+    sctrl, sbank, _ = sg.place(ctrl, jnp.asarray(bank), jnp.asarray(xs[0]))
+    got = []
+    for xb in xs:
+        sst, y = sg.step(sst, sctrl, sbank, jnp.asarray(xb))
+        got.append(np.asarray(y))
+    for a, b in zip(dense, got):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-4)
