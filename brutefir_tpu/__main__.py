@@ -94,7 +94,21 @@ def main(argv=None) -> int:
     signal.signal(signal.SIGINT, _stop)
     signal.signal(signal.SIGTERM, _stop)
     try:
-        stats = eng.run()
+        # clockless runs (file-to-file, the reference's benchmark rig)
+        # have no latency contract, so dispatch scan-batched for
+        # throughput (run_offline falls back to run() when the device-IO
+        # path or config does not allow batching). Clocked devices keep
+        # the per-block pipeline and its fixed 2N latency.
+        # benchmark/debug keep run(): the per-10-periods stage table
+        # (bfrun.c:2035-2078) and the event timeline live there
+        clockless = (all(not inst.uses_sample_clock
+                         for io in (0, 1) for inst in eng.devices[io])
+                     and not conf.benchmark and not conf.debug)
+        if clockless:
+            stats = eng.run_offline(
+                batch_blocks=int(os.environ.get("BRUTEFIR_TPU_BATCH", "8")))
+        else:
+            stats = eng.run()
     except (EngineError, IoModuleError) as e:
         sys.stderr.write(f"{e}\n")
         return _exit_code(e)
