@@ -65,6 +65,7 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
                           exit_code=BF_EXIT_INVALID_INPUT)
 
     monkeypatch.setattr(eng_mod.Engine, "run", boom)
+    monkeypatch.setattr(eng_mod.Engine, "run_offline", boom)
     rc = main(["-quiet", "-nodefault", str(conf_text_path)])
     assert rc == BF_EXIT_INVALID_INPUT
 
