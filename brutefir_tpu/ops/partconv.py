@@ -36,6 +36,9 @@ kernel lives in :mod:`brutefir_tpu.ops.pallas_mac`.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -154,10 +157,14 @@ def make_bank(entries) -> np.ndarray:
 
 
 def rfft_planes(x: jnp.ndarray) -> jnp.ndarray:
+    if _mxu_ok(x.shape[-1] // 2, x.dtype):
+        return rfft_planes_mxu(x)
     return c2p(rfft_packed(x))
 
 
 def irfft_planes(p: jnp.ndarray) -> jnp.ndarray:
+    if _mxu_ok(p.shape[-1], p.dtype):
+        return irfft_planes_mxu(p)
     return irfft_packed(p2c(p))
 
 
@@ -171,6 +178,8 @@ def irfft_planes_valid(p: jnp.ndarray) -> jnp.ndarray:
     instead of the Xe/Xo form. Measured 44.7 -> 41.7 us in isolation at
     the flagship shape (in-scan weighted-consume slope, TPU v5e); the
     full-step gain is within noise, kept for the smaller live range."""
+    if _mxu_ok(p.shape[-1], p.dtype):
+        return irfft_planes_valid_mxu(p)
     Xp = p2c(p)
     M = Xp.shape[-1]
     if M < 2:
@@ -192,6 +201,178 @@ def irfft_planes_valid(p: jnp.ndarray) -> jnp.ndarray:
     zv = z[..., :h]
     return jnp.stack([zv.real, zv.imag], axis=-1).reshape(
         *z.shape[:-1], M)
+
+
+# --- MXU-permutation FFT glue (measured SLOWER; opt-in) ----------------------
+#
+# The real<->complex glue around the transforms (hermitian untangle's
+# lane reversal, even/odd interleave) lowers to shuffle-heavy HLO on TPU
+# and dominates the transform cost (rfft_packed docstring: the glue is
+# ~2/3 of the measured 38/43 us at the flagship shape; XLA's complex-fft
+# core itself is ~12.5 us). These variants express every lane
+# permutation as a matmul against a constant 0/1 matrix instead, which
+# rides the MXU: reversal within a 128-lane register is `x @ J` with J
+# the negate-mod-128 permutation, and the re/im -> even/odd interleave
+# is one [128]->[256] scatter matmul per plane. Permutation matmuls at
+# HIGHEST precision are bit-exact (each output sums exactly one
+# product by 1.0), so these are drop-in replacements.
+#
+# A/B on TPU v5e at the flagship shape (tools/step_breakdown.py,
+# forced-completion slopes, back-to-back sessions): forward 43.2 us vs
+# XLA's 36.9, inverse 50.3 vs 48.5, and the composed dio step 0.187 vs
+# 0.100 ms -- inside the fused step the permutation matmuls contend
+# with the MAC/mix for the MXU, so the "free" lane shuffles are not
+# free at all. Kept as BRUTEFIR_TPU_FFT_GLUE=mxu for re-evaluation on
+# other TPU generations; the default is the XLA glue everywhere.
+
+_LANES = 128
+
+
+@functools.lru_cache()
+def _perm_negmod() -> np.ndarray:
+    """[128, 128] permutation: (x @ J)[l] = x[(128 - l) % 128]."""
+    J = np.zeros((_LANES, _LANES), np.float32)
+    lin = np.arange(_LANES)
+    J[lin, (_LANES - lin) % _LANES] = 1.0
+    return J
+
+
+@functools.lru_cache()
+def _eo_mats() -> tuple:
+    """E/O [128, 256] lane-scatter matrices: (r @ E + i @ O) interleaves
+    two 128-lane registers into one 256-lane pair (E[j, 2j] = 1,
+    O[j, 2j+1] = 1). Their transposes split even/odd lanes."""
+    E = np.zeros((_LANES, 2 * _LANES), np.float32)
+    O = np.zeros((_LANES, 2 * _LANES), np.float32)
+    j = np.arange(_LANES)
+    E[j, 2 * j] = 1.0
+    O[j, 2 * j + 1] = 1.0
+    return E, O
+
+
+def _pmm(x, m):
+    """Permutation matmul over the lane (last) axis, bit-exact."""
+    return jnp.einsum("...rl,lm->...rm", x, jnp.asarray(m, x.dtype),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _mirror_planes(p: jnp.ndarray) -> jnp.ndarray:
+    """planes [..., 2, M] -> planes of X[(M - k) % M] (pure permutation).
+
+    Tiled [R, 128] view: lane negate-mod-128 on the MXU, then the row
+    permutation (rows reversed; lane 0 additionally row-rolled by one,
+    because bin M - 128r - l crosses a chunk boundary between l = 0 and
+    l >= 1) as cheap sublane-axis slices."""
+    M = p.shape[-1]
+    R = M // _LANES
+    t = p.reshape(p.shape[:-1] + (R, _LANES))
+    A = _pmm(t, _perm_negmod())
+    B1 = jnp.flip(A, axis=-2)
+    B2 = jnp.roll(B1, 1, axis=-2)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1) == 0
+    return jnp.where(lane0, B2, B1).reshape(p.shape)
+
+
+def _bin0_mask(M):
+    return jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)[0] == 0
+
+
+def rfft_planes_mxu(x: jnp.ndarray) -> jnp.ndarray:
+    """rfft_planes via half-size complex FFT with all glue on the MXU.
+
+    x real [..., 2M] -> packed spectra planes [..., 2, M]. Requires
+    M % 128 == 0 and M >= 256 (use rfft_planes for the general case).
+    """
+    M = x.shape[-1] // 2
+    R = M // _LANES
+    dt = x.dtype
+    E, O = _eo_mats()
+    x4 = x.reshape(x.shape[:-1] + (R, 2 * _LANES))
+    zr = _pmm(x4, E.T).reshape(x.shape[:-1] + (M,))
+    zi = _pmm(x4, O.T).reshape(x.shape[:-1] + (M,))
+    Z = jnp.fft.fft(jax.lax.complex(zr, zi), axis=-1)
+    Zp = c2p(Z)
+    Zm = _mirror_planes(Zp)
+    Zr, Zi = Zp[..., 0, :], Zp[..., 1, :]
+    Mr, Mi = Zm[..., 0, :], -Zm[..., 1, :]        # conj(Z[(M-k) % M])
+    k = np.arange(M)
+    w = np.exp(-1j * np.pi * k / M)               # X = a Z + b conj-mirror
+    a = (1.0 - 1j * w) * 0.5
+    b = (1.0 + 1j * w) * 0.5
+    npdt = np.float32 if dt == jnp.float32 else np.float64
+    ar, ai = a.real.astype(npdt), a.imag.astype(npdt)
+    br, bi = b.real.astype(npdt), b.imag.astype(npdt)
+    Xr = ar * Zr - ai * Zi + br * Mr - bi * Mi
+    Xi = ar * Zi + ai * Zr + br * Mi + bi * Mr
+    # packed bin 0: DC = Re Z0 + Im Z0 (the a/b combine already yields
+    # it); Nyquist = Re Z0 - Im Z0 rides the imaginary slot
+    Xi = jnp.where(_bin0_mask(M), Zr - Zi, Xi)
+    return jnp.stack([Xr, Xi], axis=-2)
+
+
+def _ifft_combine_mxu(p: jnp.ndarray):
+    """Shared pre-ifft combine: packed planes [..., 2, M] -> the M-point
+    complex sequence z whose re/im parts interleave to the 2M-point real
+    inverse transform (a Xk + b conj-mirror, as in irfft_planes_valid)."""
+    M = p.shape[-1]
+    dt = p.dtype
+    pm = _mirror_planes(p)
+    k0 = _bin0_mask(M)
+    Kr, Ki = p[..., 0, :], jnp.where(_bin0_mask(M), 0.0, p[..., 1, :])
+    # mirror bin 0 is DC's slot: the counterpart of bin 0 is Nyquist,
+    # which rides p's own imaginary lane 0
+    Rr = jnp.where(k0, p[..., 1, :], pm[..., 0, :])
+    Ri = jnp.where(k0, 0.0, -pm[..., 1, :])
+    k = np.arange(M)
+    w = np.exp(1j * np.pi * k / M)
+    a = (1.0 + 1j * w) * 0.5
+    b = (1.0 - 1j * w) * 0.5
+    npdt = np.float32 if dt == jnp.float32 else np.float64
+    ar, ai = a.real.astype(npdt), a.imag.astype(npdt)
+    br, bi = b.real.astype(npdt), b.imag.astype(npdt)
+    Vr = ar * Kr - ai * Ki + br * Rr - bi * Ri
+    Vi = ar * Ki + ai * Kr + br * Ri + bi * Rr
+    return jnp.fft.ifft(jax.lax.complex(Vr, Vi), axis=-1)
+
+
+def _interleave_mxu(z: jnp.ndarray) -> jnp.ndarray:
+    """complex [..., L] -> real [..., 2L] even/odd interleave of re/im
+    via one lane-scatter matmul per plane (L % 128 == 0)."""
+    L = z.shape[-1]
+    R = L // _LANES
+    E, O = _eo_mats()
+    zr = z.real.reshape(z.shape[:-1] + (R, _LANES))
+    zi = z.imag.reshape(z.shape[:-1] + (R, _LANES))
+    out = _pmm(zr, E) + _pmm(zi, O)
+    return out.reshape(z.shape[:-1] + (2 * L,))
+
+
+def irfft_planes_mxu(p: jnp.ndarray) -> jnp.ndarray:
+    """irfft_planes with all glue on the MXU: packed planes [..., 2, M]
+    -> real [..., 2M]. Requires M % 128 == 0 and M >= 256."""
+    return _interleave_mxu(_ifft_combine_mxu(p))
+
+
+def irfft_planes_valid_mxu(p: jnp.ndarray) -> jnp.ndarray:
+    """Valid (lower) half of irfft_planes_mxu: [..., 2, M] -> [..., M].
+    Only the first M/2 complex outputs are interleaved."""
+    M = p.shape[-1]
+    z = _ifft_combine_mxu(p)
+    return _interleave_mxu(z[..., : M // 2])
+
+
+@functools.lru_cache()
+def _glue_mode() -> str:
+    """FFT-glue dispatch: "mxu" routes eligible shapes through the
+    permutation-matmul variants. BRUTEFIR_TPU_FFT_GLUE=mxu|xla; the
+    default is the XLA glue (the MXU variants measured slower in situ
+    -- see the section comment above)."""
+    return os.environ.get("BRUTEFIR_TPU_FFT_GLUE", "xla")
+
+
+def _mxu_ok(M: int, dtype) -> bool:
+    return (_glue_mode() == "mxu" and M % _LANES == 0 and M >= 2 * _LANES
+            and dtype == jnp.float32)
 
 
 def preprocess_coeffs(
