@@ -262,8 +262,9 @@ def main():
             c0 = eng.control.snapshot()
             g0 = eng._mute_gains()
             uni = eng.control.snapshot_uniform
+            udl = eng.control.snapshot_uniform_delay
         M_DEV = 80
-        mstep = eng.dio.multi_step(M_DEV, uniform=uni)
+        mstep = eng.dio.multi_step(M_DEV, uniform=uni, udelay=udl)
         dstacks = [jnp.zeros((M_DEV, N) + eng.dio.in_wire_shape[i],
                              eng.dio.in_wire_dtype[i])
                    for i in range(len(conf.iodevs[0]))]

@@ -71,6 +71,12 @@ class RuntimeControl:
         # likewise for the crossfade source): the engine then dispatches
         # the broadcast-MAC program variant (graph/compile.py `uniform`)
         self.snapshot_uniform = False
+        # True when every filter shares one pre-delay (the common case:
+        # no `filter { delay: }` and no runtime cfd): the offline batched
+        # path then writes the spectra ring with one dynamic_update_slice
+        # at a scalar slot instead of a per-filter scatter
+        # (graph/compile.py `uniform_delay`)
+        self.snapshot_uniform_delay = False
 
     # --- mutation API (used by CLI/EQ modules) ---------------------------
     def mark_dirty(self):
@@ -206,4 +212,5 @@ class RuntimeControl:
             and np.all(mask == mask[0:1])
             and np.all(prev_idx == prev_idx[0])
             and np.all(prev_mask == prev_mask[0:1]))
+        self.snapshot_uniform_delay = bool(F > 0 and np.all(delay == delay[0]))
         return self._cached

@@ -373,7 +373,8 @@ class DeviceIO:
         def full_step(state, ctrl, in_gain, out_gain, bank, in_words,
                       dstate, dvec_in=None, dvec_out=None,
                       sdrows_in=None, sdbyp_in=None,
-                      sdrows_out=None, sdbyp_out=None, uniform=False):
+                      sdrows_out=None, sdbyp_out=None, uniform=False,
+                      uniform_delay=False):
             new_dstate = dict(dstate)
             x = input_half(in_words, dstate, new_dstate, in_gain, dvec_in,
                            sdrows_in, sdbyp_in)
@@ -384,7 +385,8 @@ class DeviceIO:
                 x = constrain_(x)
             state, y = _step_impl(spec_, mac, state, ctrl, bank, x,
                                   uniform=uniform, tiled=tiled,
-                                  mesh=mesh_, constrain=constrain_)
+                                  mesh=mesh_, constrain=constrain_,
+                                  uniform_delay=uniform_delay)
             if constrain_ is not None:
                 y = constrain_(y)
             outs, meters, nan_ok, new_dstate = output_half(
@@ -494,12 +496,20 @@ class DeviceIO:
             di, do, sri, sbi, sro, sbo)
         return state, outs, meters, nan_ok
 
-    def multi_step(self, m: int, uniform: bool = False):
+    def multi_step(self, m: int, uniform: bool = False,
+                   udelay: bool = False):
         """A scan over m blocks per dispatch (offline throughput mode).
 
         Controls are frozen across the m blocks; the host amortizes the
         dispatch/transfer round trip. Inputs are per-device stacked words
         [m, N, open_ch]; outputs stacked likewise, meters aggregated.
+
+        ``udelay``: caller asserts every filter shares one pre-delay for
+        the batch (Control.snapshot_uniform_delay) -- selects the
+        scalar-slot ring-write program variant (graph/compile.py
+        ``uniform_delay``). Like ``uniform`` it is part of the compiled-
+        program cache key; programs compile lazily per key, so this adds
+        no setup cost for configs that never flip it.
 
         BRUTEFIR_TPU_PREFFT=1 opts into the pre-FFT-hoisted variant:
         decode, input delay/subdelay, gains, framing and the forward rfft
@@ -512,7 +522,7 @@ class DeviceIO:
         passes over the ~136 MB frames/spectra batch. Kept as an opt-in
         experiment; the scanned path is the default.
         """
-        key = (m, uniform and self._step_u is not self._step)
+        key = (m, uniform and self._step_u is not self._step, bool(udelay))
         if key not in self._multi:
             if os.environ.get("BRUTEFIR_TPU_PREFFT", "0") != "1":
                 return self._multi_step_scanned(m, key)
@@ -562,7 +572,7 @@ class DeviceIO:
                     st, y = _step_impl(ps_spec, mac, st, ctrl, bank, xk,
                                        uniform=key[1], tiled=tiled,
                                        mesh=mesh_, constrain=constrain_,
-                                       pre_X=Xk)
+                                       pre_X=Xk, uniform_delay=key[2])
                     if constrain_ is not None:
                         y = constrain_(y)
                     nd = dict(ds)
@@ -603,7 +613,8 @@ class DeviceIO:
         """Default batched dispatch: the whole per-block step (incl.
         decode and forward rfft) inside the scan body -- the measured
         winner on TPU v5e (see multi_step docstring)."""
-        fs = functools.partial(self._full_step, uniform=key[1])
+        fs = functools.partial(self._full_step, uniform=key[1],
+                               uniform_delay=key[2])
 
         def multi(state, ctrl, in_gain, out_gain, bank, in_words,
                   dstate, dvec_in, dvec_out, sri, sbi, sro, sbo):

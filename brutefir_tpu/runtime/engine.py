@@ -1323,13 +1323,14 @@ class Engine:
                 ctrl = self.control.snapshot()
                 gains = self._mute_gains()
                 uni = self.control.snapshot_uniform
+                udl = self.control.snapshot_uniform_delay
                 dly_snap = (list(self.control.delay[IN]),
                             list(self.control.delay[OUT]))
                 sd_snap = (list(self.control.subdelay[IN]),
                            list(self.control.subdelay[OUT]))
             self.dio.update_delays(*dly_snap)
             self.dio.update_subdelays(*sd_snap)
-            mstep = self.dio.multi_step(M, uniform=uni)
+            mstep = self.dio.multi_step(M, uniform=uni, udelay=udl)
             self.state, outs, meters, nan_ok = mstep(
                 self.state, ctrl, gains[0], gains[1], self.bank, dstacks)
             self.blockcounter += M

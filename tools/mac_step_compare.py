@@ -60,8 +60,9 @@ def measure(mac: str) -> float:
         c0 = eng.control.snapshot()
         g0 = eng._mute_gains()
         uni = eng.control.snapshot_uniform
+        udl = eng.control.snapshot_uniform_delay
     M = int(os.environ.get("BENCH_M", "80"))
-    mstep = eng.dio.multi_step(M, uniform=uni)
+    mstep = eng.dio.multi_step(M, uniform=uni, udelay=udl)
     dstacks = [jnp.zeros((M, N) + eng.dio.in_wire_shape[i],
                          eng.dio.in_wire_dtype[i])
                for i in range(1)]
