@@ -319,6 +319,15 @@ def main():
         xrt = budget * 1e3 / device_step_ms
     else:
         xrt = e2e_xrt
+
+    # scale ceiling (10x the flagship: 256ch x 256 filters x 131k taps,
+    # 256 distinct coefficient sets) -- measured in a subprocess under
+    # its own watchdog so a wedge or OOM can never cost the headline;
+    # omitted on CPU fallbacks. BENCH_SCALE=0 skips.
+    scale = None
+    if (device_step_ms and jax.default_backend() != "cpu"
+            and os.environ.get("BENCH_SCALE", "1") != "0"):
+        scale = _scale_ceiling(budget)
     print(json.dumps({
         "metric": "massive_config_realtime_factor",
         "value": round(xrt, 2),
@@ -350,8 +359,38 @@ def main():
             "backend": jax.default_backend(),
             "rti": round(1.0 / xrt, 5),
             "low_latency": latency,
+            "scale_ceiling": scale,
         },
     }))
+
+
+def _scale_ceiling(budget_s: float):
+    """256x256x131k (alldistinct) device step via tools/mac_step_compare
+    in a watched subprocess; None on any failure."""
+    import re
+    import subprocess
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "mac_step_compare.py")
+    try:
+        r = subprocess.run(
+            [sys.executable, tool, "alldistinct", "pallas"],
+            env={**os.environ, "BENCH_C": "256"},
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("BENCH_SCALE_TIMEOUT", "420")))
+        m = re.search(r"device step ([0-9.]+) ms/block", r.stdout)
+        if r.returncode != 0 or not m:
+            return None
+        ms = float(m.group(1))
+        taps_ch = 256 * N * B  # 256 filters x 131072 taps each
+        return {
+            "workload": f"256ch x 256 filters x {N * B} taps, "
+                        "256 distinct coefficient sets",
+            "device_step_ms": round(ms, 4),
+            "xrt": round(budget_s * 1e3 / ms, 2),
+            "taps_ch_samples_per_s": round(taps_ch * N / (ms * 1e-3)),
+        }
+    except Exception:
+        return None
 
 
 def _main_with_retries(attempts: int = 3):
