@@ -379,6 +379,9 @@ def _scale_ceiling(budget_s: float):
             timeout=int(os.environ.get("BENCH_SCALE_TIMEOUT", "420")))
         m = re.search(r"device step ([0-9.]+) ms/block", r.stdout)
         if r.returncode != 0 or not m:
+            sys.stderr.write(
+                f"bench: scale-ceiling stage failed (rc {r.returncode}); "
+                f"stderr tail: {r.stderr[-400:]!r}\n")
             return None
         ms = float(m.group(1))
         taps_ch = 256 * N * B  # 256 filters x 131072 taps each
@@ -389,7 +392,9 @@ def _scale_ceiling(budget_s: float):
             "xrt": round(budget_s * 1e3 / ms, 2),
             "taps_ch_samples_per_s": round(taps_ch * N / (ms * 1e-3)),
         }
-    except Exception:
+    except Exception as e:
+        sys.stderr.write(f"bench: scale-ceiling stage failed "
+                         f"({type(e).__name__}: {e})\n")
         return None
 
 

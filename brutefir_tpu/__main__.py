@@ -14,10 +14,10 @@ import sys
 
 from .config.defaults import ensure_defaults_file
 from .config.parser import parse_config_file, ConfigParseError
-from .errors import (BF_EXIT_OK, BF_EXIT_OTHER, BF_EXIT_INVALID_CONFIG,
+from .errors import (BFError, BF_EXIT_OK, BF_EXIT_OTHER, BF_EXIT_INVALID_CONFIG,
                      BF_EXIT_NO_MEMORY, BF_EXIT_INVALID_INPUT,
                      BF_EXIT_BUFFER_UNDERFLOW)
-from .runtime.engine import Engine, EngineError
+from .runtime.engine import Engine
 
 USAGE = ("Usage: %s [-quiet] [-nodefault] [-daemon] [config file]\n")
 
@@ -65,7 +65,6 @@ def main(argv=None) -> int:
         return BF_EXIT_OTHER
 
     import signal
-    from .io import IoModuleError
 
     def _exit_code(e) -> int:
         # reference exit-code contract (bfmod.h:64-70): every abort-worthy
@@ -76,7 +75,7 @@ def main(argv=None) -> int:
 
     try:
         eng = Engine(conf)
-    except (EngineError, IoModuleError) as e:
+    except BFError as e:
         # init-time failures (device open, float64-on-TPU, AUTO format)
         # still honor the clean-message + exit-code contract
         sys.stderr.write(f"{e}\n")
@@ -98,10 +97,13 @@ def main(argv=None) -> int:
         # have no latency contract, so dispatch scan-batched for
         # throughput (run_offline falls back to run() when the device-IO
         # path or config does not allow batching). Clocked devices keep
-        # the per-block pipeline and its fixed 2N latency.
+        # the per-block pipeline and its fixed 2N latency, and so do
+        # clockless devices on live endpoints (pipes/FIFOs/ttys, e.g.
+        # `path: "/dev/stdin";` pipelines): batching there would add
+        # batch_blocks*N of latency and bursty writes a peer can see.
         # benchmark/debug keep run(): the per-10-periods stage table
         # (bfrun.c:2035-2078) and the event timeline live there
-        clockless = (all(not inst.uses_sample_clock
+        clockless = (all(not inst.uses_sample_clock and inst.batch_safe
                          for io in (0, 1) for inst in eng.devices[io])
                      and not conf.benchmark and not conf.debug)
         if clockless:
@@ -109,7 +111,7 @@ def main(argv=None) -> int:
                 batch_blocks=int(os.environ.get("BRUTEFIR_TPU_BATCH", "8")))
         else:
             stats = eng.run()
-    except (EngineError, IoModuleError) as e:
+    except BFError as e:
         sys.stderr.write(f"{e}\n")
         return _exit_code(e)
     if not quiet:

@@ -34,6 +34,11 @@ class IoDevice:
 
     uses_sample_clock = True
     is_callback = False
+    # True when scan-batched (multi-block) dispatch cannot harm a live
+    # peer: the endpoint is storage, not a pipe/FIFO/tty another process
+    # is waiting on. Batching adds batch_blocks*N of buffering, so only
+    # batch-safe endpoints opt in (FileDevice overrides per path).
+    batch_safe = False
     # True when the hardware cannot signal readiness at period boundaries
     # (fragment misalignment, dai.c:905-931): with allow_poll_mode the
     # engine then paces reads with short sleeps (poll mode) instead of

@@ -88,6 +88,24 @@ class FileDevice(IoDevice):
         elif sample_format is None:
             raise IoModuleError("File I/O: no support for AUTO sample format")
 
+    @property
+    def batch_safe(self) -> bool:
+        """Scan-batched dispatch is safe when the path is storage (a
+        regular file) or a null-like device -- NOT a pipe/FIFO/socket/tty
+        with a live peer, where batching would add batch_blocks*N of
+        latency and bursty output (e.g. `path: "/dev/stdin"` pipelines,
+        the classic reference usage)."""
+        import stat as _stat
+        try:
+            st = os.stat(self.path)
+        except OSError:
+            # output file that does not exist yet: created as a regular
+            # file by init()
+            return self.io == OUT
+        if _stat.S_ISREG(st.st_mode):
+            return True
+        return self.path in ("/dev/zero", "/dev/null", "/dev/full")
+
     def init(self, period_size):
         if self.io == IN:
             self.fh = open(self.path, "rb", buffering=0)

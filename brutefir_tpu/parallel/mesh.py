@@ -81,19 +81,37 @@ def auto_mesh(n_filters: int, n_bins: int, real_dtype,
     setting = (setting or "auto").strip().lower()
     if setting in ("off", "none", "0", "1"):
         return None
+    if setting != "auto":
+        # syntax is validated before any device query so a malformed
+        # value aborts loudly even on a single-device host
+        from ..errors import BFError, BF_EXIT_INVALID_CONFIG
+        f_s, _, s_s = setting.partition("x")
+        try:
+            f = int(f_s)
+            sp = int(s_s) if s_s else 0   # 0 = fill from device count
+            if f < 1 or sp < 0:
+                raise ValueError
+        except ValueError:
+            raise BFError(
+                f"BRUTEFIR_TPU_MESH={setting!r}: expected 'off', 'auto', "
+                "or FxS (e.g. '2x4')",
+                exit_code=BF_EXIT_INVALID_CONFIG) from None
+        devices = devices if devices is not None else jax.devices()
+        n = len(devices)
+        if sp == 0:
+            sp = max(1, n // f)
+        if f * sp > n:
+            raise BFError(
+                f"BRUTEFIR_TPU_MESH={setting!r} needs {f * sp} devices, "
+                f"only {n} visible",
+                exit_code=BF_EXIT_INVALID_CONFIG)
+        if f * sp <= 1:
+            return None
+        return make_mesh(devices[: f * sp], f_axis=f, sp_axis=sp)
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if n <= 1:
         return None
-    if setting != "auto":
-        f_s, _, s_s = setting.partition("x")
-        f = int(f_s)
-        sp = int(s_s) if s_s else max(1, n // f)
-        if f * sp > n:
-            raise ValueError(
-                f"BRUTEFIR_TPU_MESH={setting!r} needs {f * sp} devices, "
-                f"only {n} visible")
-        return make_mesh(devices[: f * sp], f_axis=f, sp_axis=sp)
 
     def usable(f, sp):
         if f > 1 and n_filters % f != 0:

@@ -104,15 +104,20 @@ class Engine:
             self.N, self.B, conf.n_channels[IN], conf.n_channels[OUT],
             filter_inputs, [f.crossfade for f in conf.filters], self.rd,
             powersave=conf.powersave and conf.analog_powersave < 1.0)
+        self._mesh_auto = False
         if mesh is None:
             # multi-device hosts shard by default, like the reference's
             # one-filter-process-per-CPU default with its automatic load
             # balancer (bfconf.c:2227-2318); BRUTEFIR_TPU_MESH overrides
             # ("off", "2x4", ...). An explicit mesh= argument wins.
             from ..parallel.mesh import auto_mesh
+            self._mesh_auto = (os.environ.get("BRUTEFIR_TPU_MESH", "auto")
+                               .strip().lower() in ("", "auto"))
             try:
                 mesh = auto_mesh(max(self.spec.n_filters, 1),
                                  self.spec.n_bins, self.rd)
+            except BFError:
+                raise   # malformed BRUTEFIR_TPU_MESH: typed config error
             except RuntimeError:
                 mesh = None   # no backend yet (import-time probing)
             if mesh is not None and not getattr(conf, "quiet", False):
@@ -348,10 +353,32 @@ class Engine:
                 taps[kind] = self._make_freqd_tap(hooks)
         if taps:
             if self.mesh is not None:
-                raise EngineError(
-                    "frequency-domain module hooks require a single device")
+                if not self._mesh_auto:
+                    raise EngineError(
+                        "frequency-domain module hooks require a single "
+                        "device (BRUTEFIR_TPU_MESH=off, or drop the "
+                        "explicit mesh)")
+                # auto-selected mesh: degrade to a single device rather
+                # than aborting a config that worked before auto-mesh
+                if not getattr(self.conf, "quiet", False):
+                    sys.stderr.write(
+                        "Multi-device mesh disabled: a logic module "
+                        "registered frequency-domain hooks (single-device "
+                        "only)\n")
+                self.mesh = None
+                sharded = getattr(self, "_sharded", None)
+                self._sharded = None
+                if sharded is not None and sharded.tiled != self.cg.tiled:
+                    # undo the dense-degrade bank relayout (see __init__)
+                    bank_np = np.asarray(self.bank)
+                    self.bank = jnp.asarray(bank_np.reshape(
+                        self.spec.bank_shape(bank_np.shape[0],
+                                             self.cg.tiled)))
+                else:
+                    self.bank = jnp.asarray(np.asarray(self.bank))
             self.dio = None  # hooks are traced into the host-path step
             self.cg = CompiledGraph(self.spec, mac=self.cg.mac, taps=taps)
+            self.state = self.cg.init_state()
         # coeff_final from modules (bfevents.coeff_final; the EQ's own
         # double-buffer redirect wires control.coeff_final_hook directly)
         self.control.coeff_final_mod_hooks = [
@@ -709,9 +736,18 @@ class Engine:
         filter graph's mixed-input zero flags)."""
         if not self.conf.powersave or x is None:
             return False
-        peak = float(np.abs(x).max()) if x.size else 0.0
         thr = self.conf.analog_powersave
-        return peak < thr if thr < 1.0 else peak == 0.0
+        if thr >= 1.0:
+            peak = float(np.abs(x).max()) if x.size else 0.0
+            return peak == 0.0
+        if not x.size:
+            return True
+        # match the compiled gate: scale * max|x| < analog per channel
+        # (ps_thresh = analog / virtscale, control.py snapshot)
+        scales = np.maximum(
+            np.asarray(self.control.virtscale[IN], np.float64), 1e-30)
+        peaks = np.asarray(np.abs(x).max(axis=-1), np.float64)
+        return bool(np.all(peaks < thr / scales[: peaks.shape[0]]))
 
     def _input_silent_words(self, xw) -> bool:
         """Silence test on raw input words (device-IO path): exact-zero

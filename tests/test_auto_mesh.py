@@ -166,3 +166,73 @@ filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; process: 1; }};
     Engine(conf)
     err = capsys.readouterr().err
     assert "process" in err and "partitioner" in err
+
+
+def test_mesh_env_malformed_is_typed_config_error(monkeypatch):
+    """A malformed BRUTEFIR_TPU_MESH aborts loudly with the config exit
+    code, instead of a bare ValueError/ silent fallback."""
+    from brutefir_tpu.errors import BFError, BF_EXIT_INVALID_CONFIG
+    with pytest.raises(BFError) as ei:
+        auto_mesh(4, 128, np.dtype(np.float32), env="2y3")
+    assert ei.value.exit_code == BF_EXIT_INVALID_CONFIG
+    with pytest.raises(BFError) as ei:
+        auto_mesh(4, 128, np.dtype(np.float32), env="0x2")
+    assert ei.value.exit_code == BF_EXIT_INVALID_CONFIG
+    with pytest.raises(BFError) as ei:
+        auto_mesh(4, 128, np.dtype(np.float32), env="4x4")  # 16 > 8 devices
+    assert ei.value.exit_code == BF_EXIT_INVALID_CONFIG
+
+
+def _freqd_conf(tmp_path, rng, N=128, B=2, C=2):
+    from brutefir_tpu.config import parse_config
+    x = rng.standard_normal((C, N * 4)).astype(np.float32) * 0.1
+    inp, outp = tmp_path / "in.f32", tmp_path / "out.f32"
+    np.ascontiguousarray(x.T.astype("<f4")).tofile(inp)
+    chans = ",".join(str(i) for i in range(C))
+    filters = "\n".join(
+        f"filter {i} {{ from_inputs: {i}; to_outputs: {i}; coeff: 0; }};"
+        for i in range(C))
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+coeff 0 {{ filename: "dirac pulse"; }};
+input {chans} {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: {C}; }};
+output {chans} {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: {C}; }};
+{filters}
+""")
+    conf.quiet = True
+    return conf, x, outp
+
+
+class _Doubler:
+    def output_freqd(self, buf, ch):
+        buf *= 2.0
+
+
+def test_freqd_hooks_degrade_auto_mesh(tmp_path, rng, monkeypatch):
+    """Auto-selected mesh + a module registering frequency-domain hooks:
+    the engine degrades to a single device with a warning (a config that
+    worked pre-auto-mesh keeps working), and the hook's effect lands."""
+    from brutefir_tpu.runtime import Engine
+    monkeypatch.setenv("BRUTEFIR_TPU_MESH", "auto")
+    conf, x, outp = _freqd_conf(tmp_path, rng)
+    eng = Engine(conf)
+    assert eng.mesh is not None          # auto mesh selected
+    eng.logic.append(_Doubler())
+    eng.run()
+    assert eng.mesh is None              # degraded at attach_logic
+    y = np.fromfile(outp, dtype="<f4").reshape(-1, x.shape[0]).T
+    np.testing.assert_allclose(y, 2.0 * x, atol=1e-4)
+
+
+def test_freqd_hooks_reject_explicit_mesh(tmp_path, rng):
+    """An explicitly requested mesh does NOT silently degrade: the user
+    asked for multi-device, freqd hooks cannot run there, abort."""
+    from brutefir_tpu.runtime import Engine
+    from brutefir_tpu.runtime.engine import EngineError
+    conf, _, _ = _freqd_conf(tmp_path, rng)
+    mesh = make_mesh(jax.devices()[:8], f_axis=2)
+    eng = Engine(conf, mesh=mesh)
+    eng.logic.append(_Doubler())
+    with pytest.raises(EngineError, match="single"):
+        eng.attach_logic()

@@ -118,3 +118,100 @@ def test_debug_timeline_full_dump(tmp_path, capsys):
         assert f"period {blk}:" in err
     assert "call read" in err and "call dispatch" in err
     assert "call write" in err
+
+
+def test_batch_safe_property(tmp_path):
+    """FileDevice.batch_safe: regular files and null-likes are storage
+    (batchable); FIFOs/pipes have a live peer and are not."""
+    import os
+    from brutefir_tpu.io.file_module import FileDevice
+    from brutefir_tpu.io import IN, OUT
+    from brutefir_tpu.core.sampleformat import parse_sample_format
+    from brutefir_tpu.config.lexer import tokenize
+
+    fmt = parse_sample_format("FLOAT_LE")
+
+    def dev(path, io):
+        toks = [t for t in tokenize(f'path: "{path}";') if t.kind.name != "EOF"]
+        return FileDevice(toks, io, fmt, 44100, [0])
+
+    reg = tmp_path / "a.f32"
+    reg.write_bytes(b"\0" * 16)
+    assert dev(reg, IN).batch_safe
+    assert dev(tmp_path / "new-out.f32", OUT).batch_safe   # created by init
+    assert not dev(tmp_path / "missing-in.f32", IN).batch_safe
+    assert dev("/dev/null", OUT).batch_safe
+    assert dev("/dev/zero", IN).batch_safe
+    fifo = tmp_path / "pipe"
+    os.mkfifo(fifo)
+    assert not dev(fifo, IN).batch_safe
+    assert not dev(fifo, OUT).batch_safe
+
+
+def test_main_dispatch_keeps_per_block_for_fifo(tmp_path, monkeypatch):
+    """The CLI routes clockless runs to run_offline only when every file
+    endpoint is storage: a FIFO input keeps the per-block pipeline (no
+    batch_blocks*N latency added to a live pipe)."""
+    import os
+    from brutefir_tpu.__main__ import main
+    import brutefir_tpu.runtime.engine as eng_mod
+
+    called = []
+
+    def fake_run(self, *a, **k):
+        called.append("run")
+        return {"blocks": 0, "frames": 0, "xrt": 0.0}
+
+    def fake_run_offline(self, *a, **k):
+        called.append("run_offline")
+        return {"blocks": 0, "frames": 0, "xrt": 0.0}
+
+    monkeypatch.setattr(eng_mod.Engine, "run", fake_run)
+    monkeypatch.setattr(eng_mod.Engine, "run_offline", fake_run_offline)
+
+    def conf_for(in_path):
+        p = tmp_path / "c.conf"
+        p.write_text(f"""
+sampling_rate: 44100;
+filter_length: 128;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{in_path}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{tmp_path / 'out.f32'}"; }}; sample: "FLOAT_LE"; channels: 1; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+""")
+        return p
+
+    reg = tmp_path / "in.f32"
+    write_raw_float(reg, np.zeros((1, 256), np.float32))
+    assert main(["-quiet", "-nodefault", str(conf_for(reg))]) == 0
+    assert called == ["run_offline"]
+
+    called.clear()
+    fifo = tmp_path / "in.fifo"
+    os.mkfifo(fifo)
+    # hold a writer open so the engine's blocking open("rb") returns
+    wfd = os.open(fifo, os.O_RDWR)
+    try:
+        assert main(["-quiet", "-nodefault", str(conf_for(fifo))]) == 0
+    finally:
+        os.close(wfd)
+    assert called == ["run"]
+
+
+def test_input_silent_honors_virtscale(tmp_path):
+    """The host-path analog-powersave gate matches the compiled gate
+    (control.py: scale * max|x| < analog, i.e. ps_thresh = analog/scale):
+    a channel whose format scale amplifies must NOT count as silent just
+    because its raw peak is under the threshold."""
+    N, B = 128, 2
+    x = np.zeros(N * 4, np.float32)
+    conf = _simple_conf(tmp_path, x, N, B,
+                        extra="powersave: -20;")  # 10^(-20/20) = 0.1
+    eng = Engine(conf)
+    assert eng.conf.analog_powersave == pytest.approx(0.1)
+    blk = np.full((1, N), 0.05, np.float32)
+    assert eng._input_silent(blk)                # scale 1: 0.05 < 0.1
+    eng.control.virtscale[0][0] = 4.0            # scaled peak 0.2 > 0.1
+    assert not eng._input_silent(blk)
+    eng.control.virtscale[0][0] = 1.0
+    assert eng._input_silent(np.zeros((1, N), np.float32))

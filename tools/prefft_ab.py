@@ -56,7 +56,7 @@ def main():
 
     # build both variants up front (distinct cache keys via env toggling)
     os.environ["BRUTEFIR_TPU_PREFFT"] = "0"
-    old = eng.dio._multi_step_scanned(M, (M, uni))
+    old = eng.dio._multi_step_scanned(M, (M, uni, False))
     eng.dio._multi.clear()
     os.environ["BRUTEFIR_TPU_PREFFT"] = "1"
     new = eng.dio.multi_step(M, uniform=uni)
