@@ -226,6 +226,21 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
     eval_prev = state.eval_prev
     t = state.t
 
+    def write_ring(ring, blk, idx):
+        """Write a stage's frequency block into the persistent ring at
+        each filter's delayed slot (delayblocks, the cbuf curblock+delay
+        of bfrun.c:1688-1690): one dynamic_update_slice when the stage
+        covers every filter and all delays equal delay[0] (the host-
+        detected uniform_delay program variant), else a per-filter
+        scatter. Shared by the fused-mix fast path and the stage loop."""
+        if (uniform_delay and idx.size == F
+                and np.array_equal(idx, np.arange(F))):
+            wpos0 = jnp.mod(t + ctrl.delay[0], B)
+            return jax.lax.dynamic_update_slice(
+                ring, blk[:, None], (0, wpos0) + (0,) * (blk.ndim - 1))
+        wpos = jnp.mod(t + ctrl.delay[idx], B)
+        return ring.at[idx, wpos].set(blk)
+
     # Fused MAC+mix fast path (VERDICT r2 item 4): for the plain
     # single-stage graph (no cascades, no crossfade, no spectral taps) on
     # the single-device pallas path, the output-mix contraction runs
@@ -251,13 +266,7 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
                                       pallas_spectral_mac_mix_shmap)
         mixed = partconv.complex_mix(ctrl.in_mix, X)       # [F, 2, N]
         blk = mixed.reshape(F, 2, K // 128, 128) if tiled else mixed
-        if uniform_delay:
-            wpos0 = jnp.mod(t + ctrl.delay[0], B)
-            ring = jax.lax.dynamic_update_slice(
-                ring, blk[:, None], (0, wpos0) + (0,) * (blk.ndim - 1))
-        else:
-            wpos = jnp.mod(t + ctrl.delay, B)              # [F]
-            ring = ring.at[np.arange(F), wpos].set(blk)
+        ring = write_ring(ring, blk, np.arange(F))
         if mesh is not None:
             out_spec = pallas_spectral_mac_mix_shmap(
                 mesh, ring, bank, ctrl.coeff_idx, ctrl.mask, t,
@@ -306,14 +315,7 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
         # small [Fs, 2, N] block pays the reshape (see partconv MAC)
         blk = (mixed.reshape(idx.size, 2, K // 128, 128) if tiled
                else mixed)
-        if (uniform_delay and idx.size == F
-                and np.array_equal(idx, np.arange(F))):
-            wpos0 = jnp.mod(t + ctrl.delay[0], B)
-            ring = jax.lax.dynamic_update_slice(
-                ring, blk[:, None], (0, wpos0) + (0,) * (blk.ndim - 1))
-        else:
-            wpos = jnp.mod(t + ctrl.delay[idx], B)         # [Fs]
-            ring = ring.at[idx, wpos].set(blk)
+        ring = write_ring(ring, blk, idx)
 
         # when the stage covers every filter in order, skip the gather copy
         full = idx.size == F and np.array_equal(idx, np.arange(F))

@@ -32,6 +32,17 @@ def _wire3(fmt) -> bool:
             and fmt.little_endian and np.little_endian)
 
 
+def _agg_meters(meters):
+    """Collapse a scan's per-block meter stacks [m, ch, 3] into one
+    block-shaped meter per device: clip counts sum, peaks max."""
+    return tuple(
+        jnp.concatenate([
+            jnp.sum(md[:, :, :1], axis=0),
+            jnp.max(md[:, :, 1:], axis=0),
+        ], axis=1)
+        for md in meters)
+
+
 def eligible(conf: BFConfig) -> bool:
     for io in (IN, OUT):
         for dev in conf.iodevs[io]:
@@ -582,32 +593,35 @@ class DeviceIO:
 
                 (state, dstate), (outs, meters, nans) = jax.lax.scan(
                     body, (state, new_dstate), (X_all, x_seq))
-                agg = tuple(
-                    jnp.concatenate([
-                        jnp.sum(md[:, :, :1], axis=0),      # clip counts
-                        jnp.max(md[:, :, 1:], axis=0),      # peaks
-                    ], axis=1)
-                    for md in meters)
-                return state, outs, agg, jnp.all(nans), dstate
+                return (state, outs, _agg_meters(meters), jnp.all(nans),
+                        dstate)
 
-            if self._in_sh is not None:
-                jfn = jax.jit(multi, in_shardings=self._in_sh,
-                              out_shardings=self._out_sh,
-                              donate_argnums=(0, 6))
-            else:
-                jfn = jax.jit(multi, donate_argnums=(0, 6))
-
-            def wrapped(state, ctrl, in_gain, out_gain, bank, in_words,
-                        _fn=jfn):
-                di, do = self._dvecs()
-                sri, sbi, sro, sbo = self._sdvecs()
-                state, outs, agg, nan, self.dstate = _fn(
-                    state, ctrl, in_gain, out_gain, bank, in_words,
-                    self.dstate, di, do, sri, sbi, sro, sbo)
-                return state, outs, agg, nan
-
-            self._multi[key] = wrapped
+            self._register_multi(key, multi)
         return self._multi[key]
+
+    def _register_multi(self, key, multi):
+        """jit a batched ``multi`` body under the engine's sharding/
+        donation profile and install the dvec/dstate plumbing wrapper.
+        Shared by the default scanned variant and the opt-in pre-FFT
+        variant so their dispatch contracts cannot diverge."""
+        if self._in_sh is not None:
+            jfn = jax.jit(multi, in_shardings=self._in_sh,
+                          out_shardings=self._out_sh,
+                          donate_argnums=(0, 6))
+        else:
+            jfn = jax.jit(multi, donate_argnums=(0, 6))
+
+        def wrapped(state, ctrl, in_gain, out_gain, bank, in_words,
+                    _fn=jfn):
+            di, do = self._dvecs()
+            sri, sbi, sro, sbo = self._sdvecs()
+            state, outs, agg, nan, self.dstate = _fn(
+                state, ctrl, in_gain, out_gain, bank, in_words,
+                self.dstate, di, do, sri, sbi, sro, sbo)
+            return state, outs, agg, nan
+
+        self._multi[key] = wrapped
+        return wrapped
 
     def _multi_step_scanned(self, m: int, key):
         """Default batched dispatch: the whole per-block step (incl.
@@ -629,29 +643,6 @@ class DeviceIO:
 
             (state, dstate), (outs, meters, nans) = jax.lax.scan(
                 body, (state, dstate), tuple(in_words))
-            agg = tuple(
-                jnp.concatenate([
-                    jnp.sum(md[:, :, :1], axis=0),
-                    jnp.max(md[:, :, 1:], axis=0),
-                ], axis=1)
-                for md in meters)
-            return state, outs, agg, jnp.all(nans), dstate
+            return state, outs, _agg_meters(meters), jnp.all(nans), dstate
 
-        if self._in_sh is not None:
-            jfn = jax.jit(multi, in_shardings=self._in_sh,
-                          out_shardings=self._out_sh,
-                          donate_argnums=(0, 6))
-        else:
-            jfn = jax.jit(multi, donate_argnums=(0, 6))
-
-        def wrapped(state, ctrl, in_gain, out_gain, bank, in_words,
-                    _fn=jfn):
-            di, do = self._dvecs()
-            sri, sbi, sro, sbo = self._sdvecs()
-            state, outs, agg, nan, self.dstate = _fn(
-                state, ctrl, in_gain, out_gain, bank, in_words,
-                self.dstate, di, do, sri, sbi, sro, sbo)
-            return state, outs, agg, nan
-
-        self._multi[key] = wrapped
-        return self._multi[key]
+        return self._register_multi(key, multi)
