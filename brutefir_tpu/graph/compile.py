@@ -241,6 +241,39 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
         wpos = jnp.mod(t + ctrl.delay[idx], B)
         return ring.at[idx, wpos].set(blk)
 
+    # Gather-scale channel mixes (the reference's unrolled n_bufs=1
+    # mixnscale special case, fftw_convfuns.h:7-501): when the static
+    # graph says every filter draws from at most one input channel
+    # (spec.in_src) / every output mixes at most one filter
+    # (spec.out_src), the [F, C] / [C, F] mix matmuls collapse to a
+    # static gather + per-row scale -- numerically identical (the matmul
+    # rows have a single nonzero). MEASURED SLOWER IN SITU on TPU v5e:
+    # isolated the gather wins (0.036 vs 0.077 ms per mix at the 256-ch
+    # scale shape, in-scan slope), but the composed scale step regresses
+    # 1.84 -> 1.91 ms/block ("1"), 1.88 ("in"), 1.86 ("out") -- the MXU
+    # matmul overlaps with the bandwidth-saturated MAC/FFT regions while
+    # the gather adds competing HBM passes. Kept opt-in
+    # (BRUTEFIR_TPU_SPARSE_MIX=1|in|out); default is the matmul. Mesh
+    # paths always keep the matmul: its contraction is where the
+    # partitioner inserts the psum over 'f'.
+    _sm = os.environ.get("BRUTEFIR_TPU_SPARSE_MIX", "0")
+    sparse_in = mesh is None and _sm in ("1", "in")
+    sparse_out = mesh is None and _sm in ("1", "out")
+
+    def in_mix_stage(idx, X):
+        if sparse_in and spec.in_src is not None:
+            src = np.asarray(spec.in_src, np.int32)[np.asarray(idx)]
+            g = ctrl.in_mix[np.asarray(idx), src]
+            return X[src] * g[:, None, None]
+        return partconv.complex_mix(ctrl.in_mix[idx], X)
+
+    def out_mix_apply(y_all):
+        if sparse_out and spec.out_src is not None:
+            srcf = np.asarray(spec.out_src, np.int32)
+            g = ctrl.out_mix[np.arange(srcf.size), srcf]
+            return y_all[srcf] * g[:, None, None]
+        return partconv.complex_mix(ctrl.out_mix, y_all)
+
     # Fused MAC+mix fast path (VERDICT r2 item 4): for the plain
     # single-stage graph (no cascades, no crossfade, no spectral taps) on
     # the single-device pallas path, the output-mix contraction runs
@@ -264,7 +297,7 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
     if fused_mix:
         from ..ops.pallas_mac import (pallas_spectral_mac_mix,
                                       pallas_spectral_mac_mix_shmap)
-        mixed = partconv.complex_mix(ctrl.in_mix, X)       # [F, 2, N]
+        mixed = in_mix_stage(np.arange(F), X)              # [F, 2, N]
         blk = mixed.reshape(F, 2, K // 128, 128) if tiled else mixed
         ring = write_ring(ring, blk, np.arange(F))
         if mesh is not None:
@@ -292,7 +325,7 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
 
     for stage in spec.stages:
         idx = stage.idx                                    # static np array
-        mixed = partconv.complex_mix(ctrl.in_mix[idx], X)  # [Fs, 2, N]
+        mixed = in_mix_stage(idx, X)                       # [Fs, 2, N]
 
         if stage.casc_local.size:
             # upstream spectra from already-computed stages: contract each
@@ -349,7 +382,7 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
     if not np.array_equal(order, np.arange(F)):
         y_all = y_all[inv]
 
-    out_spec = partconv.complex_mix(ctrl.out_mix, y_all)   # [C_out, 2, N]
+    out_spec = out_mix_apply(y_all)                        # [C_out, 2, N]
     out_spec = tap("output_freqd", out_spec, np.arange(spec.n_outputs))
     if constrain is not None:
         # pin the mixed output spectra replicated before the inverse

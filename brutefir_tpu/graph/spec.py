@@ -37,6 +37,18 @@ class GraphSpec:
     any_crossfade: bool
     real_dtype: np.dtype = np.dtype(np.float32)
     powersave: bool = False  # trace the analog-powersave input gate
+    # Static mix sparsity (the reference's unrolled n_bufs=1 mixnscale
+    # special case, fftw_convfuns.h:7-501): when every filter has at most
+    # one input channel, in_src[f] is that channel (0 for none -- its
+    # in_mix entry is structurally zero); when every output channel mixes
+    # at most one filter, out_src[c] is that filter (0 for none). The
+    # compiled step can then replace the [F, C] / [C, F] mix matmuls
+    # with gather+scale (opt-in BRUTEFIR_TPU_SPARSE_MIX: isolated it wins
+    # 0.036 vs 0.077 ms per mix at the 256-ch scale shape, but composed
+    # it regresses ~4% -- see graph/compile.py for the in-situ verdict).
+    # None = general structure, dense matmul.
+    in_src: tuple = None       # tuple[int, ...] | None, length F
+    out_src: tuple = None      # tuple[int, ...] | None, length n_outputs
 
     @property
     def n_fft(self) -> int:
@@ -81,12 +93,19 @@ def build_graph_spec(
     crossfade_flags: Sequence[bool],
     real_dtype=np.float32,
     powersave: bool = False,
+    channel_inputs: Sequence[Sequence[int]] = None,
+    output_sources: Sequence[Sequence[int]] = None,
 ) -> GraphSpec:
     """Topologically stage the filter DAG.
 
     ``filter_inputs[f]`` lists the filters feeding filter f (from_filters
     edges). Assumes cycle-free (config validation rejects cycles, mirroring
     `bfconf.c:2032-2048`).
+
+    ``channel_inputs[f]`` / ``output_sources[c]`` optionally carry the
+    static channel-mix structure (which input channels feed filter f /
+    which filters mix into output c); when every row has at most one
+    entry the spec records the gather-mix fast path (in_src/out_src).
     """
     F = len(filter_inputs)
     depth = [None] * F
@@ -121,6 +140,13 @@ def build_graph_spec(
         any_xf = any(crossfade_flags[int(f)] for f in idx)
         stages.append(StageSpec(idx, casc_local, casc_slots, any_xf))
 
+    def single_source(rows, n_rows):
+        if rows is None or len(rows) != n_rows:
+            return None
+        if any(len(r) > 1 for r in rows):
+            return None
+        return tuple(int(r[0]) if r else 0 for r in rows)
+
     return GraphSpec(
         block_length=block_length,
         n_blocks=n_blocks,
@@ -132,4 +158,6 @@ def build_graph_spec(
         any_crossfade=any(crossfade_flags),
         real_dtype=np.dtype(real_dtype),
         powersave=powersave,
+        in_src=single_source(channel_inputs, F),
+        out_src=single_source(output_sources, n_outputs),
     )

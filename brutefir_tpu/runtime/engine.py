@@ -100,10 +100,16 @@ class Engine:
                     "backend (JAX_PLATFORMS=cpu)")
 
         filter_inputs = [[src for src, _ in f.in_filters] for f in conf.filters]
+        channel_inputs = [[ch for ch, _ in f.in_channels] for f in conf.filters]
+        output_sources = [[] for _ in range(conf.n_channels[OUT])]
+        for n, f in enumerate(conf.filters):
+            for ch, _ in f.out_channels:
+                output_sources[ch].append(n)
         self.spec = build_graph_spec(
             self.N, self.B, conf.n_channels[IN], conf.n_channels[OUT],
             filter_inputs, [f.crossfade for f in conf.filters], self.rd,
-            powersave=conf.powersave and conf.analog_powersave < 1.0)
+            powersave=conf.powersave and conf.analog_powersave < 1.0,
+            channel_inputs=channel_inputs, output_sources=output_sources)
         self._mesh_auto = False
         if mesh is None:
             # multi-device hosts shard by default, like the reference's
