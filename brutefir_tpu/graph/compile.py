@@ -353,9 +353,45 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
         # when the stage covers every filter in order, skip the gather copy
         full = idx.size == F and np.array_equal(idx, np.arange(F))
         ring_s = ring if full else ring[idx]
-        y = run_mac(ring_s, idx, ctrl.coeff_idx[idx], ctrl.mask[idx], t)
 
-        if stage.any_crossfade:
+        # Crossfade dual-MAC fusion: on the kernel path a crossfade block
+        # computes BOTH coefficient products in one pass over the ring
+        # (pallas_spectral_mac_dual) instead of two kernel calls -- the
+        # ring traffic, which dominates the MAC, is paid once. The mesh
+        # path fuses only full stages (like run_mac's shmap gate).
+        dual = (stage.any_crossfade and mac.startswith("pallas")
+                and (mesh is None or full))
+        if dual:
+            from ..ops.pallas_mac import (pallas_spectral_mac_dual,
+                                          pallas_spectral_mac_dual_shmap)
+            interp = mac == "pallas-interpret"
+
+            def xf_on(_, _idx=idx, _ring_s=ring_s):
+                if mesh is not None:
+                    y_new, y_old = pallas_spectral_mac_dual_shmap(
+                        mesh, _ring_s, bank, ctrl.coeff_idx[_idx],
+                        ctrl.mask[_idx], ctrl.prev_idx[_idx],
+                        ctrl.prev_mask[_idx], t,
+                        uniform=uniform, interpret=interp)
+                else:
+                    y_new, y_old = pallas_spectral_mac_dual(
+                        _ring_s, bank, ctrl.coeff_idx[_idx],
+                        ctrl.mask[_idx], ctrl.prev_idx[_idx],
+                        ctrl.prev_mask[_idx], t,
+                        uniform=uniform, interpret=interp)
+                y_xf = partconv.crossfade_spectra(y_old, y_new, N)
+                sel = ctrl.xfade[_idx][:, None, None] > 0
+                return jnp.where(sel, y_xf, y_new)
+
+            def xf_off(_, _idx=idx, _ring_s=ring_s):
+                return run_mac(_ring_s, _idx, ctrl.coeff_idx[_idx],
+                               ctrl.mask[_idx], t)
+
+            y = jax.lax.cond(ctrl.any_xfade, xf_on, xf_off, 0)
+        else:
+            y = run_mac(ring_s, idx, ctrl.coeff_idx[idx], ctrl.mask[idx], t)
+
+        if stage.any_crossfade and not dual:
             def do_xfade(y, _idx=idx, _ring_s=ring_s):
                 y_old = run_mac(_ring_s, _idx, ctrl.prev_idx[_idx],
                                 ctrl.prev_mask[_idx], t)

@@ -361,6 +361,213 @@ def _chunked_call(ring5, bank5, coeff_idx, rpos, maskf, interpret,
     )(coeff_idx, rpos, maskf, ring5, bank5)
 
 
+def _mac_kernel_rowmajor_dual(idx_ref, pidx_ref, rpos_ref, mask_ref,
+                              pmask_ref, ring_ref, bank_ref, pbank_ref,
+                              out_ref, pout_ref, *, n_part):
+    # Crossfade dual MAC (grid (F,)): one pass over the filter's ring row
+    # computes BOTH the new-coefficient and previous-coefficient spectra
+    # (the crossfade branch of bfrun.c:1695-1777 runs the partition loop
+    # twice). The ring row -- the traffic that scales with B -- is read
+    # once instead of twice; only the second bank row is extra.
+    f = pl.program_id(0)
+    accr = jnp.zeros_like(out_ref[0, 0])
+    acci = jnp.zeros_like(out_ref[0, 1])
+    paccr = jnp.zeros_like(out_ref[0, 0])
+    pacci = jnp.zeros_like(out_ref[0, 1])
+    for b in range(n_part):
+        rb = rpos_ref[b]
+        rr = ring_ref[0, rb, 0]
+        ri = ring_ref[0, rb, 1]
+        m = mask_ref[f, b]
+        hr = bank_ref[0, b, 0] * m
+        hi = bank_ref[0, b, 1] * m
+        accr += rr * hr - ri * hi
+        acci += rr * hi + ri * hr
+        pm = pmask_ref[f, b]
+        phr = pbank_ref[0, b, 0] * pm
+        phi = pbank_ref[0, b, 1] * pm
+        paccr += rr * phr - ri * phi
+        pacci += rr * phi + ri * phr
+    out_ref[0, 0] = accr
+    out_ref[0, 1] = acci
+    pout_ref[0, 0] = paccr
+    pout_ref[0, 1] = pacci
+
+
+def _mac_kernel_uniform_dual(rpos_ref, mask_ref, pmask_ref, ring_ref,
+                             bank_ref, pbank_ref, out_ref, pout_ref,
+                             *, n_part):
+    # uniform-coefficient dual MAC: both shared bank rows have constant
+    # index maps, so Mosaic DMAs each exactly once for the whole grid
+    accr = jnp.zeros_like(out_ref[0, 0])
+    acci = jnp.zeros_like(out_ref[0, 1])
+    paccr = jnp.zeros_like(out_ref[0, 0])
+    pacci = jnp.zeros_like(out_ref[0, 1])
+    for b in range(n_part):
+        rb = rpos_ref[b]
+        rr = ring_ref[0, rb, 0]
+        ri = ring_ref[0, rb, 1]
+        m = mask_ref[b]
+        hr = bank_ref[b, 0] * m
+        hi = bank_ref[b, 1] * m
+        accr += rr * hr - ri * hi
+        acci += rr * hi + ri * hr
+        pm = pmask_ref[b]
+        phr = pbank_ref[b, 0] * pm
+        phi = pbank_ref[b, 1] * pm
+        paccr += rr * phr - ri * phi
+        pacci += rr * phi + ri * phr
+    out_ref[0, 0] = accr
+    out_ref[0, 1] = acci
+    pout_ref[0, 0] = paccr
+    pout_ref[0, 1] = pacci
+
+
+def _dual_core(ring, bank, coeff_idx, mask, prev_idx, prev_mask, rpos,
+               uniform: bool, interpret: bool):
+    """Unpatched dual MAC: (Y_new, Y_old) with bin 0 as plain complex
+    lanes (callers patch, like _mac_core)."""
+    if ring.ndim == 5:
+        F, B, _, R, _ = ring.shape
+        N = R * 128
+        ring5 = ring
+        bank5 = (bank if bank.ndim == 5
+                 else bank.reshape(bank.shape[0], B, 2, R, 128))
+    else:
+        F, B, _, N = ring.shape
+        R = N // 128
+        ring5 = ring.reshape(F, B, 2, R, 128)
+        bank5 = bank.reshape(bank.shape[0], B, 2, R, 128)
+    row_bytes = B * 2 * N * 4
+    if 6 * row_bytes > 12 * 2**20:
+        # beyond the dual rowmajor VMEM budget (three resident rows,
+        # double-buffered): two plain passes, which pick their own
+        # big-shape variants
+        return (_mac_core(ring, bank, coeff_idx, mask, rpos, interpret),
+                _mac_core(ring, bank, prev_idx, prev_mask, rpos, interpret))
+    out_sh = [jax.ShapeDtypeStruct((F, 2, R, 128), ring.dtype)] * 2
+    if uniform:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(F,),
+            in_specs=[
+                pl.BlockSpec((1, B, 2, R, 128),
+                             lambda f, rp, mk, pmk: (f, 0, 0, 0, 0)),
+                pl.BlockSpec((B, 2, R, 128),
+                             lambda f, rp, mk, pmk: (0, 0, 0, 0)),
+                pl.BlockSpec((B, 2, R, 128),
+                             lambda f, rp, mk, pmk: (0, 0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 2, R, 128), lambda f, rp, mk, pmk:
+                             (f, 0, 0, 0)),
+                pl.BlockSpec((1, 2, R, 128), lambda f, rp, mk, pmk:
+                             (f, 0, 0, 0)),
+            ],
+        )
+        y5, p5 = pl.pallas_call(
+            functools.partial(_mac_kernel_uniform_dual, n_part=B),
+            grid_spec=grid_spec,
+            out_shape=out_sh,
+            interpret=interpret,
+        )(rpos, mask[0].astype(ring.dtype), prev_mask[0].astype(ring.dtype),
+          ring5, bank5[coeff_idx[0]], bank5[prev_idx[0]])
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(F,),
+            in_specs=[
+                pl.BlockSpec((1, B, 2, R, 128),
+                             lambda f, i, pi, rp, mk, pmk: (f, 0, 0, 0, 0)),
+                pl.BlockSpec((1, B, 2, R, 128),
+                             lambda f, i, pi, rp, mk, pmk:
+                             (i[f], 0, 0, 0, 0)),
+                pl.BlockSpec((1, B, 2, R, 128),
+                             lambda f, i, pi, rp, mk, pmk:
+                             (pi[f], 0, 0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 2, R, 128), lambda f, i, pi, rp, mk, pmk:
+                             (f, 0, 0, 0)),
+                pl.BlockSpec((1, 2, R, 128), lambda f, i, pi, rp, mk, pmk:
+                             (f, 0, 0, 0)),
+            ],
+        )
+        y5, p5 = pl.pallas_call(
+            functools.partial(_mac_kernel_rowmajor_dual, n_part=B),
+            grid_spec=grid_spec,
+            out_shape=out_sh,
+            interpret=interpret,
+        )(coeff_idx.astype(jnp.int32), prev_idx.astype(jnp.int32), rpos,
+          mask.astype(ring.dtype), prev_mask.astype(ring.dtype),
+          ring5, bank5, bank5)
+    return y5.reshape(F, 2, N), p5.reshape(F, 2, N)
+
+
+def pallas_spectral_mac_dual(ring, bank, coeff_idx, mask, prev_idx,
+                             prev_mask, t, uniform: bool = False,
+                             interpret: bool = False):
+    """One ring pass, two coefficient sets: returns (Y_new, Y_old).
+
+    The crossfade path (`convolver_crossfade_inplace` driven from
+    bfrun.c:1695-1777) needs the block convolved against both the new and
+    the previous coefficients. Two separate MAC calls stream the
+    [F, B, 2, N] ring twice; this kernel reads each ring row once and
+    accumulates both products, so a crossfade block's MAC traffic drops
+    from 2x(ring+bank) to ring+2xbank (uniform: both shared bank rows
+    are DMAd once for the whole grid). Falls back to two plain passes
+    when the three VMEM-resident rows exceed the budget.
+    """
+    B = ring.shape[1]
+    rpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B).astype(jnp.int32)
+    y, p = _dual_core(ring, bank, coeff_idx, mask, prev_idx, prev_mask,
+                      rpos, uniform, interpret)
+    y0r, y0i = _bin0(ring, bank, coeff_idx, mask, rpos)
+    p0r, p0i = _bin0(ring, bank, prev_idx, prev_mask, rpos)
+    return (y.at[:, 0, 0].set(y0r).at[:, 1, 0].set(y0i),
+            p.at[:, 0, 0].set(p0r).at[:, 1, 0].set(p0i))
+
+
+def pallas_spectral_mac_dual_shmap(mesh, ring, bank, coeff_idx, mask,
+                                   prev_idx, prev_mask, t,
+                                   uniform: bool = False,
+                                   interpret: bool = False):
+    """pallas_spectral_mac_dual under an ('f','sp') mesh (see
+    pallas_spectral_mac_shmap: filters and bins shard without
+    collectives; the bin-0 patch applies on the first 'sp' shard only,
+    whose local bin 0 is the global packed DC/Nyquist bin)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(ring_l, bank_l, idx_l, mask_l, pidx_l, pmask_l, t_l):
+        B = ring_l.shape[1]
+        rpos = jnp.mod(t_l - jnp.arange(B, dtype=jnp.int32), B)
+        y, p = _dual_core(ring_l, bank_l, idx_l, mask_l, pidx_l, pmask_l,
+                          rpos, uniform, interpret)
+        is0 = jax.lax.axis_index("sp") == 0
+        y0r, y0i = _bin0(ring_l, bank_l, idx_l, mask_l, rpos)
+        p0r, p0i = _bin0(ring_l, bank_l, pidx_l, pmask_l, rpos)
+        y = y.at[:, 0, 0].set(jnp.where(is0, y0r, y[:, 0, 0]))
+        y = y.at[:, 1, 0].set(jnp.where(is0, y0i, y[:, 1, 0]))
+        p = p.at[:, 0, 0].set(jnp.where(is0, p0r, p[:, 0, 0]))
+        p = p.at[:, 1, 0].set(jnp.where(is0, p0i, p[:, 1, 0]))
+        return y, p
+
+    if ring.ndim == 5:
+        ring_spec = P("f", None, None, "sp", None)
+        bank_spec = P(None, None, None, "sp", None)
+    else:
+        ring_spec = P("f", None, None, "sp")
+        bank_spec = P(None, None, None, "sp")
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(ring_spec, bank_spec, P("f"), P("f", None), P("f"),
+                  P("f", None), P()),
+        out_specs=(P("f", None, "sp"), P("f", None, "sp")),
+        check_vma=False,
+    )(ring, bank, coeff_idx.astype(jnp.int32), mask,
+      prev_idx.astype(jnp.int32), prev_mask, t)
+
+
 def _mac_mix_kernel_rowmajor(idx_ref, rpos_ref, mask_ref, w_ref, ring_ref,
                              bank_ref, out_ref, *, n_part, n_out):
     # grid (F,): the per-filter MAC exactly as _mac_kernel_rowmajor, then

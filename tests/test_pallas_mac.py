@@ -242,3 +242,106 @@ def test_fused_mix_step_matches_unfused(tmp_path, rng, monkeypatch):
             ys.append(np.asarray(y))
         outs[fused] = np.concatenate(ys, axis=1)
     np.testing.assert_allclose(outs["1"], outs["0"], rtol=0, atol=1e-4)
+
+
+def test_pallas_dual_matches_two_singles(rng):
+    """Crossfade dual MAC (one ring pass, two coefficient sets) returns
+    exactly what two plain kernel calls return."""
+    from brutefir_tpu.ops.pallas_mac import pallas_spectral_mac_dual
+    F, B, N, E = 4, 4, 256, 3
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    idx = np.array([0, 1, 2, 1], np.int32)
+    pidx = np.array([2, 0, 1, 0], np.int32)
+    mask = (rng.uniform(size=(F, B)) > 0.3).astype(np.float32)
+    pmask = (rng.uniform(size=(F, B)) > 0.3).astype(np.float32)
+    for t in (0, 3, 6):
+        ref_new = pallas_spectral_mac(
+            jnp.asarray(ring), jnp.asarray(bank), jnp.asarray(idx),
+            jnp.asarray(mask), jnp.int32(t), interpret=True)
+        ref_old = pallas_spectral_mac(
+            jnp.asarray(ring), jnp.asarray(bank), jnp.asarray(pidx),
+            jnp.asarray(pmask), jnp.int32(t), interpret=True)
+        got_new, got_old = pallas_spectral_mac_dual(
+            jnp.asarray(ring), jnp.asarray(bank), jnp.asarray(idx),
+            jnp.asarray(mask), jnp.asarray(pidx), jnp.asarray(pmask),
+            jnp.int32(t), interpret=True)
+        np.testing.assert_allclose(np.asarray(got_new), np.asarray(ref_new),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_old), np.asarray(ref_old),
+                                   rtol=0, atol=1e-5)
+
+
+def test_pallas_dual_uniform_and_tiled(rng):
+    """Dual MAC: the uniform-coefficient variant and the lane-tiled
+    layout agree with the distinct/flat results."""
+    from brutefir_tpu.ops.pallas_mac import pallas_spectral_mac_dual
+    F, B, N, E = 3, 4, 384, 3
+    R = N // 128
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    idx = np.full(F, 1, np.int32)
+    pidx = np.full(F, 2, np.int32)
+    mask = np.tile((rng.uniform(size=B) > 0.3).astype(np.float32), (F, 1))
+    pmask = np.tile((rng.uniform(size=B) > 0.3).astype(np.float32), (F, 1))
+    t = jnp.int32(5)
+    base = pallas_spectral_mac_dual(
+        jnp.asarray(ring), jnp.asarray(bank), jnp.asarray(idx),
+        jnp.asarray(mask), jnp.asarray(pidx), jnp.asarray(pmask), t,
+        interpret=True)
+    uni = pallas_spectral_mac_dual(
+        jnp.asarray(ring), jnp.asarray(bank), jnp.asarray(idx),
+        jnp.asarray(mask), jnp.asarray(pidx), jnp.asarray(pmask), t,
+        uniform=True, interpret=True)
+    tiled = pallas_spectral_mac_dual(
+        jnp.asarray(ring.reshape(F, B, 2, R, 128)),
+        jnp.asarray(bank.reshape(E, B, 2, R, 128)), jnp.asarray(idx),
+        jnp.asarray(mask), jnp.asarray(pidx), jnp.asarray(pmask), t,
+        interpret=True)
+    for got in (uni, tiled):
+        for g, b in zip(got, base):
+            assert g.shape == (F, 2, N)
+            np.testing.assert_allclose(np.asarray(g), np.asarray(b),
+                                       rtol=0, atol=1e-5)
+
+
+def test_compiled_crossfade_dual_path_matches_dense(rng):
+    """A crossfade block through CompiledGraph on the pallas path (which
+    now takes the fused dual-MAC branch) matches the dense path."""
+    from brutefir_tpu.graph import build_graph_spec, CompiledGraph, make_ctrl
+    from brutefir_tpu.ops.partconv import make_bank, preprocess_coeffs
+
+    N, B, C = 256, 4, 3
+    taps_a = rng.standard_normal(N * B).astype(np.float32) * 0.1
+    taps_b = rng.standard_normal(N * 2).astype(np.float32) * 0.1
+    spec = build_graph_spec(N, B, C, C, [[] for _ in range(C)], [True] * C)
+    bank = make_bank([preprocess_coeffs(taps_a, N, B),
+                      preprocess_coeffs(taps_b, N, B)])
+    mask_a = np.ones((C, B), np.float32)
+    mask_b = np.concatenate([np.ones((C, 2)), np.zeros((C, B - 2))],
+                            axis=1).astype(np.float32)  # cblocks clamp
+
+    def ctrl_for(idx, msk, prev, pmsk, xf):
+        return make_ctrl(
+            spec, np.eye(C, dtype=np.float32), np.zeros((C, C), np.float32),
+            np.eye(C, dtype=np.float32), np.zeros(C, np.int32),
+            np.full(C, idx, np.int32), msk,
+            prev_idx=np.full(C, prev, np.int32), prev_mask=pmsk,
+            xfade=np.full(C, xf, np.float32))
+
+    plans = [ctrl_for(0, mask_a, 0, mask_a, 0.0),
+             ctrl_for(1, mask_b, 0, mask_a, 1.0),   # swap w/ crossfade
+             ctrl_for(1, mask_b, 1, mask_b, 0.0)]
+    xs = rng.standard_normal((3, C, N)).astype(np.float32)
+
+    outs = {}
+    for mac in ("jnp", "pallas-interpret"):
+        cg = CompiledGraph(spec, mac=mac)
+        st = cg.init_state()
+        ys = []
+        for xb, ct in zip(xs, plans):
+            st, y = cg.step(st, ct, jnp.asarray(bank), jnp.asarray(xb))
+            ys.append(np.asarray(y))
+        outs[mac] = np.stack(ys)
+    np.testing.assert_allclose(outs["pallas-interpret"], outs["jnp"],
+                               rtol=0, atol=1e-4)
