@@ -360,7 +360,8 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
         # ring traffic, which dominates the MAC, is paid once. The mesh
         # path fuses only full stages (like run_mac's shmap gate).
         dual = (stage.any_crossfade and mac.startswith("pallas")
-                and (mesh is None or full))
+                and (mesh is None or full)
+                and os.environ.get("BRUTEFIR_TPU_DUAL_XFADE", "1") != "0")
         if dual:
             from ..ops.pallas_mac import (pallas_spectral_mac_dual,
                                           pallas_spectral_mac_dual_shmap)

@@ -159,12 +159,18 @@ def make_bank(entries) -> np.ndarray:
 def rfft_planes(x: jnp.ndarray) -> jnp.ndarray:
     if _mxu_ok(x.shape[-1] // 2, x.dtype):
         return rfft_planes_mxu(x)
+    if _pallas_glue_ok(x.shape[-1] // 2, x.dtype):
+        from .pallas_glue import rfft_planes_pallas
+        return rfft_planes_pallas(x)
     return c2p(rfft_packed(x))
 
 
 def irfft_planes(p: jnp.ndarray) -> jnp.ndarray:
     if _mxu_ok(p.shape[-1], p.dtype):
         return irfft_planes_mxu(p)
+    if _pallas_glue_ok(p.shape[-1], p.dtype):
+        from .pallas_glue import irfft_planes_pallas
+        return irfft_planes_pallas(p)
     return irfft_packed(p2c(p))
 
 
@@ -180,6 +186,9 @@ def irfft_planes_valid(p: jnp.ndarray) -> jnp.ndarray:
     full-step gain is within noise, kept for the smaller live range."""
     if _mxu_ok(p.shape[-1], p.dtype):
         return irfft_planes_valid_mxu(p)
+    if _pallas_glue_ok(p.shape[-1], p.dtype):
+        from .pallas_glue import irfft_planes_valid_pallas
+        return irfft_planes_valid_pallas(p)
     Xp = p2c(p)
     M = Xp.shape[-1]
     if M < 2:
@@ -364,15 +373,24 @@ def irfft_planes_valid_mxu(p: jnp.ndarray) -> jnp.ndarray:
 @functools.lru_cache()
 def _glue_mode() -> str:
     """FFT-glue dispatch: "mxu" routes eligible shapes through the
-    permutation-matmul variants. BRUTEFIR_TPU_FFT_GLUE=mxu|xla; the
-    default is the XLA glue (the MXU variants measured slower in situ
-    -- see the section comment above)."""
+    permutation-matmul variants; "pallas" through the fused VPU
+    mirror+combine kernels (ops/pallas_glue.py).
+    BRUTEFIR_TPU_FFT_GLUE=mxu|pallas|xla; the default is the XLA glue
+    (the MXU variants measured slower in situ -- see the section
+    comment above; the pallas variants await in-situ A/B)."""
     return os.environ.get("BRUTEFIR_TPU_FFT_GLUE", "xla")
 
 
 def _mxu_ok(M: int, dtype) -> bool:
     return (_glue_mode() == "mxu" and M % _LANES == 0 and M >= 2 * _LANES
             and dtype == jnp.float32)
+
+
+def _pallas_glue_ok(M: int, dtype) -> bool:
+    if _glue_mode() != "pallas":
+        return False
+    from .pallas_glue import glue_ok
+    return glue_ok(M, dtype)
 
 
 def preprocess_coeffs(
