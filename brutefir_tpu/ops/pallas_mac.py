@@ -78,8 +78,8 @@ def _mac_kernel(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref, out_ref):
     m = mask_ref[f, b]
     rr = ring_ref[0, 0, 0]
     ri = ring_ref[0, 0, 1]
-    hr = bank_ref[0, 0, 0] * m
-    hi = bank_ref[0, 0, 1] * m
+    hr = bank_ref[0, 0, 0].astype(rr.dtype) * m
+    hi = bank_ref[0, 0, 1].astype(rr.dtype) * m
 
     @pl.when(b == 0)
     def _():
@@ -109,8 +109,8 @@ def _mac_kernel_rowmajor(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref,
         rb = rpos_ref[b]
         rr = ring_ref[0, rb, 0]
         ri = ring_ref[0, rb, 1]
-        hr = bank_ref[0, b, 0] * m
-        hi = bank_ref[0, b, 1] * m
+        hr = bank_ref[0, b, 0].astype(rr.dtype) * m
+        hi = bank_ref[0, b, 1].astype(rr.dtype) * m
         accr += rr * hr - ri * hi
         acci += rr * hi + ri * hr
     out_ref[0, 0] = accr
@@ -153,8 +153,8 @@ def _mac_kernel_uniform(rpos_ref, mask_ref, ring_ref, bank_ref, out_ref,
         rb = rpos_ref[b]
         rr = ring_ref[0, rb, 0]
         ri = ring_ref[0, rb, 1]
-        hr = bank_ref[b, 0] * m
-        hi = bank_ref[b, 1] * m
+        hr = bank_ref[b, 0].astype(rr.dtype) * m
+        hi = bank_ref[b, 1].astype(rr.dtype) * m
         accr += rr * hr - ri * hi
         acci += rr * hi + ri * hr
     out_ref[0, 0] = accr
@@ -326,8 +326,8 @@ def _mac_kernel_chunked_reg(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref,
             rb = rpos_ref[b]
             rr = ring_ref[0, rb, 0, pl.ds(s, n_sub)]
             ri = ring_ref[0, rb, 1, pl.ds(s, n_sub)]
-            hr = bank_ref[0, b, 0, pl.ds(s, n_sub)] * m
-            hi = bank_ref[0, b, 1, pl.ds(s, n_sub)] * m
+            hr = bank_ref[0, b, 0, pl.ds(s, n_sub)].astype(rr.dtype) * m
+            hi = bank_ref[0, b, 1, pl.ds(s, n_sub)].astype(rr.dtype) * m
             tr = rr * hr - ri * hi
             ti = rr * hi + ri * hr
             accr = tr if accr is None else accr + tr
@@ -379,13 +379,13 @@ def _mac_kernel_rowmajor_dual(idx_ref, pidx_ref, rpos_ref, mask_ref,
         rr = ring_ref[0, rb, 0]
         ri = ring_ref[0, rb, 1]
         m = mask_ref[f, b]
-        hr = bank_ref[0, b, 0] * m
-        hi = bank_ref[0, b, 1] * m
+        hr = bank_ref[0, b, 0].astype(rr.dtype) * m
+        hi = bank_ref[0, b, 1].astype(rr.dtype) * m
         accr += rr * hr - ri * hi
         acci += rr * hi + ri * hr
         pm = pmask_ref[f, b]
-        phr = pbank_ref[0, b, 0] * pm
-        phi = pbank_ref[0, b, 1] * pm
+        phr = pbank_ref[0, b, 0].astype(rr.dtype) * pm
+        phi = pbank_ref[0, b, 1].astype(rr.dtype) * pm
         paccr += rr * phr - ri * phi
         pacci += rr * phi + ri * phr
     out_ref[0, 0] = accr
@@ -408,19 +408,22 @@ def _mac_kernel_uniform_dual(rpos_ref, mask_ref, pmask_ref, ring_ref,
         rr = ring_ref[0, rb, 0]
         ri = ring_ref[0, rb, 1]
         m = mask_ref[b]
-        hr = bank_ref[b, 0] * m
-        hi = bank_ref[b, 1] * m
+        hr = bank_ref[b, 0].astype(rr.dtype) * m
+        hi = bank_ref[b, 1].astype(rr.dtype) * m
         accr += rr * hr - ri * hi
         acci += rr * hi + ri * hr
         pm = pmask_ref[b]
-        phr = pbank_ref[b, 0] * pm
-        phi = pbank_ref[b, 1] * pm
+        phr = pbank_ref[b, 0].astype(rr.dtype) * pm
+        phi = pbank_ref[b, 1].astype(rr.dtype) * pm
         paccr += rr * phr - ri * phi
         pacci += rr * phi + ri * phr
     out_ref[0, 0] = accr
     out_ref[0, 1] = acci
     pout_ref[0, 0] = paccr
     pout_ref[0, 1] = pacci
+
+
+_DUAL_VMEM_BUDGET = 12 * 2**20
 
 
 def _dual_core(ring, bank, coeff_idx, mask, prev_idx, prev_mask, rpos,
@@ -439,7 +442,7 @@ def _dual_core(ring, bank, coeff_idx, mask, prev_idx, prev_mask, rpos,
         ring5 = ring.reshape(F, B, 2, R, 128)
         bank5 = bank.reshape(bank.shape[0], B, 2, R, 128)
     row_bytes = B * 2 * N * 4
-    if 6 * row_bytes > 12 * 2**20:
+    if 6 * row_bytes > _DUAL_VMEM_BUDGET:
         # beyond the dual rowmajor VMEM budget (three resident rows,
         # double-buffered): two plain passes, which pick their own
         # big-shape variants
@@ -583,8 +586,8 @@ def _mac_mix_kernel_rowmajor(idx_ref, rpos_ref, mask_ref, w_ref, ring_ref,
         rb = rpos_ref[b]
         rr = ring_ref[0, rb, 0]
         ri = ring_ref[0, rb, 1]
-        hr = bank_ref[0, b, 0] * m
-        hi = bank_ref[0, b, 1] * m
+        hr = bank_ref[0, b, 0].astype(rr.dtype) * m
+        hi = bank_ref[0, b, 1].astype(rr.dtype) * m
         accr += rr * hr - ri * hi
         acci += rr * hi + ri * hr
 
@@ -613,8 +616,8 @@ def _mac_mix_kernel_uniform(rpos_ref, mask_ref, w_ref, ring_ref, bank_ref,
         rb = rpos_ref[b]
         rr = ring_ref[0, rb, 0]
         ri = ring_ref[0, rb, 1]
-        hr = bank_ref[b, 0] * m
-        hi = bank_ref[b, 1] * m
+        hr = bank_ref[b, 0].astype(rr.dtype) * m
+        hi = bank_ref[b, 1].astype(rr.dtype) * m
         accr += rr * hr - ri * hi
         acci += rr * hi + ri * hr
 

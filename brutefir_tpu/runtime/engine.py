@@ -183,7 +183,18 @@ class Engine:
             # persistent device bank matches the ring's lane-tiled layout
             # (CompiledGraph.tiled): reshaped once here, on the host
             bank = bank.reshape(self.spec.bank_shape(bank.shape[0], True))
-        self.bank = jnp.asarray(bank)
+        # Opt-in reduced-precision coefficient bank: the scale-regime MAC
+        # is HBM-bound with ring+bank streamed at the roofline
+        # (docs/PERFORMANCE.md); storing H as bfloat16 halves the
+        # bank-side traffic. The products still accumulate in f32 (the
+        # kernels upconvert on load), but the coefficients themselves
+        # lose 16 mantissa bits (~0.2% response ripple) -- NOT the
+        # reference's bit-parity contract, so default stays f32.
+        bank_dt = os.environ.get("BRUTEFIR_TPU_BANK_DTYPE", "")
+        if bank_dt in ("bf16", "bfloat16") and self.rd == np.float32:
+            self.bank = jnp.asarray(bank, jnp.bfloat16)
+        else:
+            self.bank = jnp.asarray(bank)
         self.control = RuntimeControl(conf, self.spec)
 
         # devices
@@ -438,7 +449,8 @@ class Engine:
     def update_bank_entry(self, coeff_index: int, H: np.ndarray):
         """Hot-swap one coefficient set's spectral partitions (EQ render)."""
         H = np.asarray(H).reshape(self.bank.shape[1:])
-        self.bank = self.bank.at[coeff_index].set(jnp.asarray(H))
+        self.bank = self.bank.at[coeff_index].set(
+            jnp.asarray(H, self.bank.dtype))
 
     # ----- host-side input path -------------------------------------------
     def read_block(self):

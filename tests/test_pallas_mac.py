@@ -345,3 +345,111 @@ def test_compiled_crossfade_dual_path_matches_dense(rng):
         outs[mac] = np.stack(ys)
     np.testing.assert_allclose(outs["pallas-interpret"], outs["jnp"],
                                rtol=0, atol=1e-4)
+
+
+def test_pallas_dual_vmem_fallback_matches(rng, monkeypatch):
+    """When three resident rows exceed the VMEM budget, the dual MAC
+    falls back to two plain passes -- results must be identical."""
+    import brutefir_tpu.ops.pallas_mac as pm
+    F, B, N, E = 3, 4, 256, 2
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    idx = np.array([0, 1, 0], np.int32)
+    pidx = np.array([1, 0, 1], np.int32)
+    mask = (rng.uniform(size=(F, B)) > 0.3).astype(np.float32)
+    pmask = (rng.uniform(size=(F, B)) > 0.3).astype(np.float32)
+    t = jnp.int32(2)
+    args = (jnp.asarray(ring), jnp.asarray(bank), jnp.asarray(idx),
+            jnp.asarray(mask), jnp.asarray(pidx), jnp.asarray(pmask), t)
+    fused = pm.pallas_spectral_mac_dual(*args, interpret=True)
+    monkeypatch.setattr(pm, "_DUAL_VMEM_BUDGET", 0)
+    fallback = pm.pallas_spectral_mac_dual(*args, interpret=True)
+    for a, b in zip(fallback, fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+
+
+def test_bf16_bank_kernels_match_dense(rng):
+    """BRUTEFIR_TPU_BANK_DTYPE=bf16: all kernels accept a bfloat16 bank
+    (upconverting on load) and match the dense path run on the same
+    quantized coefficients."""
+    from brutefir_tpu.ops.pallas_mac import (pallas_spectral_mac,
+                                             pallas_spectral_mac_uniform,
+                                             pallas_spectral_mac_dual,
+                                             pallas_spectral_mac_mix)
+    F, B, N, E, C = 3, 4, 256, 2, 2
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    bank16 = jnp.asarray(bank, jnp.bfloat16)
+    bank_q = np.asarray(bank16.astype(jnp.float32))   # dense on same values
+    idx = np.array([0, 1, 0], np.int32)
+    uidx = np.ones(F, np.int32)
+    mask = (rng.uniform(size=(F, B)) > 0.3).astype(np.float32)
+    umask = np.tile(mask[:1], (F, 1))
+    w = rng.standard_normal((C, F)).astype(np.float32)
+    t = jnp.int32(3)
+
+    ref = partconv.spectral_mac_rollh(
+        jnp.asarray(ring), jnp.asarray(bank_q), jnp.asarray(idx),
+        jnp.asarray(mask), t)
+    got = pallas_spectral_mac(jnp.asarray(ring), bank16, jnp.asarray(idx),
+                              jnp.asarray(mask), t, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-4)
+
+    refu = partconv.spectral_mac_uniform(
+        jnp.asarray(ring), jnp.asarray(bank_q), jnp.asarray(uidx),
+        jnp.asarray(umask), t)
+    gotu = pallas_spectral_mac_uniform(
+        jnp.asarray(ring), bank16, jnp.asarray(uidx), jnp.asarray(umask),
+        t, interpret=True)
+    np.testing.assert_allclose(np.asarray(gotu), np.asarray(refu),
+                               rtol=0, atol=1e-4)
+
+    dn, dp = pallas_spectral_mac_dual(
+        jnp.asarray(ring), bank16, jnp.asarray(idx), jnp.asarray(mask),
+        jnp.asarray(uidx), jnp.asarray(umask), t, interpret=True)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(ref),
+                               rtol=0, atol=1e-4)
+
+    refm = partconv.complex_mix(jnp.asarray(w), ref)
+    gotm = pallas_spectral_mac_mix(
+        jnp.asarray(ring), bank16, jnp.asarray(idx), jnp.asarray(mask),
+        t, jnp.asarray(w), interpret=True)
+    np.testing.assert_allclose(np.asarray(gotm), np.asarray(refm),
+                               rtol=0, atol=1e-3)
+
+
+def test_bf16_bank_engine_dirac_exact(tmp_path, monkeypatch, rng):
+    """Engine e2e with the bf16 bank: dirac coefficients are exactly
+    representable in bfloat16 (+-1 spectra), so the output must be
+    bit-identical to the f32-bank run."""
+    from brutefir_tpu.config import parse_config
+    from brutefir_tpu.runtime import Engine
+
+    vals = np.clip((rng.standard_normal((256 * 3, 2)) * 2 ** 20).round(),
+                   -(2 ** 23), 2 ** 23 - 1).astype("<i4")
+    inp = tmp_path / "in.raw"
+    vals.tofile(inp)
+    outs = {}
+    for dt in ("", "bf16"):
+        if dt:
+            monkeypatch.setenv("BRUTEFIR_TPU_BANK_DTYPE", dt)
+        else:
+            monkeypatch.delenv("BRUTEFIR_TPU_BANK_DTYPE", raising=False)
+        outp = tmp_path / f"o{dt or 'f32'}.raw"
+        conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: 256,2;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0,1 {{ device: "file" {{ path: "{inp}"; }}; sample: "S32_LE"; channels: 2; }};
+output 0,1 {{ device: "file" {{ path: "{outp}"; }}; sample: "S32_LE"; channels: 2; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
+""")
+        eng = Engine(conf)
+        if dt:
+            assert eng.bank.dtype == jnp.bfloat16
+        eng.run()
+        outs[dt] = np.fromfile(outp, dtype="<i4")
+    np.testing.assert_array_equal(outs["bf16"], outs[""])
