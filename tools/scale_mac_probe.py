@@ -213,10 +213,58 @@ def row(t, rg, bk):
                              False)
 
 
+def bf16_bank():
+    """The opt-in bfloat16 bank (BRUTEFIR_TPU_BANK_DTYPE=bf16): same
+    production kernels, half the bank-side bytes."""
+    bank16 = bank5.astype(jnp.bfloat16)
+    gb16 = (F * B * 2 * N * 4 + F * B * 2 * N * 2) / 1e9
+
+    def row16(t, rg, bk16):
+        return pm._rowmajor_call(rg, bk16, coeff_idx, rpos_of(t), maskf,
+                                 False)
+
+    def chunked16(t, rg, bk16):
+        return pm._chunked_call(rg, bk16, coeff_idx, rpos_of(t), maskf,
+                                False, chunk_rows=16, n_sub=16)
+
+    for name, fn in (("row bf16-bank", row16),
+                     ("chunked Rc=16 sub=16 bf16-bank", chunked16)):
+        @functools.partial(jax.jit, static_argnums=0)
+        def run(m, rg, bk, _fn=fn):
+            def body(c, t):
+                y5 = _fn(t, rg, bk)
+                return c + jnp.sum(y5, axis=(2, 3)), ()
+            c, _ = jax.lax.scan(body, jnp.zeros((F, 2), jnp.float32),
+                                jnp.arange(m, dtype=jnp.int32))
+            return c
+        n_lo, n_hi = 16, 176
+        fetch(run(n_lo, ring5, bank16)); fetch(run(n_hi, ring5, bank16))
+        out = []
+        for _ in range(3):
+            time.sleep(0.3)
+            t0 = time.perf_counter()
+            fetch(run(n_lo, ring5, bank16))
+            a = time.perf_counter() - t0
+            time.sleep(0.3)
+            t0 = time.perf_counter()
+            fetch(run(n_hi, ring5, bank16))
+            b = time.perf_counter() - t0
+            out.append((b - a) / (n_hi - n_lo))
+        out.sort()
+        s = out[len(out) // 2]
+        print(f"{name:36s} {s * 1e3:8.3f} ms  {gb16 / s:6.0f} GB/s "
+              f"({gb16:.2f} GB/block)")
+
+
 def main():
     print(f"scale shape F={F} B={B} N={N} E={E}: "
           f"{GB:.2f} GB ring+bank per block "
           f"(SoL ~{GB / 800 * 1e3:.3f} ms at 800 GB/s)")
+    if os.environ.get("SCALE_PROBE") == "bf16":
+        # short mode: f32 production baseline + the bf16-bank variants
+        report("chunked Rc=16 sub=16 (r,f) prod", chunked(16, 16, "rf"))
+        bf16_bank()
+        return
     report("roofline Rc=16 sub=16 (r,f)", roofline(16, 16, "rf"))
     report("roofline Rc=16 sub=16 (f,r)", roofline(16, 16, "fr"))
     report("roofline Rc=64 sub=16 (f,r)", roofline(64, 16, "fr"))
@@ -228,6 +276,7 @@ def main():
     report("chunked Rc=32 sub=32 (f,r)", chunked(32, 32, "fr"))
     report("chunked Rc=64 sub=16 (f,r)", chunked(64, 16, "fr"))
     report("chunked Rc=64 sub=32 (f,r)", chunked(64, 32, "fr"))
+    bf16_bank()
 
 
 if __name__ == "__main__":
