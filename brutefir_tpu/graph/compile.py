@@ -82,6 +82,17 @@ class CompiledGraph:
         # the Pallas MAC owns the lane-tiled persistent-state layout
         # (GraphSpec.tileable); the dense MAC keeps the flat layout
         self.tiled = mac.startswith("pallas") and spec.tileable
+        # Opt-in reduced-precision spectra ring (the input-history side
+        # of the scale-regime MAC's HBM traffic; the bank side is
+        # BRUTEFIR_TPU_BANK_DTYPE, runtime/engine.py): the persistent
+        # [F, B, 2, N] ring is stored bfloat16 and upconverted on load,
+        # halving ring-side bytes at ~0.2% signal quantization -- NOT
+        # the bit-parity contract, so default stays the graph dtype.
+        ring_env = os.environ.get("BRUTEFIR_TPU_RING_DTYPE", "")
+        if ring_env in ("bf16", "bfloat16") and spec.real_dtype == np.float32:
+            self.ring_dtype = jnp.bfloat16
+        else:
+            self.ring_dtype = spec.real_dtype
         self._step = jax.jit(functools.partial(_step_impl, spec, mac,
                                                taps=taps, tiled=self.tiled),
                              donate_argnums=(0,))
@@ -103,7 +114,7 @@ class CompiledGraph:
         rd = s.real_dtype
         return StepState(
             prev_in=jnp.zeros((s.n_inputs, s.block_length), rd),
-            ring=jnp.zeros(s.ring_shape(self.tiled), rd),
+            ring=jnp.zeros(s.ring_shape(self.tiled), self.ring_dtype),
             eval_prev=jnp.zeros((s.n_casc, s.block_length), rd),
             t=jnp.zeros((), jnp.int32),
         )
@@ -233,6 +244,7 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
         covers every filter and all delays equal delay[0] (the host-
         detected uniform_delay program variant), else a per-filter
         scatter. Shared by the fused-mix fast path and the stage loop."""
+        blk = blk.astype(ring.dtype)   # bf16 ring opt-in casts on write
         if (uniform_delay and idx.size == F
                 and np.array_equal(idx, np.arange(F))):
             wpos0 = jnp.mod(t + ctrl.delay[0], B)

@@ -69,6 +69,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _odt(dtype):
+    """Output/accumulator dtype: a bf16 ring (BRUTEFIR_TPU_RING_DTYPE)
+    still accumulates and returns f32 (kernels upconvert on load)."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def _mac_kernel(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref, out_ref):
     # scalar-prefetch: idx [F], rpos [B], mask [F, B] (SMEM)
     # blocks: ring/bank (1, 1, 2, R, 128) at the rotated / gathered rows;
@@ -76,8 +82,8 @@ def _mac_kernel(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref, out_ref):
     f = pl.program_id(0)
     b = pl.program_id(1)
     m = mask_ref[f, b]
-    rr = ring_ref[0, 0, 0]
-    ri = ring_ref[0, 0, 1]
+    rr = ring_ref[0, 0, 0].astype(out_ref.dtype)
+    ri = ring_ref[0, 0, 1].astype(out_ref.dtype)
     hr = bank_ref[0, 0, 0].astype(rr.dtype) * m
     hi = bank_ref[0, 0, 1].astype(rr.dtype) * m
 
@@ -107,8 +113,8 @@ def _mac_kernel_rowmajor(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref,
     for b in range(n_part):
         m = mask_ref[f, b]
         rb = rpos_ref[b]
-        rr = ring_ref[0, rb, 0]
-        ri = ring_ref[0, rb, 1]
+        rr = ring_ref[0, rb, 0].astype(out_ref.dtype)
+        ri = ring_ref[0, rb, 1].astype(out_ref.dtype)
         hr = bank_ref[0, b, 0].astype(rr.dtype) * m
         hi = bank_ref[0, b, 1].astype(rr.dtype) * m
         accr += rr * hr - ri * hi
@@ -134,7 +140,7 @@ def _rowmajor_call(ring5, bank5, coeff_idx, rpos, maskf, interpret):
     return pl.pallas_call(
         functools.partial(_mac_kernel_rowmajor, n_part=B),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring5.dtype),
+        out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), _odt(ring5.dtype)),
         interpret=interpret,
     )(coeff_idx, rpos, maskf, ring5, bank5)
 
@@ -151,8 +157,8 @@ def _mac_kernel_uniform(rpos_ref, mask_ref, ring_ref, bank_ref, out_ref,
     for b in range(n_part):
         m = mask_ref[b]
         rb = rpos_ref[b]
-        rr = ring_ref[0, rb, 0]
-        ri = ring_ref[0, rb, 1]
+        rr = ring_ref[0, rb, 0].astype(out_ref.dtype)
+        ri = ring_ref[0, rb, 1].astype(out_ref.dtype)
         hr = bank_ref[b, 0].astype(rr.dtype) * m
         hi = bank_ref[b, 1].astype(rr.dtype) * m
         accr += rr * hr - ri * hi
@@ -176,7 +182,7 @@ def _uniform_call(ring5, bank_row4, rpos, mask_row, interpret):
     return pl.pallas_call(
         functools.partial(_mac_kernel_uniform, n_part=B),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring5.dtype),
+        out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), _odt(ring5.dtype)),
         interpret=interpret,
     )(rpos, mask_row, ring5, bank_row4)
 
@@ -206,7 +212,7 @@ def pallas_spectral_mac_uniform(ring: jax.Array, bank: jax.Array,
         ring5 = ring.reshape(F, B, 2, R, 128)
         bank_row = bank[coeff_idx[0]].reshape(B, 2, R, 128)
     rpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B).astype(jnp.int32)
-    mask_row = mask[0].astype(ring.dtype)
+    mask_row = mask[0].astype(_odt(ring.dtype))
     y5 = _uniform_call(ring5, bank_row, rpos, mask_row, interpret)
     y = y5.reshape(F, 2, N)
     y0r, y0i = _bin0(ring, bank, coeff_idx, mask, rpos)
@@ -234,7 +240,7 @@ def _mac_core(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
         R = N // 128
         ring5 = ring.reshape(F, B, 2, R, 128)
         bank5 = bank.reshape(bank.shape[0], B, 2, R, 128)
-    maskf = mask.astype(ring.dtype)
+    maskf = mask.astype(_odt(ring.dtype))
 
     # Variant: "row" keeps a filter's whole [B, 2, N] ring+bank rows in
     # VMEM and loops partitions in-kernel (one DMA pass total; the
@@ -275,7 +281,7 @@ def _mac_core(ring: jax.Array, bank: jax.Array, coeff_idx: jax.Array,
         y5 = pl.pallas_call(
             _mac_kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring.dtype),
+            out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), _odt(ring.dtype)),
             interpret=interpret,
         )(coeff_idx.astype(jnp.int32), rpos, maskf, ring5, bank5)
     return y5.reshape(F, 2, N)
@@ -324,8 +330,8 @@ def _mac_kernel_chunked_reg(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref,
         for b in range(n_part):
             m = mask_ref[f, b]
             rb = rpos_ref[b]
-            rr = ring_ref[0, rb, 0, pl.ds(s, n_sub)]
-            ri = ring_ref[0, rb, 1, pl.ds(s, n_sub)]
+            rr = ring_ref[0, rb, 0, pl.ds(s, n_sub)].astype(out_ref.dtype)
+            ri = ring_ref[0, rb, 1, pl.ds(s, n_sub)].astype(out_ref.dtype)
             hr = bank_ref[0, b, 0, pl.ds(s, n_sub)].astype(rr.dtype) * m
             hi = bank_ref[0, b, 1, pl.ds(s, n_sub)].astype(rr.dtype) * m
             tr = rr * hr - ri * hi
@@ -356,7 +362,7 @@ def _chunked_call(ring5, bank5, coeff_idx, rpos, maskf, interpret,
     return pl.pallas_call(
         functools.partial(_mac_kernel_chunked_reg, n_part=B, n_sub=sub),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), ring5.dtype),
+        out_shape=jax.ShapeDtypeStruct((F, 2, R, 128), _odt(ring5.dtype)),
         interpret=interpret,
     )(coeff_idx, rpos, maskf, ring5, bank5)
 
@@ -376,8 +382,8 @@ def _mac_kernel_rowmajor_dual(idx_ref, pidx_ref, rpos_ref, mask_ref,
     pacci = jnp.zeros_like(out_ref[0, 1])
     for b in range(n_part):
         rb = rpos_ref[b]
-        rr = ring_ref[0, rb, 0]
-        ri = ring_ref[0, rb, 1]
+        rr = ring_ref[0, rb, 0].astype(out_ref.dtype)
+        ri = ring_ref[0, rb, 1].astype(out_ref.dtype)
         m = mask_ref[f, b]
         hr = bank_ref[0, b, 0].astype(rr.dtype) * m
         hi = bank_ref[0, b, 1].astype(rr.dtype) * m
@@ -405,8 +411,8 @@ def _mac_kernel_uniform_dual(rpos_ref, mask_ref, pmask_ref, ring_ref,
     pacci = jnp.zeros_like(out_ref[0, 1])
     for b in range(n_part):
         rb = rpos_ref[b]
-        rr = ring_ref[0, rb, 0]
-        ri = ring_ref[0, rb, 1]
+        rr = ring_ref[0, rb, 0].astype(out_ref.dtype)
+        ri = ring_ref[0, rb, 1].astype(out_ref.dtype)
         m = mask_ref[b]
         hr = bank_ref[b, 0].astype(rr.dtype) * m
         hi = bank_ref[b, 1].astype(rr.dtype) * m
@@ -448,7 +454,7 @@ def _dual_core(ring, bank, coeff_idx, mask, prev_idx, prev_mask, rpos,
         # big-shape variants
         return (_mac_core(ring, bank, coeff_idx, mask, rpos, interpret),
                 _mac_core(ring, bank, prev_idx, prev_mask, rpos, interpret))
-    out_sh = [jax.ShapeDtypeStruct((F, 2, R, 128), ring.dtype)] * 2
+    out_sh = [jax.ShapeDtypeStruct((F, 2, R, 128), _odt(ring.dtype))] * 2
     if uniform:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -473,7 +479,8 @@ def _dual_core(ring, bank, coeff_idx, mask, prev_idx, prev_mask, rpos,
             grid_spec=grid_spec,
             out_shape=out_sh,
             interpret=interpret,
-        )(rpos, mask[0].astype(ring.dtype), prev_mask[0].astype(ring.dtype),
+        )(rpos, mask[0].astype(_odt(ring.dtype)),
+          prev_mask[0].astype(_odt(ring.dtype)),
           ring5, bank5[coeff_idx[0]], bank5[prev_idx[0]])
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -502,7 +509,7 @@ def _dual_core(ring, bank, coeff_idx, mask, prev_idx, prev_mask, rpos,
             out_shape=out_sh,
             interpret=interpret,
         )(coeff_idx.astype(jnp.int32), prev_idx.astype(jnp.int32), rpos,
-          mask.astype(ring.dtype), prev_mask.astype(ring.dtype),
+          mask.astype(_odt(ring.dtype)), prev_mask.astype(_odt(ring.dtype)),
           ring5, bank5, bank5)
     return y5.reshape(F, 2, N), p5.reshape(F, 2, N)
 
@@ -584,8 +591,8 @@ def _mac_mix_kernel_rowmajor(idx_ref, rpos_ref, mask_ref, w_ref, ring_ref,
     for b in range(n_part):
         m = mask_ref[f, b]
         rb = rpos_ref[b]
-        rr = ring_ref[0, rb, 0]
-        ri = ring_ref[0, rb, 1]
+        rr = ring_ref[0, rb, 0].astype(out_ref.dtype)
+        ri = ring_ref[0, rb, 1].astype(out_ref.dtype)
         hr = bank_ref[0, b, 0].astype(rr.dtype) * m
         hi = bank_ref[0, b, 1].astype(rr.dtype) * m
         accr += rr * hr - ri * hi
@@ -614,8 +621,8 @@ def _mac_mix_kernel_uniform(rpos_ref, mask_ref, w_ref, ring_ref, bank_ref,
     for b in range(n_part):
         m = mask_ref[b]
         rb = rpos_ref[b]
-        rr = ring_ref[0, rb, 0]
-        ri = ring_ref[0, rb, 1]
+        rr = ring_ref[0, rb, 0].astype(out_ref.dtype)
+        ri = ring_ref[0, rb, 1].astype(out_ref.dtype)
         hr = bank_ref[b, 0].astype(rr.dtype) * m
         hi = bank_ref[b, 1].astype(rr.dtype) * m
         accr += rr * hr - ri * hi
@@ -659,8 +666,8 @@ def pallas_spectral_mac_mix(ring, bank, coeff_idx, mask, t, w,
         bank5 = bank.reshape(bank.shape[0], B, 2, R, 128)
     C_out = w.shape[0]
     rpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B).astype(jnp.int32)
-    maskf = mask.astype(ring.dtype)
-    wf = jnp.transpose(w).astype(ring.dtype)          # [F, C_out] (SMEM)
+    maskf = mask.astype(_odt(ring.dtype))
+    wf = jnp.transpose(w).astype(_odt(ring.dtype))          # [F, C_out] (SMEM)
 
     if uniform:
         bank_row = bank5[coeff_idx[0]]
@@ -680,7 +687,7 @@ def pallas_spectral_mac_mix(ring, bank, coeff_idx, mask, t, w,
             functools.partial(_mac_mix_kernel_uniform, n_part=B,
                               n_out=C_out),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((C_out, 2, R, 128), ring.dtype),
+            out_shape=jax.ShapeDtypeStruct((C_out, 2, R, 128), _odt(ring.dtype)),
             interpret=interpret,
         )(rpos, maskf[0], wf, ring5, bank_row)
     else:
@@ -700,7 +707,7 @@ def pallas_spectral_mac_mix(ring, bank, coeff_idx, mask, t, w,
             functools.partial(_mac_mix_kernel_rowmajor, n_part=B,
                               n_out=C_out),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((C_out, 2, R, 128), ring.dtype),
+            out_shape=jax.ShapeDtypeStruct((C_out, 2, R, 128), _odt(ring.dtype)),
             interpret=interpret,
         )(coeff_idx.astype(jnp.int32), rpos, maskf, wf, ring5, bank5)
 
@@ -708,9 +715,9 @@ def pallas_spectral_mac_mix(ring, bank, coeff_idx, mask, t, w,
     # bin-0 patch, contracted through the mix (DC and Nyquist are
     # independent real products; see _bin0)
     y0r, y0i = _bin0(ring, bank, coeff_idx, mask, rpos)
-    o0r = jnp.einsum("cf,f->c", w.astype(ring.dtype), y0r,
+    o0r = jnp.einsum("cf,f->c", w.astype(_odt(ring.dtype)), y0r,
                      precision=jax.lax.Precision.HIGHEST)
-    o0i = jnp.einsum("cf,f->c", w.astype(ring.dtype), y0i,
+    o0i = jnp.einsum("cf,f->c", w.astype(_odt(ring.dtype)), y0i,
                      precision=jax.lax.Precision.HIGHEST)
     if patch_bin0:
         return out.at[:, 0, 0].set(o0r).at[:, 1, 0].set(o0i)

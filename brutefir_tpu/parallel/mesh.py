@@ -231,7 +231,7 @@ class ShardedGraph:
         rd = s.real_dtype
         st = StepState(
             prev_in=jnp.zeros((s.n_inputs, s.block_length), rd),
-            ring=jnp.zeros(s.ring_shape(self.tiled), rd),
+            ring=jnp.zeros(s.ring_shape(self.tiled), self.cg.ring_dtype),
             eval_prev=jnp.zeros((s.n_casc, s.block_length), rd),
             t=jnp.zeros((), jnp.int32),
         )

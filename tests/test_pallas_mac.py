@@ -453,3 +453,92 @@ filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
         eng.run()
         outs[dt] = np.fromfile(outp, dtype="<i4")
     np.testing.assert_array_equal(outs["bf16"], outs[""])
+
+
+def test_bf16_ring_kernels_match_dense(rng):
+    """BRUTEFIR_TPU_RING_DTYPE=bf16: kernels accept a bfloat16 ring
+    (upconverting on load, f32 accumulate) and match the dense path run
+    on the same quantized history."""
+    from brutefir_tpu.ops.pallas_mac import (pallas_spectral_mac,
+                                             pallas_spectral_mac_uniform,
+                                             pallas_spectral_mac_dual,
+                                             pallas_spectral_mac_mix)
+    F, B, N, E, C = 3, 4, 256, 2, 2
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    ring16 = jnp.asarray(ring, jnp.bfloat16)
+    ring_q = np.asarray(ring16.astype(jnp.float32))
+    idx = np.array([0, 1, 0], np.int32)
+    uidx = np.ones(F, np.int32)
+    mask = (rng.uniform(size=(F, B)) > 0.3).astype(np.float32)
+    umask = np.tile(mask[:1], (F, 1))
+    w = rng.standard_normal((C, F)).astype(np.float32)
+    t = jnp.int32(3)
+
+    ref = partconv.spectral_mac_rollh(
+        jnp.asarray(ring_q), jnp.asarray(bank), jnp.asarray(idx),
+        jnp.asarray(mask), t)
+    got = pallas_spectral_mac(ring16, jnp.asarray(bank), jnp.asarray(idx),
+                              jnp.asarray(mask), t, interpret=True)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-4)
+
+    refu = partconv.spectral_mac_uniform(
+        jnp.asarray(ring_q), jnp.asarray(bank), jnp.asarray(uidx),
+        jnp.asarray(umask), t)
+    gotu = pallas_spectral_mac_uniform(
+        ring16, jnp.asarray(bank), jnp.asarray(uidx), jnp.asarray(umask),
+        t, interpret=True)
+    np.testing.assert_allclose(np.asarray(gotu), np.asarray(refu),
+                               rtol=0, atol=1e-4)
+
+    dn, _ = pallas_spectral_mac_dual(
+        ring16, jnp.asarray(bank), jnp.asarray(idx), jnp.asarray(mask),
+        jnp.asarray(uidx), jnp.asarray(umask), t, interpret=True)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(ref),
+                               rtol=0, atol=1e-4)
+
+    refm = partconv.complex_mix(jnp.asarray(w), ref)
+    gotm = pallas_spectral_mac_mix(
+        ring16, jnp.asarray(bank), jnp.asarray(idx), jnp.asarray(mask),
+        t, jnp.asarray(w), interpret=True)
+    assert gotm.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(gotm), np.asarray(refm),
+                               rtol=0, atol=1e-3)
+
+
+def test_bf16_ring_engine_e2e(tmp_path, monkeypatch, rng):
+    """Engine e2e with the bf16 ring: completes, and the dirac
+    passthrough output stays within bf16 quantization (~0.4%) of the
+    f32-ring run."""
+    from brutefir_tpu.config import parse_config
+    from brutefir_tpu.runtime import Engine
+
+    vals = np.clip((rng.standard_normal((256 * 3, 2)) * 2 ** 20).round(),
+                   -(2 ** 23), 2 ** 23 - 1).astype("<i4")
+    inp = tmp_path / "in.raw"
+    vals.tofile(inp)
+    outs = {}
+    for dt in ("", "bf16"):
+        if dt:
+            monkeypatch.setenv("BRUTEFIR_TPU_RING_DTYPE", dt)
+        else:
+            monkeypatch.delenv("BRUTEFIR_TPU_RING_DTYPE", raising=False)
+        outp = tmp_path / f"or{dt or 'f32'}.raw"
+        conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: 256,2;
+coeff 0 {{ filename: "dirac pulse"; }};
+input 0,1 {{ device: "file" {{ path: "{inp}"; }}; sample: "S32_LE"; channels: 2; }};
+output 0,1 {{ device: "file" {{ path: "{outp}"; }}; sample: "S32_LE"; channels: 2; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
+filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
+""")
+        eng = Engine(conf)
+        if dt:
+            assert eng.state.ring.dtype == jnp.bfloat16
+        eng.run()
+        outs[dt] = np.fromfile(outp, dtype="<i4").astype(np.int64)
+    err = np.abs(outs["bf16"] - outs[""]).max()
+    assert err <= np.abs(outs[""]).max() * 0.005 + 2

@@ -214,21 +214,31 @@ def row(t, rg, bk):
 
 
 def bf16_bank():
-    """The opt-in bfloat16 bank (BRUTEFIR_TPU_BANK_DTYPE=bf16): same
-    production kernels, half the bank-side bytes."""
+    """The opt-in bfloat16 bank/ring (BRUTEFIR_TPU_BANK_DTYPE /
+    BRUTEFIR_TPU_RING_DTYPE): same production kernels, half the bytes
+    on the quantized side(s)."""
     bank16 = bank5.astype(jnp.bfloat16)
-    gb16 = (F * B * 2 * N * 4 + F * B * 2 * N * 2) / 1e9
+    ring16 = ring5.astype(jnp.bfloat16)
+    side = F * B * 2 * N
+    gb_bank16 = (side * 4 + side * 2) / 1e9
+    gb_ring16 = (side * 2 + side * 4) / 1e9
+    gb_both16 = (side * 2 + side * 2) / 1e9
+
+    def chunk_fn(t, rg, bk):
+        return pm._chunked_call(rg, bk, coeff_idx, rpos_of(t), maskf,
+                                False, chunk_rows=16, n_sub=16)
 
     def row16(t, rg, bk16):
         return pm._rowmajor_call(rg, bk16, coeff_idx, rpos_of(t), maskf,
                                  False)
 
-    def chunked16(t, rg, bk16):
-        return pm._chunked_call(rg, bk16, coeff_idx, rpos_of(t), maskf,
-                                False, chunk_rows=16, n_sub=16)
-
-    for name, fn in (("row bf16-bank", row16),
-                     ("chunked Rc=16 sub=16 bf16-bank", chunked16)):
+    cases = (
+        ("row bf16-bank", row16, ring5, bank16, gb_bank16),
+        ("chunked bf16-bank", chunk_fn, ring5, bank16, gb_bank16),
+        ("chunked bf16-ring", chunk_fn, ring16, bank5, gb_ring16),
+        ("chunked bf16 ring+bank", chunk_fn, ring16, bank16, gb_both16),
+    )
+    for name, fn, rg_in, bk_in, gb16 in cases:
         @functools.partial(jax.jit, static_argnums=0)
         def run(m, rg, bk, _fn=fn):
             def body(c, t):
@@ -238,16 +248,16 @@ def bf16_bank():
                                 jnp.arange(m, dtype=jnp.int32))
             return c
         n_lo, n_hi = 16, 176
-        fetch(run(n_lo, ring5, bank16)); fetch(run(n_hi, ring5, bank16))
+        fetch(run(n_lo, rg_in, bk_in)); fetch(run(n_hi, rg_in, bk_in))
         out = []
         for _ in range(3):
             time.sleep(0.3)
             t0 = time.perf_counter()
-            fetch(run(n_lo, ring5, bank16))
+            fetch(run(n_lo, rg_in, bk_in))
             a = time.perf_counter() - t0
             time.sleep(0.3)
             t0 = time.perf_counter()
-            fetch(run(n_hi, ring5, bank16))
+            fetch(run(n_hi, rg_in, bk_in))
             b = time.perf_counter() - t0
             out.append((b - a) / (n_hi - n_lo))
         out.sort()
