@@ -495,7 +495,9 @@ def spectral_mac_rollh(ring: jnp.ndarray, bank: jnp.ndarray,
     if bank.ndim != ring.ndim:   # callers may pass an untiled bank
         bank = bank.reshape(bank.shape[:1] + ring.shape[1:])
     hpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B)
-    mg = mask[:, hpos].astype(ring.dtype)
+    # mask stays in the promoted dtype so a bf16 ring/bank (the opt-in
+    # reduced-precision knobs) still multiplies and accumulates in f32
+    mg = mask[:, hpos].astype(jnp.promote_types(ring.dtype, jnp.float32))
     H = (bank[coeff_idx[:, None], hpos[None, :]]
          * mg.reshape(mg.shape + (1,) * (ring.ndim - 2)))
     rr, ri = ring[:, :, 0], ring[:, :, 1]          # [F, B, N] or [F, B, R, 128]
@@ -532,7 +534,7 @@ def spectral_mac_uniform(ring: jnp.ndarray, bank: jnp.ndarray,
     if bank.ndim != ring.ndim:   # callers may pass an untiled bank
         bank = bank.reshape(bank.shape[:1] + ring.shape[1:])
     hpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B)
-    mrow = mask[0, hpos]
+    mrow = mask[0, hpos].astype(jnp.promote_types(ring.dtype, jnp.float32))
     H = (bank[coeff_idx[0], hpos]
          * mrow.reshape(mrow.shape + (1,) * (ring.ndim - 2)))  # [B, 2, ...]
     rr, ri = ring[:, :, 0], ring[:, :, 1]          # [F, B, N] / [F, B, R, 128]

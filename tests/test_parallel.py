@@ -391,3 +391,40 @@ def test_sharded_fused_mix_matches_dense(rng, monkeypatch):
         got.append(np.asarray(y))
     for a, b in zip(dense, got):
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-4)
+
+
+def test_sharded_bf16_knobs_smoke(rng, monkeypatch):
+    """BRUTEFIR_TPU_BANK/RING_DTYPE=bf16 under a mesh: the sharded step
+    compiles and stays within quantization tolerance of the f32 mesh
+    run (the knobs target single-chip scale, but must not break mesh
+    users)."""
+    N, B, C = 1024, 4, 8
+    taps = rng.standard_normal(N * B).astype(np.float32) * 0.1
+    spec = build_graph_spec(N, B, C, C, [[] for _ in range(C)], [False] * C)
+    bank = make_bank([partconv.preprocess_coeffs(taps, N, B)])
+    ctrl = make_ctrl(
+        spec, np.eye(C, dtype=np.float32), np.zeros((C, C), np.float32),
+        np.eye(C, dtype=np.float32), np.zeros(C, np.int32),
+        np.zeros(C, np.int32), np.ones((C, B), np.float32))
+    xs = rng.standard_normal((3, C, N)).astype(np.float32)
+    mesh = make_mesh(jax.devices()[:8], f_axis=2)
+
+    outs = {}
+    for knobs in (False, True):
+        if knobs:
+            monkeypatch.setenv("BRUTEFIR_TPU_BANK_DTYPE", "bf16")
+            monkeypatch.setenv("BRUTEFIR_TPU_RING_DTYPE", "bf16")
+        cg = CompiledGraph(spec, mac="jnp")
+        sg = ShardedGraph(cg, mesh)
+        st = sg.init_state()
+        if knobs:
+            assert st.ring.dtype == jnp.bfloat16
+        bk = jnp.asarray(bank, jnp.bfloat16 if knobs else jnp.float32)
+        ys = []
+        for xb in xs:
+            sctrl, sbank, sx = sg.place(ctrl, bk, jnp.asarray(xb))
+            st, y = sg.step(st, sctrl, sbank, sx)
+            ys.append(np.asarray(y))
+        outs[knobs] = np.stack(ys)
+    scale = np.abs(outs[False]).max()
+    assert np.abs(outs[True] - outs[False]).max() <= 0.01 * scale + 1e-5
