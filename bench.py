@@ -325,9 +325,15 @@ def main():
     # its own watchdog so a wedge or OOM can never cost the headline;
     # omitted on CPU fallbacks. BENCH_SCALE=0 skips.
     scale = None
+    xfade = None
     if (device_step_ms and jax.default_backend() != "cpu"
             and os.environ.get("BENCH_SCALE", "1") != "0"):
         scale = _scale_ceiling(budget)
+        if scale and os.environ.get("BENCH_EXTRAS", "1") != "0":
+            scale["bf16_knobs"] = _scale_bf16(budget)
+    if (device_step_ms and jax.default_backend() != "cpu"
+            and os.environ.get("BENCH_EXTRAS", "1") != "0"):
+        xfade = _xfade_stage(budget)
     print(json.dumps({
         "metric": "massive_config_realtime_factor",
         "value": round(xrt, 2),
@@ -360,6 +366,7 @@ def main():
             "rti": round(1.0 / xrt, 5),
             "low_latency": latency,
             "scale_ceiling": scale,
+            "crossfade": xfade,
         },
     }))
 
@@ -395,6 +402,63 @@ def _scale_ceiling(budget_s: float):
     except Exception as e:
         sys.stderr.write(f"bench: scale-ceiling stage failed "
                          f"({type(e).__name__}: {e})\n")
+        return None
+
+
+def _scale_bf16(budget_s: float):
+    """The scale-ceiling step with the opt-in bf16 bank+ring knobs
+    (BRUTEFIR_TPU_BANK/RING_DTYPE): half the MAC's HBM bytes at ~0.2%
+    quantization. Watched subprocess; None on any failure."""
+    import re
+    import subprocess
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "mac_step_compare.py")
+    try:
+        r = subprocess.run(
+            [sys.executable, tool, "alldistinct", "pallas"],
+            env={**os.environ, "BENCH_C": "256",
+                 "BRUTEFIR_TPU_BANK_DTYPE": "bf16",
+                 "BRUTEFIR_TPU_RING_DTYPE": "bf16"},
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("BENCH_EXTRA_TIMEOUT", "300")))
+        m = re.search(r"device step ([0-9.]+) ms/block", r.stdout)
+        if r.returncode != 0 or not m:
+            return None
+        ms = float(m.group(1))
+        return {"device_step_ms": round(ms, 4),
+                "xrt": round(budget_s * 1e3 / ms, 2),
+                "note": "opt-in bf16 bank+ring (~0.2% quantization; "
+                        "not the bit-parity contract)"}
+    except Exception:
+        return None
+
+
+def _xfade_stage(budget_s: float):
+    """bench5-style crossfade-every-block step at the flagship shape:
+    the dual-MAC fusion vs two kernel passes (tools/xfade_ab.py).
+    Watched subprocess; None on any failure."""
+    import re
+    import subprocess
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "xfade_ab.py")
+    try:
+        r = subprocess.run(
+            [sys.executable, tool, "uniform"],
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("BENCH_EXTRA_TIMEOUT", "300")))
+        out = {}
+        for name in ("dual", "two-pass"):
+            m = re.search(rf"{name}\s*:.*median ([0-9.]+) ms/block",
+                          r.stdout)
+            if m:
+                out[name.replace("-", "_") + "_step_ms"] = float(m.group(1))
+        if r.returncode != 0 or "dual_step_ms" not in out:
+            return None
+        out["xrt"] = round(budget_s * 1e3 / out["dual_step_ms"], 2)
+        out["note"] = ("crossfade every block (bench5 analog); dual = "
+                       "one ring pass for both coefficient sets")
+        return out
+    except Exception:
         return None
 
 
