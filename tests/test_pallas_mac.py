@@ -542,3 +542,34 @@ filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
         outs[dt] = np.fromfile(outp, dtype="<i4").astype(np.int64)
     err = np.abs(outs["bf16"] - outs[""]).max()
     assert err <= np.abs(outs[""]).max() * 0.005 + 2
+
+
+@pytest.mark.parametrize("F,B,N", [(1, 1, 256), (2, 1, 512), (1, 3, 256),
+                                   (5, 2, 384)])
+def test_pallas_dual_edge_shapes(rng, F, B, N):
+    """Dual MAC at edge shapes: single partition (bench3-style configs
+    with crossfade engage the dual kernel at B=1), single filter."""
+    from brutefir_tpu.ops.pallas_mac import (pallas_spectral_mac,
+                                             pallas_spectral_mac_dual)
+    E = 2
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    idx = (np.arange(F) % E).astype(np.int32)
+    pidx = ((np.arange(F) + 1) % E).astype(np.int32)
+    mask = np.ones((F, B), np.float32)
+    pmask = (rng.uniform(size=(F, B)) > 0.2).astype(np.float32)
+    for t in (0, 1, 5):
+        rn = pallas_spectral_mac(jnp.asarray(ring), jnp.asarray(bank),
+                                 jnp.asarray(idx), jnp.asarray(mask),
+                                 jnp.int32(t), interpret=True)
+        ro = pallas_spectral_mac(jnp.asarray(ring), jnp.asarray(bank),
+                                 jnp.asarray(pidx), jnp.asarray(pmask),
+                                 jnp.int32(t), interpret=True)
+        gn, go = pallas_spectral_mac_dual(
+            jnp.asarray(ring), jnp.asarray(bank), jnp.asarray(idx),
+            jnp.asarray(mask), jnp.asarray(pidx), jnp.asarray(pmask),
+            jnp.int32(t), interpret=True)
+        np.testing.assert_allclose(np.asarray(gn), np.asarray(rn),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(go), np.asarray(ro),
+                                   rtol=0, atol=1e-5)
