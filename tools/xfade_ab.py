@@ -64,7 +64,11 @@ def main():
         g0 = eng._mute_gains()
         uni = eng.control.snapshot_uniform
         udl = eng.control.snapshot_uniform_delay
-    # force the crossfade branch every block (bench5: cfc flip per block)
+    # force the crossfade branch every block (bench5: cfc flip per block);
+    # c_off keeps the cond false — it measures the non-swap blocks of a
+    # crossfade-enabled config (the dual restructure moved the primary
+    # MAC inside the lax.cond, so this case must not regress)
+    c_off = c0
     c0 = c0._replace(xfade=jnp.ones_like(c0.xfade),
                      any_xfade=jnp.asarray(True))
     M = int(os.environ.get("BENCH_M", "80"))
@@ -86,24 +90,34 @@ def main():
         float(np.asarray(jnp.sum(jax.tree.leaves(meters)[0]
                                  ).astype(jnp.float32)))
 
-    results = {k: [] for k in variants}
+    cases = [(name, fn, ctrl, tag)
+             for name, fn in variants.items()
+             for ctrl, tag in ((c0, ""), (c_off, " noswap"))]
+    for _, fn, ctrl, _ in cases:       # compile the cond-false programs too
+        st, outs, meters, nan = fn(eng.state, ctrl, g0[0], g0[1],
+                                   eng.bank, dstacks)
+        eng.state = st
+        float(np.asarray(jnp.sum(jax.tree.leaves(meters)[0]
+                                 ).astype(jnp.float32)))
+
+    results = {name + tag: [] for name, _, _, tag in cases}
     for round_i in range(3):
-        for name, fn in variants.items():
+        for name, fn, ctrl, tag in cases:
             times = {}
             for n in (2, 12):
                 t0 = time.perf_counter()
                 for _ in range(n):
-                    st, outs, meters, nan = fn(eng.state, c0, g0[0],
+                    st, outs, meters, nan = fn(eng.state, ctrl, g0[0],
                                                g0[1], eng.bank, dstacks)
                     eng.state = st
                 float(np.asarray(jnp.sum(jax.tree.leaves(meters)[0]
                                          ).astype(jnp.float32)))
                 times[n] = time.perf_counter() - t0
-            results[name].append(
+            results[name + tag].append(
                 (times[12] - times[2]) / ((12 - 2) * M) * 1e3)
     for k, v in results.items():
         v.sort()
-        print(f"{MODE:11s} {k:8s}: slopes {['%.4f' % s for s in v]} "
+        print(f"{MODE:11s} {k:16s}: slopes {['%.4f' % s for s in v]} "
               f"median {v[len(v) // 2]:.4f} ms/block")
 
 
