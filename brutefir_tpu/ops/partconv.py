@@ -587,14 +587,25 @@ def convolve_eval(z: jnp.ndarray, eval_prev: jnp.ndarray, n_fft2: int,
     return c(rfft_planes(frame)), valid
 
 
+@functools.lru_cache()
+def _mix_precision():
+    """MXU precision for the channel mixes. HIGHEST (default, 6-pass
+    bf16) carries the full f32 mantissa; DEFAULT (1-pass bf16) costs ~8
+    bits of the 24-bit audio mantissa (measured ~38000 LSB of S24 error
+    at full scale) and is never used. BRUTEFIR_TPU_MIX_PRECISION=high
+    opts into the 3-pass middle ground (~half the MXU work; accuracy
+    measured by tools/mix_precision_probe.py before trusting it)."""
+    name = os.environ.get("BRUTEFIR_TPU_MIX_PRECISION", "highest")
+    return {"high": jax.lax.Precision.HIGH}.get(
+        name, jax.lax.Precision.HIGHEST)
+
+
 def complex_mix(mix: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Real mixing matrix applied to dual-plane spectra.
 
     [A, F] @ [F, 2, N] -> [A, 2, N]: one real matmul per plane (MXU).
-    Precision is pinned to HIGHEST: the TPU MXU's default f32 matmul
-    uses bfloat16 passes, which costs ~8 bits of the 24-bit audio
-    mantissa (measured ~38000 LSB of S24 error at full scale).
+    Precision defaults to HIGHEST (see _mix_precision).
     """
     return jnp.einsum("af,fpn->apn", mix, x,
                       preferred_element_type=x.dtype,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_mix_precision())

@@ -25,6 +25,11 @@ run env BENCH_C=256 BENCH_N=8192 BENCH_B=16 BRUTEFIR_TPU_BANK_DTYPE=bf16 \
 run env BENCH_C=256 BENCH_N=8192 BENCH_B=16 BRUTEFIR_TPU_BANK_DTYPE=bf16 \
     BRUTEFIR_TPU_RING_DTYPE=bf16 python tools/mac_step_compare.py \
     alldistinct pallas
+# 4b. mix precision: accuracy + speed of HIGH vs HIGHEST, and the
+# composed scale step under MIX_PRECISION=high
+run python tools/mix_precision_probe.py
+run env BENCH_C=256 BENCH_N=8192 BENCH_B=16 BRUTEFIR_TPU_MIX_PRECISION=high \
+    python tools/mac_step_compare.py alldistinct pallas
 # 5. headline
 run python bench.py
 echo "--- done $(date -u +%FT%TZ) ---" | tee -a "$LOG"
