@@ -9,6 +9,10 @@ run() {
     timeout 900 "$@" 2>&1 | tee -a "$LOG"
 }
 echo "--- r3 measurement batch $(date -u +%FT%TZ) ---" | tee -a "$LOG"
+# 0. hardware validation first (cheap; also the Mosaic compile check for
+# the glue kernels' lane flip/roll — failures surface before the A/Bs)
+run python tools/validate_tpu.py
+run env BRUTEFIR_TPU_FFT_GLUE=pallas python tools/validate_tpu.py
 # 1. crossfade dual-MAC fusion vs two passes (bench5-style, flagship)
 run python tools/xfade_ab.py uniform
 run python tools/xfade_ab.py alldistinct
