@@ -42,19 +42,39 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 
 
+def _rev_axis(t, axis: int):
+    """Reverse a power-of-two axis without lax.rev (unimplemented in the
+    Mosaic TC lowering): index reversal is the XOR-complement of every
+    index bit, and each bit is one butterfly stage -- select between a
+    +b and a -b circular shift by the bit of the *output* index
+    (y[l] = x[l ^ b] composes over bits to y[l] = x[size-1-l])."""
+    axis = axis % t.ndim
+    size = t.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, axis)
+    b = size // 2
+    while b:
+        t = jnp.where((idx & b) != 0,
+                      pltpu.roll(t, b, axis),
+                      pltpu.roll(t, size - b, axis))
+        b //= 2
+    return t
+
+
 def _mirror_tiled(t):
     """Tiled planes [2, R, 128] -> planes of X[(M - k) % M], in-register.
 
-    Lane step: A[l] = t[(128 - l) % 128] (flip then roll by one). Row
+    Lane step: A[l] = t[(128 - l) % 128] (reverse then roll by one). Row
     step: rows reversed, and lane 0 additionally row-rolled by one
     because bin M - 128r - l crosses a chunk boundary between l = 0 and
     l >= 1 (same derivation as partconv._mirror_planes, which rides the
-    MXU instead).
+    MXU instead). Reversals run as butterfly roll/select stages
+    (`_rev_axis`); rolls and selects are the only cross-lane primitives
+    the TC lowering provides.
     """
     R = t.shape[-2]
-    A = jnp.roll(jnp.flip(t, axis=-1), 1, axis=-1)
-    B1 = jnp.flip(A, axis=-2)
-    B2 = jnp.roll(B1, 1, axis=-2)
+    A = pltpu.roll(_rev_axis(t, -1), 1, t.ndim - 1)
+    B1 = _rev_axis(A, -2)
+    B2 = pltpu.roll(B1, 1, t.ndim - 2)
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1) == 0
     return jnp.where(lane0, B2, B1)
 
