@@ -14,6 +14,15 @@ and XLA:TPU; ~5 LSB at near-clipping amplitudes -- docs/PARITY.md). The
 engine pins full f32 matmul precision on TPU; without that pin this
 check fails by ~38000 LSB (bf16 MXU passes).
 
+The limit rides XLA:TPU's instruction selection for the FFT-glue
+fusions, which shifts across compiler releases: calibrated at <=8 LSB
+in round 2, the 2026-08 relay backend rounds the same HLO to 9 LSB
+(measured independent of the MAC variant and the dual-crossfade kernel;
+the Pallas glue path, which bypasses the XLA mirror/combine fusion,
+measures 5 LSB on the same backend). 12 keeps one compiler release of
+headroom while still catching real defects, which measure 3-4 orders
+of magnitude larger.
+
 Run: PYTHONPATH=. python tools/validate_tpu.py   (needs a TPU backend)
 """
 
@@ -28,7 +37,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 N, B, CH, K = 4096, 4, 4, 8
 SWAP_BLOCK = 4                  # swap filter 2's coeff here (crossfade)
-CROSS_BACKEND_LSB = 8
+CROSS_BACKEND_LSB = 12
 
 
 def build_config(d, inp, out):
