@@ -121,3 +121,25 @@ filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
     pc._glue_mode.cache_clear()
     d = np.abs(outs["pallas"].astype(np.int64) - outs["xla"].astype(np.int64))
     assert d.max() <= 2
+
+
+@pytest.mark.parametrize("shape,axis", [((2, 8, 128), -1),
+                                        ((2, 8, 128), -2),
+                                        ((4, 128), 0),
+                                        ((64, 128), 1)])
+def test_rev_axis_butterfly_is_exact_reversal(rng, shape, axis):
+    # Mosaic's TC lowering has no lax.rev; _rev_axis composes it from
+    # roll+select butterfly stages (one per index bit). pltpu.roll has
+    # no eager evaluation rule, so the identity is checked inside an
+    # interpret-mode kernel against jnp.flip for several ranks/axes.
+    import jax
+    from jax.experimental import pallas as pl
+
+    def kern(x_ref, o_ref):
+        o_ref[...] = pg._rev_axis(x_ref[...], axis)
+
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    got = np.asarray(pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        interpret=True)(x))
+    np.testing.assert_array_equal(got, np.asarray(jnp.flip(x, axis)))
