@@ -371,66 +371,81 @@ def main():
     }))
 
 
+_stage_subproc_broken = False
+
+
+def _stage_run(tool_name, argv, env_extra, timeout_var, default_timeout):
+    """Run a measurement tool in a watched subprocess; returns its stdout
+    or None. A nonzero exit / timeout marks subprocess stages broken and
+    every later stage is skipped immediately: on exclusive-access
+    (non-relay) TPU runtimes a child process cannot acquire the device
+    the parent holds, and burning each remaining stage's full timeout
+    would cost ~15 minutes of wall clock for a row of Nones."""
+    global _stage_subproc_broken
+    if _stage_subproc_broken:
+        return None
+    import subprocess
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", tool_name)
+    try:
+        r = subprocess.run(
+            [sys.executable, tool] + argv,
+            env={**os.environ, **env_extra},
+            capture_output=True, text=True,
+            timeout=int(os.environ.get(timeout_var, default_timeout)))
+        if r.returncode != 0:
+            sys.stderr.write(
+                f"bench: {tool_name} stage failed (rc {r.returncode}); "
+                f"stderr tail: {r.stderr[-400:]!r}\n")
+            _stage_subproc_broken = True
+            return None
+        return r.stdout
+    except Exception as e:
+        sys.stderr.write(f"bench: {tool_name} stage failed "
+                         f"({type(e).__name__}: {e})\n")
+        _stage_subproc_broken = True
+        return None
+
+
+def _parse_step_ms(stdout):
+    import re
+    m = stdout and re.search(r"device step ([0-9.]+) ms/block", stdout)
+    return float(m.group(1)) if m else None
+
+
 def _scale_ceiling(budget_s: float):
     """256x256x131k (alldistinct) device step via tools/mac_step_compare
     in a watched subprocess; None on any failure."""
-    import re
-    import subprocess
-    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tools", "mac_step_compare.py")
-    try:
-        r = subprocess.run(
-            [sys.executable, tool, "alldistinct", "pallas"],
-            env={**os.environ, "BENCH_C": "256"},
-            capture_output=True, text=True,
-            timeout=int(os.environ.get("BENCH_SCALE_TIMEOUT", "420")))
-        m = re.search(r"device step ([0-9.]+) ms/block", r.stdout)
-        if r.returncode != 0 or not m:
-            sys.stderr.write(
-                f"bench: scale-ceiling stage failed (rc {r.returncode}); "
-                f"stderr tail: {r.stderr[-400:]!r}\n")
-            return None
-        ms = float(m.group(1))
-        taps_ch = 256 * N * B  # 256 filters x 131072 taps each
-        return {
-            "workload": f"256ch x 256 filters x {N * B} taps, "
-                        "256 distinct coefficient sets",
-            "device_step_ms": round(ms, 4),
-            "xrt": round(budget_s * 1e3 / ms, 2),
-            "taps_ch_samples_per_s": round(taps_ch * N / (ms * 1e-3)),
-        }
-    except Exception as e:
-        sys.stderr.write(f"bench: scale-ceiling stage failed "
-                         f"({type(e).__name__}: {e})\n")
+    ms = _parse_step_ms(_stage_run(
+        "mac_step_compare.py", ["alldistinct", "pallas"],
+        {"BENCH_C": "256"}, "BENCH_SCALE_TIMEOUT", "420"))
+    if ms is None:
         return None
+    taps_ch = 256 * N * B  # 256 filters x 131072 taps each
+    return {
+        "workload": f"256ch x 256 filters x {N * B} taps, "
+                    "256 distinct coefficient sets",
+        "device_step_ms": round(ms, 4),
+        "xrt": round(budget_s * 1e3 / ms, 2),
+        "taps_ch_samples_per_s": round(taps_ch * N / (ms * 1e-3)),
+    }
 
 
 def _scale_bf16(budget_s: float):
     """The scale-ceiling step with the opt-in bf16 bank+ring knobs
     (BRUTEFIR_TPU_BANK/RING_DTYPE): half the MAC's HBM bytes at ~0.2%
     quantization. Watched subprocess; None on any failure."""
-    import re
-    import subprocess
-    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tools", "mac_step_compare.py")
-    try:
-        r = subprocess.run(
-            [sys.executable, tool, "alldistinct", "pallas"],
-            env={**os.environ, "BENCH_C": "256",
-                 "BRUTEFIR_TPU_BANK_DTYPE": "bf16",
-                 "BRUTEFIR_TPU_RING_DTYPE": "bf16"},
-            capture_output=True, text=True,
-            timeout=int(os.environ.get("BENCH_EXTRA_TIMEOUT", "300")))
-        m = re.search(r"device step ([0-9.]+) ms/block", r.stdout)
-        if r.returncode != 0 or not m:
-            return None
-        ms = float(m.group(1))
-        return {"device_step_ms": round(ms, 4),
-                "xrt": round(budget_s * 1e3 / ms, 2),
-                "note": "opt-in bf16 bank+ring (~0.2% quantization; "
-                        "not the bit-parity contract)"}
-    except Exception:
+    ms = _parse_step_ms(_stage_run(
+        "mac_step_compare.py", ["alldistinct", "pallas"],
+        {"BENCH_C": "256", "BRUTEFIR_TPU_BANK_DTYPE": "bf16",
+         "BRUTEFIR_TPU_RING_DTYPE": "bf16"},
+        "BENCH_EXTRA_TIMEOUT", "300"))
+    if ms is None:
         return None
+    return {"device_step_ms": round(ms, 4),
+            "xrt": round(budget_s * 1e3 / ms, 2),
+            "note": "opt-in bf16 bank+ring (~0.2% quantization; "
+                    "not the bit-parity contract)"}
 
 
 def _xfade_stage(budget_s: float):
@@ -438,28 +453,21 @@ def _xfade_stage(budget_s: float):
     the dual-MAC fusion vs two kernel passes (tools/xfade_ab.py).
     Watched subprocess; None on any failure."""
     import re
-    import subprocess
-    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tools", "xfade_ab.py")
-    try:
-        r = subprocess.run(
-            [sys.executable, tool, "uniform"],
-            capture_output=True, text=True,
-            timeout=int(os.environ.get("BENCH_EXTRA_TIMEOUT", "300")))
-        out = {}
-        for name in ("dual", "two-pass"):
-            m = re.search(rf"{name}\s*:.*median ([0-9.]+) ms/block",
-                          r.stdout)
-            if m:
-                out[name.replace("-", "_") + "_step_ms"] = float(m.group(1))
-        if r.returncode != 0 or "dual_step_ms" not in out:
-            return None
-        out["xrt"] = round(budget_s * 1e3 / out["dual_step_ms"], 2)
-        out["note"] = ("crossfade every block (bench5 analog); dual = "
-                       "one ring pass for both coefficient sets")
-        return out
-    except Exception:
+    stdout = _stage_run("xfade_ab.py", ["uniform"], {},
+                        "BENCH_EXTRA_TIMEOUT", "300")
+    if stdout is None:
         return None
+    out = {}
+    for name in ("dual", "two-pass"):
+        m = re.search(rf"{name}\s*:.*median ([0-9.]+) ms/block", stdout)
+        if m:
+            out[name.replace("-", "_") + "_step_ms"] = float(m.group(1))
+    if "dual_step_ms" not in out:
+        return None
+    out["xrt"] = round(budget_s * 1e3 / out["dual_step_ms"], 2)
+    out["note"] = ("crossfade every block (bench5 analog); dual = "
+                   "one ring pass for both coefficient sets")
+    return out
 
 
 def _main_with_retries(attempts: int = 3):

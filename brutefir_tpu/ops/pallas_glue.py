@@ -161,8 +161,14 @@ def _glue_call(kernel, planes, ab, interpret):
 
 
 def glue_ok(M: int, dtype) -> bool:
-    """Kernel wants lane-aligned f32 tiles (like the MAC)."""
-    return dtype == jnp.float32 and M % _LANES == 0 and M >= 2 * _LANES
+    """Kernel wants lane-aligned f32 tiles (like the MAC) with a
+    power-of-two row count: the butterfly reversal (`_rev_axis`) is an
+    XOR-complement of the index bits, which is only a full reversal
+    when the axis size is a power of two -- a non-pow2 row count would
+    silently corrupt the mirror."""
+    R = M // _LANES
+    return (dtype == jnp.float32 and M % _LANES == 0 and M >= 2 * _LANES
+            and (R & (R - 1)) == 0)
 
 
 def _interp() -> bool:

@@ -370,14 +370,15 @@ def irfft_planes_valid_mxu(p: jnp.ndarray) -> jnp.ndarray:
     return _interleave_mxu(z[..., : M // 2])
 
 
-@functools.lru_cache()
 def _glue_mode() -> str:
     """FFT-glue dispatch: "mxu" routes eligible shapes through the
     permutation-matmul variants; "pallas" through the fused VPU
     mirror+combine kernels (ops/pallas_glue.py).
     BRUTEFIR_TPU_FFT_GLUE=mxu|pallas|xla; the default is the XLA glue
-    (the MXU variants measured slower in situ -- see the section
-    comment above; the pallas variants await in-situ A/B)."""
+    (both alternatives measured slower in situ -- see the section
+    comment above and docs/PERFORMANCE.md). Read per trace, like the
+    sibling knobs (FUSED_MIX, DUAL_XFADE, ...): an lru_cache here froze
+    the first process-wide value and silently ignored later changes."""
     return os.environ.get("BRUTEFIR_TPU_FFT_GLUE", "xla")
 
 

@@ -64,7 +64,6 @@ def test_mirror_planes_is_pure_permutation(rng):
 def test_dispatch_gating(monkeypatch):
     # default -> xla; forced mxu -> eligible shapes route through mxu
     monkeypatch.setenv("BRUTEFIR_TPU_FFT_GLUE", "mxu")
-    pc._glue_mode.cache_clear()
     try:
         assert pc._mxu_ok(256, jnp.float32)
         assert not pc._mxu_ok(192, jnp.float32)      # not lane multiple
@@ -78,7 +77,5 @@ def test_dispatch_gating(monkeypatch):
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-4 * np.abs(b).max())
     finally:
         monkeypatch.delenv("BRUTEFIR_TPU_FFT_GLUE")
-        pc._glue_mode.cache_clear()
     assert pc._glue_mode() == "xla"
     assert not pc._mxu_ok(256, jnp.float32)
-    pc._glue_mode.cache_clear()

@@ -69,7 +69,6 @@ def test_multidim_prefix(rng):
 
 def test_dispatch_gating(monkeypatch, rng):
     monkeypatch.setenv("BRUTEFIR_TPU_FFT_GLUE", "pallas")
-    pc._glue_mode.cache_clear()
     try:
         assert pc._pallas_glue_ok(256, jnp.float32)
         assert not pc._pallas_glue_ok(192, jnp.float32)  # not lane multiple
@@ -87,9 +86,7 @@ def test_dispatch_gating(monkeypatch, rng):
                                    atol=2e-4 * np.abs(bv).max())
     finally:
         monkeypatch.delenv("BRUTEFIR_TPU_FFT_GLUE")
-        pc._glue_mode.cache_clear()
     assert not pc._pallas_glue_ok(256, jnp.float32)
-    pc._glue_mode.cache_clear()
 
 
 def test_engine_e2e_with_pallas_glue(tmp_path, monkeypatch, rng):
@@ -105,7 +102,6 @@ def test_engine_e2e_with_pallas_glue(tmp_path, monkeypatch, rng):
     outs = {}
     for glue in ("xla", "pallas"):
         monkeypatch.setenv("BRUTEFIR_TPU_FFT_GLUE", glue)
-        pc._glue_mode.cache_clear()
         outp = tmp_path / f"o_{glue}.raw"
         conf = parse_config(f"""
 sampling_rate: 44100;
@@ -118,7 +114,6 @@ filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
 """)
         Engine(conf).run()
         outs[glue] = np.fromfile(outp, dtype="<i4")
-    pc._glue_mode.cache_clear()
     d = np.abs(outs["pallas"].astype(np.int64) - outs["xla"].astype(np.int64))
     assert d.max() <= 2
 
@@ -143,3 +138,15 @@ def test_rev_axis_butterfly_is_exact_reversal(rng, shape, axis):
         kern, out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
         interpret=True)(x))
     np.testing.assert_array_equal(got, np.asarray(jnp.flip(x, axis)))
+
+
+def test_glue_rejects_non_pow2_rows(monkeypatch, rng):
+    """M=384 is lane-aligned but has 3 tile rows; the butterfly reversal
+    only works on power-of-two axes, so glue_ok must refuse and the
+    dispatcher must fall back to the (correct) XLA glue."""
+    assert not pg.glue_ok(384, jnp.float32)
+    monkeypatch.setenv("BRUTEFIR_TPU_FFT_GLUE", "pallas")
+    x = jnp.asarray(rng.standard_normal((2, 768)).astype(np.float32))
+    a = np.asarray(pc.rfft_planes(x))
+    b = np.asarray(pc.c2p(pc.rfft_packed(x)))
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-4 * np.abs(b).max())
