@@ -363,6 +363,11 @@ def main():
                 "sink_mode": sink,
             },
             "backend": jax.default_backend(),
+            # the engine auto-meshes on multi-device hosts (parallel/
+            # mesh.py), so a multi-chip bench is sharded with no flags;
+            # the record says which shape ran
+            "mesh": (f"f={eng.mesh.shape['f']} x sp={eng.mesh.shape['sp']}"
+                     if eng.mesh is not None else None),
             "rti": round(1.0 / xrt, 5),
             "low_latency": latency,
             "scale_ceiling": scale,
