@@ -69,6 +69,10 @@ class Engine:
                 os.makedirs(cache_dir, exist_ok=True)
                 jax.config.update("jax_compilation_cache_dir", cache_dir)
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+                # also persist autotune/kernel sub-caches -- measured to
+                # be what makes the warm path hit on the axon backend
+                jax.config.update("jax_persistent_cache_enable_xla_caches",
+                                  "all")
             except Exception:
                 pass
         self.N = conf.filter_length
