@@ -150,8 +150,9 @@ class DeviceIO:
             for ch in range(conf.n_channels[io]):
                 md = conf.maxdelay[io][ch]
                 d0 = conf.delay[io][ch]
-                if 0 <= md < d0:
-                    d0 = md       # DelayLine init clamp (delay.c:351-362)
+                # capacity: maxdelay when runtime-changeable, else the
+                # fixed initial delay; `cur = min(delay, caps)` below is
+                # the init clamp (delay.c:351-362)
                 caps.append(md if md >= 0 else d0)
             W = max(caps) if caps else 0
             if W > 0:
@@ -215,11 +216,16 @@ class DeviceIO:
         self.dstate = {}
         self._dith_tab = None
         if dith_phys:
-            from ..core.dither import DitherTable
             order = {p: j for j, p in enumerate(sorted(dith_phys))}
-            table = DitherTable(len(dith_phys), conf.sampling_rate,
-                                conf.max_dither_table_size, self.N,
-                                engine.rd.type)
+            # the engine already built the identical table for the host
+            # path (same channel set by the same config condition) --
+            # reuse it rather than regenerating tens of MB of randoms
+            table = engine._dither_table
+            if table is None:
+                from ..core.dither import DitherTable
+                table = DitherTable(len(dith_phys), conf.sampling_rate,
+                                    conf.max_dither_table_size, self.N,
+                                    engine.rd.type)
             self._dith_tab = jnp.asarray(table.tab)
             self._dith_randmap = jnp.asarray(table.randmap)
             self._dith_size = table.size

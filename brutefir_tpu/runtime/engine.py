@@ -17,6 +17,7 @@ Per block:
 
 from __future__ import annotations
 
+import collections
 import os
 import sys
 import threading
@@ -208,9 +209,7 @@ class Engine:
                 cls = get_io_module(dev.device_name, conf.modules_path)
                 inst = cls(dev.device_params, io, dev.sample_format,
                            conf.sampling_rate, dev.open_channels)
-                if dev.sample_format is None:
-                    dev.sample_format = inst.sample_format
-                elif inst.sample_format is not None:
+                if inst.sample_format is not None:
                     dev.sample_format = inst.sample_format
                 if dev.sample_format is None:
                     raise EngineError(
@@ -223,15 +222,24 @@ class Engine:
         else:
             self.subdelay = None
 
-        # per-virtual-channel delay lines
+        # per-virtual-channel delay lines. The compensating subdelay
+        # integer delay EXTENDS the capacity past the user's maxdelay --
+        # the reference allocates `maxdelay + sdf_length`
+        # (bfrun.c:1152-1162) so a channel at its full configured delay
+        # stays time-aligned with the subdelay-filtered channels;
+        # clamping to the bare maxdelay would silently run it
+        # sdf_length samples early.
         self.dlines = [[], []]
         for io in (IN, OUT):
             for ch in range(conf.n_channels[io]):
                 init = conf.delay[io][ch]
+                md = conf.maxdelay[io][ch]
                 if self.subdelay is not None:
-                    init = init + self.subdelay.extra_delay(io, ch)
-                self.dlines[io].append(
-                    DelayLine(init, conf.maxdelay[io][ch], self.rd))
+                    extra = self.subdelay.extra_delay(io, ch)
+                    init += extra
+                    if md >= 0:
+                        md += extra
+                self.dlines[io].append(DelayLine(init, md, self.rd))
 
         # dither: per physical output channel with apply_dither, int format,
         # sbytes < 4 (bfconf.c:3174-3238)
@@ -242,10 +250,15 @@ class Engine:
                 for i in range(dev.used_channels):
                     dithered_phys.append(dev.phys_base + i)
         self.dither_state = [None] * conf.n_physical_channels[OUT]
+        self._dither_table = None
         if dithered_phys:
             table = DitherTable(len(dithered_phys), conf.sampling_rate,
                                 conf.max_dither_table_size, self.N,
                                 dtype=self.rd.type)
+            # kept for DeviceIO, which needs the same table on device --
+            # regenerating it doubled startup cost and RAM (the random
+            # tables can be tens of MB at large max_dither_table_size)
+            self._dither_table = table
             for j, p in enumerate(sorted(dithered_phys)):
                 self.dither_state[p] = table.new_state(j)
 
@@ -302,6 +315,7 @@ class Engine:
         self._stage_t = np.zeros(4)  # decode, device, encode, total
         self._stage_blocks = 0
         self._stopped = False
+        self._warming = False    # gates freqd taps during _warm_programs
         self._has_timed_hooks = False  # set when a logic module defines them
         # debug timeline ring (print_debug analog, bfrun.c:230-434):
         # (wall time, stage, event, blockcounter) per pipeline event from
@@ -425,6 +439,10 @@ class Engine:
 
         def tapfn(planes, idx):
             arr = np.asarray(planes)
+            if self._warming:
+                # _warm_programs compiles the tapped step with throwaway
+                # data; module hooks must not observe the warmup block
+                return arr
             zu = np.ascontiguousarray(unpack_spectrum(np_p2c(arr)))
             for ch in range(arr.shape[0]):
                 row = zu[ch]
@@ -484,10 +502,19 @@ class Engine:
         if self._plain_path(IN) and not self._has_timed_hooks:
             return np.ascontiguousarray(phys[self._v2p_in]), frames
         x = np.zeros((conf.n_channels[IN], N), self.rd)
+        zero_row = np.zeros(N, self.rd)
         for ch in range(conf.n_channels[IN]):
-            if self.control.mute[IN][ch]:
-                continue
-            row = phys[conf.virt2phys[IN][ch]]
+            # an input mute zeroes the samples BEFORE the delay/subdelay
+            # state, which keeps advancing -- the reference's dai-module
+            # semantics for 1-1 mapped channels (dai.c:255-300 clears the
+            # raw buffer, the delay then runs on zeros) and what the
+            # device-IO path does (mute gain at decode, before delays).
+            # Skipping the processing entirely would freeze the buffers
+            # and replay stale audio on unmute. (The reference's
+            # multi-virt filter-process branch, bfrun.c:1510-1524, does
+            # freeze the buffer -- an inconsistency we do not copy.)
+            row = (zero_row if self.control.mute[IN][ch]
+                   else phys[conf.virt2phys[IN][ch]])
             dl = self.dlines[IN][ch]
             dl.set_delay(self._total_delay(IN, ch))
             row = dl.process(row)
@@ -629,6 +656,11 @@ class Engine:
                       for io in (IN, OUT) for inst in self.devices[io])
         if not clocked or self.mesh is not None:
             return
+        # run() attaches logic BEFORE setup so the programs warmed here
+        # are the ones that actually run (attach_logic may drop dio or
+        # rebuild cg with freqd taps); _warming silences the taps so
+        # module hooks never observe the warmup block
+        self._warming = True
         try:
             with self.control_mutex:
                 ctrl = self.control.snapshot()
@@ -663,6 +695,8 @@ class Engine:
             sys.stderr.write(
                 f"Warning: step-program warmup failed ({type(e).__name__}: "
                 f"{e}); compilation will be retried on the audio path.\n")
+        finally:
+            self._warming = False
 
     def _iodelay_fill(self):
         """Pre-write 2 silent fragments to clocked output devices.
@@ -890,15 +924,22 @@ class Engine:
         outputs are sinks (/dev/null); meters reflect the staging data.
         """
         if setup:
-            self.setup()
+            # logic first: attach_logic may drop the device-IO path
+            # (timed hooks) or rebuild the graph with freqd taps, and
+            # setup()'s _warm_programs must compile the programs that
+            # will actually run -- warming the pre-attach variants left
+            # the first audio block paying a mid-stream compile
             self.attach_logic()
+            self.setup()
         profile_dir = os.environ.get("BRUTEFIR_TPU_PROFILE")
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         N = self.N
         budget = N / self.conf.sampling_rate  # seconds per block
         t_run0 = time.perf_counter()
-        self._periods = []
+        # bounded: p50/p95 over the most recent ~131k blocks (a
+        # multi-day realtime run must not grow a list forever)
+        self._periods = collections.deque(maxlen=1 << 17)
         self._last_progress = t_run0
         clocked = any(inst.uses_sample_clock for inst in self.devices[IN])
         self._monitor_clock = ((t_run0, self.blockcounter)
@@ -1008,13 +1049,30 @@ class Engine:
                              name="bf-watchdog").start()
 
         try:
-            self._run_loop(max_blocks, sink_output, wq, wstats, N, budget,
-                           show)
-        finally:
-            wd_stop.set()
-            shutdown_writer()
-        if wstats["err"] is not None:
-            raise wstats["err"]
+            try:
+                self._run_loop(max_blocks, sink_output, wq, wstats, N,
+                               budget, show)
+            finally:
+                wd_stop.set()
+                shutdown_writer()
+            if wstats["err"] is not None:
+                raise wstats["err"]
+        except BaseException:
+            # error path: finalize the profiler trace and release the
+            # devices -- a caller that catches an EngineError (e.g. the
+            # safety-limit abort) and constructs a new Engine must not
+            # inherit still-open devices or a truncated trace
+            if profile_dir:
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
+            if setup:
+                try:
+                    self.teardown()
+                except Exception:
+                    pass
+            raise
         frames_out = wstats["frames"]
 
         if profile_dir:
@@ -1031,9 +1089,9 @@ class Engine:
             "xrt": (frames_out / self.conf.sampling_rate) / elapsed
             if elapsed > 0 else 0.0,
             "rti_max": self._rti_max,
-            "p50_block_ms": float(np.median(self._periods) * 1e3)
+            "p50_block_ms": float(np.median(np.asarray(self._periods)) * 1e3)
             if self._periods else 0.0,
-            "p95_block_ms": float(np.percentile(self._periods, 95) * 1e3)
+            "p95_block_ms": float(np.percentile(np.asarray(self._periods), 95) * 1e3)
             if self._periods else 0.0,
             "overflows": [o.n_overflows for o in self.overflow],
             "peak_db": [o.peak_db() for o in self.overflow],
@@ -1237,7 +1295,9 @@ class Engine:
         N = self.N
         M = batch_blocks
         t_run0 = time.perf_counter()
-        self._periods = []
+        # bounded: p50/p95 over the most recent ~131k blocks (a
+        # multi-day realtime run must not grow a list forever)
+        self._periods = collections.deque(maxlen=1 << 17)
         frames_out = 0
         eof = False
 
@@ -1341,12 +1401,21 @@ class Engine:
         pth.start()
 
         while not self._stopped and not eof and wstats["err"] is None:
-            if max_blocks is not None and self.blockcounter + M > max_blocks:
+            rem = (None if max_blocks is None
+                   else max_blocks - self.blockcounter)
+            if rem is not None and rem <= 0:
                 break
             t0 = time.perf_counter()
             dstacks, frames, got_blocks, eof = pq.get()
             if pstate["err"] is not None:
                 raise pstate["err"]
+            if rem is not None and rem < got_blocks:
+                # a max_blocks tail shorter than the batch: finish the
+                # remaining blocks one at a time (like the EOF tail)
+                # instead of dropping them -- run_offline(max_blocks=K)
+                # must process exactly K blocks, like run()
+                got_blocks = rem
+                frames = min(frames, rem * N)
             if eof or got_blocks < M or frames < M * N:
                 # EOF inside the batch: finish the already-read blocks
                 # one at a time so no samples are dropped
@@ -1415,6 +1484,11 @@ class Engine:
             pass
         wth.join(timeout=30.0)
         if wstats["err"] is not None:
+            if setup:
+                try:
+                    self.teardown()
+                except Exception:
+                    pass
             raise wstats["err"]
         frames_out = wstats["frames"]
         elapsed = time.perf_counter() - t_run0
@@ -1424,9 +1498,9 @@ class Engine:
             "elapsed_s": elapsed,
             "xrt": (frames_out / conf.sampling_rate) / elapsed
             if elapsed > 0 else 0.0,
-            "p50_block_ms": float(np.median(self._periods) * 1e3)
+            "p50_block_ms": float(np.median(np.asarray(self._periods)) * 1e3)
             if self._periods else 0.0,
-            "p95_block_ms": float(np.percentile(self._periods, 95) * 1e3)
+            "p95_block_ms": float(np.percentile(np.asarray(self._periods), 95) * 1e3)
             if self._periods else 0.0,
             "rti_max": self._rti_max,
             "overflows": [o.n_overflows for o in self.overflow],
