@@ -450,7 +450,12 @@ class _Parser:
             if t.kind != T.FIELD:
                 self.error("expected FIELD", t)
             f = t.value
-            self.repeat_test(bitset, f, t)
+            # alias pairs share one repeat bit like the reference
+            # (bfconf.c:1046-1055): "inputs"+"from_inputs" (or
+            # "outputs"+"to_outputs") in one block is a repeat error,
+            # not a silent overwrite
+            _alias = {"inputs": "from_inputs", "outputs": "to_outputs"}
+            self.repeat_test(bitset, _alias.get(f, f), t)
             if f == "process":
                 flt.process = self.make_int(self.expect(T.REAL))
                 if flt.process >= BF_MAXPROCESSES:
@@ -654,18 +659,20 @@ class _Parser:
                            f"field: {f}", t)
         self.expect(T.EOS)
 
-        if self.parse_default:
-            iod = self.defaults.setdefault("iodev", [None, None])
-            iod[io] = dev
-            return
-
         if self.parse_default or not self.defaults.get("has_defaults"):
             # mandatory fields (field_mandatory_test 0x07,
-            # bfconf.c:1370-1376)
+            # bfconf.c:1370-1376) -- the reference runs this for the
+            # defaults-file iodev too, BEFORE its !parse_default block;
+            # returning first silently accepted an incomplete default
             for req in ("device", "sample", "channels"):
                 if req not in bitset:
                     self.error(f'mandatory field "{req}" omitted in '
                                f'{"input" if io == IN else "output"}')
+
+        if self.parse_default:
+            iod = self.defaults.setdefault("iodev", [None, None])
+            iod[io] = dev
+            return
         if maxdelay_setting != -2:
             for i in range(indmaxd_count, dev.virtual_channels):
                 conf.maxdelay[io][virtual_base + i] = maxdelay_setting
@@ -839,13 +846,26 @@ def _link(conf: BFConfig):
                     f'filter {f.intname}/"{f.name}" must exist as output in '
                     f"the source filter")
 
-    # loop detection (bfconf.c:2032-2048)
-    def has_loop(start, cur):
-        return any(nxt == start or has_loop(start, nxt)
-                   for nxt in conf.filters[cur].out_filters)
+    # loop detection (bfconf.c:2032-2048). The reference recurses with
+    # no visited set; that is exponential on diamond DAGs and overflows
+    # the stack on cycles not containing the probed filter -- same
+    # accept/reject semantics here (can `start` reach itself?), but
+    # iterative with a visited set so big legal DAGs stay fast and any
+    # cycle yields the clean config error.
+    def has_loop(start):
+        seen = set()
+        stack = list(conf.filters[start].out_filters)
+        while stack:
+            nxt = stack.pop()
+            if nxt == start:
+                return True
+            if nxt not in seen:
+                seen.add(nxt)
+                stack.extend(conf.filters[nxt].out_filters)
+        return False
 
     for f in conf.filters:
-        if has_loop(f.intname, f.intname):
+        if has_loop(f.intname):
             raise ConfigParseError(f"filter {f.intname} is involved in a loop")
 
     # coeff block counts (bfconf.c:2826-2833)

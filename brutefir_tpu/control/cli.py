@@ -235,6 +235,14 @@ class CliModule:
 
     @staticmethod
     def _split2(rest):
+        """First token + remainder. A leading double quote scans to the
+        closing quote so names containing spaces stay addressable, like
+        the reference's get_id (bflogic_cli.c:295-299)."""
+        rest = rest.lstrip()
+        if rest.startswith('"'):
+            end = rest.find('"', 1)
+            if end != -1:
+                return rest[: end + 1], rest[end + 1:].lstrip()
         parts = rest.split(None, 1)
         if len(parts) == 0:
             return "", ""
@@ -608,8 +616,11 @@ class CliModule:
             attrs = termios.tcgetattr(fd)
             speed = getattr(termios, f"B{self.line_speed}",
                             termios.B9600) if self.line_speed else None
-            # raw 8N1, no flow control
-            attrs[0] = termios.IGNPAR            # iflag
+            # raw 8N1, no flow control; ICRNL so CR-terminated input from
+            # a real serial terminal completes readline (the reference's
+            # iflag = IGNPAR | ICRNL | ISTRIP, bflogic_cli.c:1277)
+            attrs[0] = (termios.IGNPAR | termios.ICRNL
+                        | termios.ISTRIP)        # iflag
             attrs[1] = 0                         # oflag
             attrs[2] = (termios.CS8 | termios.CREAD | termios.CLOCAL)
             attrs[3] = 0                         # lflag (raw, no echo)

@@ -181,7 +181,14 @@ class FileDevice(IoDevice):
                     # push back unconsumed values as text for the next call
                     self._text_tail = b" ".join(toks[ti:]) + b" " + self._text_tail
                     break
-                vals[got] = float(t)
+                try:
+                    vals[got] = float(t)
+                except ValueError:
+                    # clean device error, like the reference's strtod
+                    # check ("bad text format", bfio_file.c:397-402) --
+                    # not an uncaught traceback
+                    raise IoModuleError(
+                        "File I/O: Read failed: bad text format.") from None
                 got += 1
         return vals[:got].tobytes()
 
