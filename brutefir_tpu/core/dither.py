@@ -98,9 +98,10 @@ class DitherTable:
         if max_size > 0 and n_channels * spacing > max_size:
             spacing = max_size // n_channels
         if spacing < minspacing:
+            # the floor is whichever of the two minspacing terms binds
             raise ValueError(
                 f"maximum dither table size {max_size} bytes is too small, "
-                f"must at least be {n_channels * sample_rate * MIN_RANDTAB_SPACING} bytes")
+                f"must at least be {n_channels * minspacing} bytes")
         self.size = n_channels * spacing + 1
         self.spacing = spacing
         self.tab = tausrand_table(self.size)

@@ -14,6 +14,14 @@
 #include <cstring>
 #include <cmath>
 
+// 3-byte streams are assembled with explicit shifts, which is
+// host-independent -- so their byte order must key on the STREAM's
+// endianness, not the host-relative `swap` flag the word-sized paths
+// use with bswap. fmt_is_big == (swap == host_is_little).
+static const bool kHostLE =
+    __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__;
+
+
 extern "C" {
 
 struct OvfStats {
@@ -65,8 +73,9 @@ void bf_decode_f32(const uint8_t* raw, float* out, int64_t n_frames,
         } else if (bytes == 3) {
             const uint8_t* p = raw + ch * 3;
             const int64_t stride = (int64_t)open_ch * 3;
+            const bool be = ((bool)swap == kHostLE);
             for (int64_t i = 0; i < n_frames; i++, p += stride) {
-                uint32_t v = swap
+                uint32_t v = be
                     ? ((uint32_t)p[2] | ((uint32_t)p[1] << 8) | ((uint32_t)p[0] << 16))
                     : ((uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16));
                 o[i] = (float)((int32_t)(v << 8) >> 8);
@@ -98,6 +107,15 @@ void bf_quantize_nd(const float* x, int64_t n, int32_t bits, int32_t* q,
     double lg = st->largest;
     for (int64_t i = 0; i < n; i++) {
         double v = (double)x[i] + 0.5;
+        if (v != v) {
+            // NaN fails every range comparison; an unguarded
+            // (int32_t) cast is UB. Saturate + count like the rows
+            // variant (the reference aborts earlier, real2raw.h:27-31;
+            // the engine's block NaN check is the abort path here).
+            q[i] = imin;
+            novf++;
+            continue;
+        }
         int32_t s;
         if (v < 0.0) {
             if (v <= rmin) {
@@ -143,6 +161,14 @@ void bf_quantize_dither(const float* x, const float* dith, int64_t n,
         float real = x[i] + (sf0 - sf1);
         sf1 = sf0;
         float d = real + dith[i];
+        if (d != d) {
+            // NaN: saturate + count + reset the feedback so one bad
+            // sample cannot poison every later block's error filter
+            q[i] = imin;
+            novf++;
+            sf0 = 0.0f;
+            continue;
+        }
         int32_t s;
         if (d < 0.0f) {
             if (d <= rmin) {
@@ -245,9 +271,10 @@ void bf_encode_int(const int32_t* rows, uint8_t* raw, int64_t n_frames,
         } else if (bytes == 3) {
             uint8_t* p = raw + ch * 3;
             const int64_t stride = (int64_t)open_ch * 3;
+            const bool be = ((bool)swap == kHostLE);
             for (int64_t i = 0; i < n_frames; i++, p += stride) {
                 uint32_t v = (uint32_t)r[i];
-                if (swap) {
+                if (be) {
                     p[0] = (uint8_t)(v >> 16);
                     p[1] = (uint8_t)(v >> 8);
                     p[2] = (uint8_t)v;

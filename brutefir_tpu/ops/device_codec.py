@@ -44,7 +44,10 @@ def device_format_word(fmt) -> np.dtype | None:
     """The numpy word dtype for a device-codec-eligible format, else None."""
     if fmt.bytes == 3:
         return None
-    if fmt.little_endian != (np.little_endian):
+    if fmt.bytes > 1 and fmt.little_endian != np.little_endian:
+        # endianness is irrelevant for 1-byte formats (sampleformat.py
+        # registers S8 with a nominal value) -- do not demote S8 to the
+        # host codec on big-endian hosts
         return None
     if fmt.is_float:
         return np.dtype(np.float32) if fmt.bytes == 4 else None

@@ -88,7 +88,8 @@ def dither_quantize(x: jax.Array, d: jax.Array, sf: jax.Array,
 
     x: [C, N] f32 (scaled to integer units)   d: [C, N] f32 dither
     sf: [C, 2] f32 error-feedback state (sf[:,0]=e[-1], sf[:,1]=e[-2])
-    Returns (s [C, N] i32, new_sf [C, 2], n_ovf [C] i32).
+    Returns (s [C, N] i32, new_sf [C, 2], meters [C, 3] f32:
+    [overflow count, clipped |peak|, unclipped int peak]).
     """
     C, N = x.shape
     f32 = x.dtype.type

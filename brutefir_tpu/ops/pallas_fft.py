@@ -145,10 +145,7 @@ def _dot(a, b):
         preferred_element_type=jnp.float32)
 
 
-def _bin0(R):
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
-    return (row == 0) & (lane == 0)
+from .pallas_glue import _bin0_tile as _bin0  # shared packed-bin-0 mask
 
 
 def _fwd_kernel(zr_ref, zi_ref, c_ref, d_ref, tw_ref, ab_ref, x_ref):
@@ -212,11 +209,7 @@ def _inv_kernel(p_ref, e_ref, tw_ref, f_ref, ab_ref, v_ref):
     v_ref[0, 1] = zpi - zqi
 
 
-def _interp() -> bool:
-    try:
-        return jax.default_backend() != "tpu"
-    except RuntimeError:
-        return True
+from .pallas_glue import _interp  # shared backend probe (one fix point)
 
 
 def rfft_planes_fused(x: jnp.ndarray) -> jnp.ndarray:

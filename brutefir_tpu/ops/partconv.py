@@ -364,8 +364,13 @@ def irfft_planes_mxu(p: jnp.ndarray) -> jnp.ndarray:
 
 def irfft_planes_valid_mxu(p: jnp.ndarray) -> jnp.ndarray:
     """Valid (lower) half of irfft_planes_mxu: [..., 2, M] -> [..., M].
-    Only the first M/2 complex outputs are interleaved."""
+    Only the first M/2 complex outputs are interleaved; when M/2 is not
+    itself lane-aligned (odd tile-row counts, M = 384, 640, ...) the
+    full inverse runs and is sliced instead -- _interleave_mxu needs a
+    128-multiple lane axis."""
     M = p.shape[-1]
+    if (M // 2) % 128:
+        return irfft_planes_mxu(p)[..., :M]
     z = _ifft_combine_mxu(p)
     return _interleave_mxu(z[..., : M // 2])
 
@@ -588,14 +593,15 @@ def convolve_eval(z: jnp.ndarray, eval_prev: jnp.ndarray, n_fft2: int,
     return c(rfft_planes(frame)), valid
 
 
-@functools.lru_cache()
 def _mix_precision():
     """MXU precision for the channel mixes. HIGHEST (default, 6-pass
     bf16) carries the full f32 mantissa; DEFAULT (1-pass bf16) costs ~8
     bits of the 24-bit audio mantissa (measured ~38000 LSB of S24 error
     at full scale) and is never used. BRUTEFIR_TPU_MIX_PRECISION=high
     opts into the 3-pass middle ground (~half the MXU work; accuracy
-    measured by tools/mix_precision_probe.py before trusting it)."""
+    measured by tools/mix_precision_probe.py before trusting it).
+    Read per trace like the sibling knobs (see _glue_mode) -- an
+    lru_cache froze the first process-wide value."""
     name = os.environ.get("BRUTEFIR_TPU_MIX_PRECISION", "highest")
     return {"high": jax.lax.Precision.HIGH}.get(
         name, jax.lax.Precision.HIGHEST)
