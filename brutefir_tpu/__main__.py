@@ -73,19 +73,43 @@ def main(argv=None) -> int:
         # invalid-signal aborts without message sniffing
         return getattr(e, "exit_code", BF_EXIT_OTHER)
 
+    # daemonize BEFORE the engine exists: constructing it initializes
+    # the JAX/XLA client and its worker threads, and fork() in that
+    # state leaves the child's runtime broken (thread pools do not
+    # survive fork). The reference's contract -- a supervisor must not
+    # see exit 0 before the engine actually came up -- is kept via a
+    # readiness pipe: the parent exits with the code the child reports
+    # after its initialization.
+    daemon_w = None
+    if daemon:
+        r, w = os.pipe()
+        if os.fork() != 0:
+            os.close(w)
+            status = os.read(r, 1)
+            os.close(r)
+            return status[0] if status else BF_EXIT_OTHER
+        os.close(r)
+        daemon_w = w
+
+    def _report_ready(code: int):
+        nonlocal daemon_w
+        if daemon_w is not None:
+            try:
+                os.write(daemon_w, bytes([code & 0xFF]))
+                os.close(daemon_w)
+            except OSError:
+                pass
+            daemon_w = None
+
     try:
         eng = Engine(conf)
     except BFError as e:
         # init-time failures (device open, float64-on-TPU, AUTO format)
         # still honor the clean-message + exit-code contract
         sys.stderr.write(f"{e}\n")
+        _report_ready(_exit_code(e))
         return _exit_code(e)
-
-    # daemonize only after successful initialization, like the
-    # reference (a supervisor must not see exit 0 before the devices
-    # and the engine actually came up)
-    if daemon and os.fork() != 0:
-        return BF_EXIT_OK
+    _report_ready(BF_EXIT_OK)
 
     def _stop(signum, frame):
         eng.stop()
@@ -107,8 +131,13 @@ def main(argv=None) -> int:
                          for io in (0, 1) for inst in eng.devices[io])
                      and not conf.benchmark and not conf.debug)
         if clockless:
-            stats = eng.run_offline(
-                batch_blocks=int(os.environ.get("BRUTEFIR_TPU_BATCH", "8")))
+            try:
+                batch = int(os.environ.get("BRUTEFIR_TPU_BATCH", "8"))
+            except ValueError:
+                sys.stderr.write(
+                    "BRUTEFIR_TPU_BATCH must be an integer; using 8\n")
+                batch = 8
+            stats = eng.run_offline(batch_blocks=batch)
         else:
             stats = eng.run()
     except BFError as e:

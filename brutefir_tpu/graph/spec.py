@@ -108,21 +108,27 @@ def build_graph_spec(
     entry the spec records the gather-mix fast path (in_src/out_src).
     """
     F = len(filter_inputs)
-    depth = [None] * F
-
-    def compute_depth(f, trail=()):
-        if depth[f] is not None:
-            return depth[f]
-        if f in trail:
-            raise ValueError("cycle in filter graph")
-        if not filter_inputs[f]:
-            depth[f] = 0
-        else:
-            depth[f] = 1 + max(compute_depth(u, trail + (f,)) for u in filter_inputs[f])
-        return depth[f]
-
+    # iterative longest-path depths in Kahn order: the recursive form
+    # (one frame + an O(depth) trail tuple per cascade level) hit
+    # Python's recursion limit on ~1000-deep from_filters chains
+    indeg = [len(filter_inputs[f]) for f in range(F)]
+    consumers = [[] for _ in range(F)]
     for f in range(F):
-        compute_depth(f)
+        for u in filter_inputs[f]:
+            consumers[u].append(f)
+    depth = [0] * F
+    ready = [f for f in range(F) if indeg[f] == 0]
+    seen = 0
+    while ready:
+        u = ready.pop()
+        seen += 1
+        for v in consumers[u]:
+            depth[v] = max(depth[v], depth[u] + 1)
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                ready.append(v)
+    if seen != F:
+        raise ValueError("cycle in filter graph")
 
     n_stages = (max(depth) + 1) if F else 0
     casc_slot = {}

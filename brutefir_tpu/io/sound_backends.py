@@ -26,6 +26,7 @@ from __future__ import annotations
 import ctypes
 import ctypes.util
 import os
+import sys
 
 from ..config.lexer import T
 from ..errors import BF_EXIT_BUFFER_UNDERFLOW, BF_EXIT_INVALID_INPUT
@@ -124,6 +125,11 @@ class AlsaDevice(IoDevice):
             if rc < 0:
                 if self.ignore_xrun and rc == -32:  # EPIPE: xrun
                     lib.snd_pcm_prepare(self.pcm)
+                    # capture: PREPARED does not auto-start below the
+                    # start threshold (snd_pcm_set_params leaves it at
+                    # ~buffer size), so readi would block forever --
+                    # restart explicitly (bfio_alsa.c:555-586 recovery)
+                    lib.snd_pcm_start(self.pcm)
                     continue
                 # errno contract of dai.c:1279-1310: EPIPE = overflow/
                 # underflow abort, EIO = invalid signal on the input
@@ -212,7 +218,14 @@ class OssDevice(IoDevice):
         return bytes(out)
 
     def write(self, data):
-        return os.write(self.fd, bytes(data))
+        # OSS drivers may accept a partial buffer; a dropped tail would
+        # shear the channel interleave for the rest of the stream --
+        # loop until everything is written (like AlsaDevice.write)
+        buf = bytes(data)
+        done = 0
+        while done < len(buf):
+            done += os.write(self.fd, buf[done:])
+        return done
 
     def close(self):
         if self.fd is not None:
@@ -233,6 +246,7 @@ class JackDevice(CallbackDevice):
     """
 
     _lib = None
+    _SHUTDOWN_CB = ctypes.CFUNCTYPE(None, ctypes.c_void_p)
     _PROC_CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_uint32,
                                 ctypes.c_void_p)
 
@@ -262,11 +276,39 @@ class JackDevice(CallbackDevice):
                 "JACK I/O: sample format must be FLOAT_NE (JACK is "
                 "32-bit float)")
         super().__init__(params, io, fmt, sample_rate, open_channels)
-        fields = _parse_fields(params, {"clientname": T.STRING,
-                                        "ports": T.STRING})
-        self._clientname = fields.get("clientname", "brutefir")
-        self._connect = [p for p in
-                         fields.get("ports", "").split(",") if p]
+        # ports: one entry per open channel, '"dest"[/"local_name"]'
+        # comma-separated (bfio_jack.c:330-353) -- the generic
+        # field parser cannot express the SLASH pairs
+        self._clientname = "brutefir"
+        self._connect = []     # per-channel connection target (or None)
+        self._portnames = []   # per-channel local port name (or None)
+        i = 0
+
+        def tk(kind):
+            nonlocal i
+            if i >= len(params) or params[i].kind != kind:
+                raise IoModuleError(
+                    "JACK I/O: parse error in module parameters")
+            t = params[i]
+            i += 1
+            return t
+
+        while i < len(params) and params[i].kind != T.EOF:
+            f = tk(T.FIELD).value
+            if f == "clientname":
+                self._clientname = tk(T.STRING).value
+                tk(T.EOS)
+            elif f == "ports":
+                for n in range(open_channels):
+                    self._connect.append(tk(T.STRING).value or None)
+                    local = None
+                    if i < len(params) and params[i].kind == T.SLASH:
+                        i += 1
+                        local = tk(T.STRING).value or None
+                    self._portnames.append(local)
+                    tk(T.COMMA if n < open_channels - 1 else T.EOS)
+            else:
+                raise IoModuleError(f"unknown field {f}")
         self._client = None
         self._ports = []
         self._cb_ref = None
@@ -292,13 +334,29 @@ class JackDevice(CallbackDevice):
         flags = 1 if self.io == IN else 2
         audio_type = b"32 bit float mono audio"
         for ch in range(self.open_channels):
+            name = (self._portnames[ch] if ch < len(self._portnames)
+                    and self._portnames[ch] else
+                    f"{'in' if self.io == IN else 'out'}_{ch}")
             port = lib.jack_port_register(
-                ctypes.c_void_p(self._client),
-                f"{'in' if self.io == IN else 'out'}_{ch}".encode(),
+                ctypes.c_void_p(self._client), name.encode(),
                 audio_type, ctypes.c_ulong(flags), ctypes.c_ulong(0))
             if not port:
                 raise IoModuleError("JACK I/O: port registration failed")
             self._ports.append(port)
+
+        # server-death handling (the reference registers a shutdown
+        # callback, bfio_jack.c): close the rings so blocking engine
+        # reads/writes end instead of hanging forever on a dead server
+        def on_shutdown(_arg):
+            sys.stderr.write("JACK I/O: server shut down\n")
+            try:
+                self.stop_stream()
+            except Exception:
+                pass
+
+        self._shutdown_ref = self._SHUTDOWN_CB(on_shutdown)
+        lib.jack_on_shutdown(ctypes.c_void_p(self._client),
+                             self._shutdown_ref, None)
 
         # Realtime path: prefer the native C process callback + SPSC ring
         # (core/native/rtfifo.cpp) -- no Python (and no GIL) in JACK's
@@ -324,6 +382,11 @@ class JackDevice(CallbackDevice):
                 lib.jack_set_process_callback(
                     ctypes.c_void_p(self._client), cb,
                     ctypes.c_void_p(self._nctx))
+            else:
+                # ctx refused (e.g. > MAX_PORTS): the Python fallback
+                # callback feeds the byte-FIFO, so the engine must NOT
+                # keep polling the orphaned native ring
+                self._nring = None
         if not self._nctx:
             dev = self
             np_ = np

@@ -94,8 +94,10 @@ class RuntimeControl:
     def set_mute(self, io: int, ch: int, mute: bool):
         if 0 <= ch < self.conf.n_channels[io]:
             self.mute[io][ch] = mute
+            # mutes ride mute_version -> Engine._mute_gains, NOT the
+            # StepCtrl snapshot; marking dirty here forced a needless
+            # full ctrl rebuild + device re-upload per mute toggle
             self.mute_version += 1
-            self._dirty = True
 
     def set_delay(self, io: int, ch: int, delay: int) -> bool:
         if not (0 <= ch < self.conf.n_channels[io]):

@@ -750,6 +750,22 @@ class Engine:
                 pass
 
     def teardown(self):
+        # xrun report for callback-bridged devices (the reference's dai
+        # prints per-xrun warnings as they happen; the bridge counts them
+        # -- native ring included -- and they are surfaced here)
+        if not getattr(self.conf, "quiet", False):
+            for io in (IN, OUT):
+                for inst in self.devices[io]:
+                    n = getattr(inst, "native_xruns", None)
+                    if n is None:
+                        n = ((getattr(inst, "underruns", 0) or 0)
+                             + (getattr(inst, "overruns", 0) or 0))
+                    n = int(n)
+                    if n:
+                        sys.stderr.write(
+                            f"Warning: {n} xrun(s) on "
+                            f"{'input' if io == IN else 'output'} device "
+                            f'"{inst.__class__.__name__}"\n')
         for io in (IN, OUT):
             for inst in self.devices[io]:
                 inst.synch_stop()
