@@ -19,6 +19,26 @@ def _params(text):
     return [t for t in tokenize(text) if t.kind != T.EOF]
 
 
+def _run_cli(args, timeout=120, extra_env=None):
+    """Run `python -m brutefir_tpu <args>` forced onto the CPU backend.
+
+    The axon TPU plugin ignores JAX_PLATFORMS, so the subprocess must set
+    jax.config before the module runs -- same pattern as
+    test_main_cli.test_init_error_exit_code. Without it these tests
+    compile over the TPU relay and time out.
+    """
+    code = ("import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+            f"sys.argv = ['brutefir_tpu'] + {args!r}; "
+            "import runpy; runpy.run_module('brutefir_tpu', "
+            "run_name='__main__')")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd() + ":" + env.get("PYTHONPATH", "")
+    if extra_env:
+        env.update(extra_env)
+    return subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=timeout, env=env)
+
+
 def test_jack_ports_reference_syntax_parses():
     """ports: '"dest"/"local", ...' -- one entry per open channel with
     optional SLASH-mapped local names (bfio_jack.c:330-353)."""
@@ -93,10 +113,7 @@ input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: 1;
 output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
 filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
 """)
-    r = subprocess.run(
-        [sys.executable, "-m", "brutefir_tpu", "-quiet", "-nodefault",
-         "-daemon", str(cfg)],
-        capture_output=True, text=True, timeout=120)
+    r = _run_cli(["-quiet", "-nodefault", "-daemon", str(cfg)])
     assert r.returncode == 0, r.stderr[-500:]
     # the daemon child keeps running after the parent returned; wait for
     # the full output to land
@@ -119,10 +136,7 @@ input 0 { device: "file" { path: "/dev/zero"; }; sample: "FLOAT_LE"; channels: 1
 output 0 { device: "file" { path: "/dev/null"; }; sample: "FLOAT_LE"; channels: 1; };
 filter 0 { from_inputs: 0; to_outputs: 0; coeff: 0; };
 """)
-    r = subprocess.run(
-        [sys.executable, "-m", "brutefir_tpu", "-quiet", "-nodefault",
-         "-daemon", str(cfg)],
-        capture_output=True, text=True, timeout=120)
+    r = _run_cli(["-quiet", "-nodefault", "-daemon", str(cfg)])
     assert r.returncode != 0
 
 
@@ -139,10 +153,7 @@ input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: 1;
 output 0 {{ device: "file" {{ path: "{tmp_path}/o.f32"; }}; sample: "FLOAT_LE"; channels: 1; }};
 filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; }};
 """)
-    r = subprocess.run(
-        [sys.executable, "-m", "brutefir_tpu", "-quiet", "-nodefault",
-         str(cfg)],
-        env={**os.environ, "BRUTEFIR_TPU_BATCH": "fast"},
-        capture_output=True, text=True, timeout=120)
+    r = _run_cli(["-quiet", "-nodefault", str(cfg)],
+                 extra_env={"BRUTEFIR_TPU_BATCH": "fast"})
     assert r.returncode == 0, r.stderr[-500:]
     assert "must be an integer" in r.stderr
