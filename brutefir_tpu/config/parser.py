@@ -707,6 +707,17 @@ def _link(conf: BFConfig):
         raise ConfigParseError("filter_length not set")
     if conf.sampling_rate <= 0:
         raise ConfigParseError("sampling_rate not set")
+    # Subdelay subsystem gate: any in-range `subdelay:` value (including
+    # the stock defaults file's 0,0) marks use_subdelay, but without
+    # sdf_length the subsystem is silently disabled, not an error
+    # (bfconf.c:2796-2798); with sdf_length set, the full sinc must fit
+    # in one filter block (bfconf.c:2799-2804).
+    if conf.sdf_length < 0:
+        conf.use_subdelay[IN] = False
+        conf.use_subdelay[OUT] = False
+    elif 2 * conf.sdf_length + 1 > conf.filter_length:
+        raise ConfigParseError(
+            "The filter_length must be larger than 2 x sdf_length + 1")
 
     # channel maps
     for io in (IN, OUT):
@@ -724,7 +735,6 @@ def _link(conf: BFConfig):
             for i, virtch in enumerate(dev.channel_intnames):
                 physch = dev.phys_base + dev.virt2phys_local[i]
                 p2v[physch].append(virtch)
-        conf.channel_names = (conf.channel_names[0], conf.channel_names[1])
         conf.channel_names[io].clear()
         conf.channel_names[io].extend(names)
         conf.virt2phys[io].clear()

@@ -169,6 +169,9 @@ class DitherState:
             real = rt(x[i]) + (sf0 - sf1)
             sf1 = sf0
             dithered = real + rt(d[i])
+            # clip peak compares `real` but stores `dithered` -- the
+            # reference's exact accounting (dither_funs.h:38-39,52-53),
+            # pinned by the golden-vector tests
             if dithered < 0:
                 if dithered <= rmin:
                     s = imin

@@ -170,6 +170,9 @@ void bf_quantize_dither(const float* x, const float* dith, int64_t n,
             continue;
         }
         int32_t s;
+        // clip peak: compare the pre-dither value, store the dithered
+        // one -- the reference's exact (quirky) accounting, which the
+        // golden-vector tests pin (dither_funs.h:38-39,52-53)
         if (d < 0.0f) {
             if (d <= rmin) {
                 s = imin;

@@ -164,7 +164,14 @@ class FileDevice(IoDevice):
                     if got == count:
                         self._text_tail = b" ".join(toks[ti:])
                         break
-                    vals[got] = float(t)
+                    try:
+                        vals[got] = float(t)
+                    except ValueError:
+                        # same clean error as the mid-file branch
+                        # (bfio_file.c:397-402)
+                        raise IoModuleError(
+                            "File I/O: Read failed: bad text format."
+                        ) from None
                     got += 1
                 else:
                     self._text_tail = b""

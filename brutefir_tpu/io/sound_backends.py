@@ -419,13 +419,21 @@ class JackDevice(CallbackDevice):
         if lib.jack_activate(ctypes.c_void_p(self._client)) != 0:
             raise IoModuleError("JACK I/O: activate failed")
         for i, target in enumerate(self._connect):
-            if i >= len(self._ports) or not target:
+            if i >= len(self._ports):
                 break
+            if not target:
+                # unconnected port (empty/omitted dest) -- skip, keep
+                # connecting the rest (bfio_jack.c:534-536 continue)
+                continue
             mine = lib.jack_port_name(ctypes.c_void_p(self._ports[i]))
             pair = ((mine, target.encode()) if self.io != IN
                     else (target.encode(), mine))
-            lib.jack_connect(ctypes.c_void_p(self._client),
-                             pair[0], pair[1])
+            if lib.jack_connect(ctypes.c_void_p(self._client),
+                                pair[0], pair[1]) != 0:
+                # a failed auto-connect is fatal (bfio_jack.c:538-546)
+                raise IoModuleError(
+                    f'JACK I/O: Could not connect local port to '
+                    f'"{target}".')
 
     # engine-side I/O rides the native ring when the C callback is in
     # charge; otherwise the inherited Python FIFO bridge

@@ -312,7 +312,7 @@ class DeviceIO:
 
         def input_half(in_words, dstate, new_dstate, in_gain, dvec_in,
                        sdrows_in, sdbyp_in):
-            """decode -> input delay/subdelay -> mute gains. Works on one
+            """decode -> mute gains -> input delay/subdelay. Works on one
             block ([N, open] words -> [C, N]) or, in the batched offline
             path, a whole stream ([C, m*N]) -- delay gathers and the
             blockwise subdelay filter are length-agnostic."""
@@ -323,13 +323,18 @@ class DeviceIO:
                     w = sext24(w)
                 xs.append(decode_words(w, sel, vmap, spec_.real_dtype))
             x = jnp.concatenate(xs, axis=0)
+            # mute gain at decode, BEFORE the delay/subdelay state: the
+            # delay windows keep advancing on zeros while muted, so
+            # unmute does not replay audio captured during the mute --
+            # same order as the host path (engine.read_block)
+            x = x * in_gain[:, None]
             if dly_in is not None:
                 x, new_dstate["dlw_in"] = apply_delay(
                     x, dstate["dlw_in"], dvec_in, dly_in["W"])
             if sd_in is not None:
                 x, new_dstate["sdr_in"] = apply_subdelay(
                     x, dstate["sdr_in"], sdrows_in, sdbyp_in, sd_in["B"])
-            return x * in_gain[:, None]
+            return x
 
         def output_half(y, dstate, new_dstate, out_gain, dvec_out,
                         sdrows_out, sdbyp_out):

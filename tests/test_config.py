@@ -152,7 +152,7 @@ output 0, 1 { device: "file" {}; sample: "S16_LE"; channels: 2; };
 
 
 def test_delay_and_subdelay_arrays():
-    conf = parse_config("""
+    body = """
 sampling_rate: 44100; filter_length: 256;
 coeff 0 { filename: "dirac pulse"; };
 input 0, 1 { device: "file" {}; sample: "S16_LE"; channels: 2;
@@ -160,12 +160,16 @@ input 0, 1 { device: "file" {}; sample: "S16_LE"; channels: 2;
 output 0, 1 { device: "file" {}; sample: "S16_LE"; channels: 2;
               mute: true, false; };
 filter 0 { from_inputs: 0, 1; to_outputs: 0, 1; coeff: 0; };
-""")
+"""
+    conf = parse_config("sdf_length: 16;" + body)
     assert conf.delay[IN][:2] == [3, 7]
     assert conf.subdelay[IN][:2] == [5, -2]
     assert conf.maxdelay[IN][:2] == [100, 100]
     assert conf.mute[OUT][:2] == [True, False]
     assert conf.use_subdelay[IN] is True
+    # without sdf_length the subdelay subsystem is silently disabled
+    # (bfconf.c:2796-2798)
+    assert parse_config(body).use_subdelay == [False, False]
 
 
 def test_processed_roundtrip(rng):
