@@ -58,7 +58,7 @@ output {",".join(str(i) for i in range(CHANNELS))} {{
     for i in range(CHANNELS))
 
 
-def transfers_work(timeout_s: float = 90.0) -> bool:
+def transfers_work(force_cpu: bool = False, timeout_s: float = 90.0) -> bool:
     """Probe device->host transfer in a subprocess (it can hang forever,
     and a hung in-process RPC can wedge the whole PJRT client).
 
@@ -69,10 +69,11 @@ def transfers_work(timeout_s: float = 90.0) -> bool:
     benchmark into a network test; those run in sink mode instead.
     """
     import subprocess
-    import jax
-    backend = jax.default_backend()
-    force = (f"jax.config.update('jax_platforms', '{backend}')\n"
-             if backend == "cpu" else "")
+    # no jax.default_backend() here: that would initialize the parent's
+    # client, and the probe must be able to run BEFORE the parent owns
+    # the device (exclusive-access runtimes)
+    force = ("jax.config.update('jax_platforms', 'cpu')\n"
+             if force_cpu else "")
     code = (
         "import time, numpy as np, jax\n" + force +
         "import jax.numpy as jnp\n"
@@ -216,9 +217,17 @@ def main():
     from brutefir_tpu.runtime import Engine
     import jax
 
-    if os.environ.get("BENCH_FORCE_CPU"):
+    force_cpu = bool(os.environ.get("BENCH_FORCE_CPU"))
+    if force_cpu:
         sys.stderr.write("bench: BENCH_FORCE_CPU set; using CPU backend\n")
         jax.config.update("jax_platforms", "cpu")
+
+    # probe d2h BEFORE the parent initializes its jax client: on
+    # exclusive-access runtimes the child process cannot acquire the
+    # device while the parent holds it, which would force sink mode
+    # even where transfers are fine
+    sink = not transfers_work(force_cpu)
+
     try:
         jax.default_backend()
     except RuntimeError as e:
@@ -227,12 +236,12 @@ def main():
         sys.stderr.write(f"bench: accelerator backend unavailable ({e}); "
                          "falling back to CPU\n")
         jax.config.update("jax_platforms", "cpu")
+        sink = False   # CPU d2h is a memcpy
 
     conf = parse_config(CONFIG)
     eng = Engine(conf)
     eng.setup()
 
-    sink = not transfers_work()
     if sink:
         sys.stderr.write("bench: device->host transfers unavailable; "
                          "sink mode (encode runs on a staging buffer)\n")

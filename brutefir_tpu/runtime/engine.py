@@ -130,6 +130,10 @@ class Engine:
             except BFError:
                 raise   # malformed BRUTEFIR_TPU_MESH: typed config error
             except RuntimeError:
+                if not self._mesh_auto:
+                    # an explicitly requested BRUTEFIR_TPU_MESH=FxS must
+                    # not silently degrade to single-device
+                    raise
                 mesh = None   # no backend yet (import-time probing)
             if mesh is not None and not getattr(conf, "quiet", False):
                 sys.stderr.write(
@@ -1144,7 +1148,16 @@ class Engine:
 
             def producer():
                 try:
+                    # never read past max_blocks: over-prefetched input
+                    # would be discarded by the drain, silently skipping
+                    # samples for a later run() on the same engine
+                    left = (None if max_blocks is None
+                            else max(0, max_blocks - self.blockcounter))
                     while not pstate["stop"]:
+                        if left is not None:
+                            if left <= 0:
+                                return
+                            left -= 1
                         xw, f = self.read_block_dio()
                         # silence test on the host-side words (the uploaded
                         # arrays would cost a device->host fetch)
@@ -1167,6 +1180,27 @@ class Engine:
 
             pth = threading.Thread(target=producer, daemon=True)
             pth.start()
+
+        try:
+            self._run_loop_blocks(max_blocks, wq, wstats, N, budget, show,
+                                  pq, pstate)
+        finally:
+            # always stop the producer pipeline -- an exception in the
+            # block loop must not leak a spinning producer thread, the
+            # upload pool, or device-resident prefetched blocks
+            if pq is not None:
+                pstate["stop"] = True
+                try:
+                    while True:
+                        pq.get_nowait()
+                except queue.Empty:
+                    pass
+                pth.join(timeout=10.0)
+                up_pool.shutdown(wait=False)
+
+    def _run_loop_blocks(self, max_blocks, wq, wstats, N, budget, show,
+                         pq, pstate):
+        import queue
 
         eof = False
         while not self._stopped and not eof:
@@ -1204,6 +1238,13 @@ class Engine:
                                     list(self.control.delay[OUT]))
                         sd_snap = (list(self.control.subdelay[IN]),
                                    list(self.control.subdelay[OUT]))
+                    else:
+                        # under the same lock as ctrl: a concurrent CLI
+                        # line must not be observed half-applied or from
+                        # a different epoch than the block's ctrl
+                        out_snap = (list(self.control.delay[OUT]),
+                                    list(self.control.mute[OUT]),
+                                    list(self.control.subdelay[OUT]))
                 if self.dio is not None:
                     self.dio.update_delays(*dly_snap)
                     self.dio.update_subdelays(*sd_snap)
@@ -1215,9 +1256,6 @@ class Engine:
                         list(xw), uniform=uni)
                     pending_item = ("dio", outs, meters, nan_ok, frames)
                 else:
-                    out_snap = (list(self.control.delay[OUT]),
-                                list(self.control.mute[OUT]),
-                                list(self.control.subdelay[OUT]))
                     if self.mesh is not None:
                         if ctrl is not self._placed_ctrl_src:
                             self._placed_ctrl, _, _ = self._sharded.place(
@@ -1282,15 +1320,6 @@ class Engine:
                             f"sample rate drift detected: measured "
                             f"{measured:.0f} Hz, configured "
                             f"{self.conf.sampling_rate} Hz")
-        if pq is not None:
-            pstate["stop"] = True
-            try:
-                while True:
-                    pq.get_nowait()
-            except queue.Empty:
-                pass
-            pth.join(timeout=10.0)
-            up_pool.shutdown(wait=False)
 
     def run_offline(self, max_blocks=None, batch_blocks: int = 8,
                     sink_output: bool = False, setup: bool = True):
@@ -1314,14 +1343,15 @@ class Engine:
         # bounded: p50/p95 over the most recent ~131k blocks (a
         # multi-day realtime run must not grow a list forever)
         self._periods = collections.deque(maxlen=1 << 17)
-        frames_out = 0
-        eof = False
 
         import queue
         wq: "queue.Queue" = queue.Queue(maxsize=2)
         wstats = {"frames": 0, "err": None}
+        # same pacing rationale as run(): sync ~once per second of audio,
+        # converted to batches
+        default_drain = max(64, conf.sampling_rate // N)
         drain_every = max(1, int(os.environ.get(
-            "BRUTEFIR_TPU_DRAIN_EVERY", "64")) // M)
+            "BRUTEFIR_TPU_DRAIN_EVERY", str(default_drain))) // M)
         sink_pending = {"last": None, "n": 0}
 
         def writer():
@@ -1380,14 +1410,22 @@ class Engine:
 
         def producer():
             try:
+                # never read past max_blocks (over-prefetched input would
+                # be drained and discarded, silently skipping samples for
+                # a later run on the same engine)
+                left = (None if max_blocks is None
+                        else max(0, max_blocks - self.blockcounter))
                 while not pstate["stop"]:
+                    take = M if left is None else min(M, left)
+                    if take == 0:
+                        return
                     stacks = [np.zeros((M, N) + self.dio.in_wire_shape[di],
                                        self.dio.in_wire_dtype[di])
                               for di in range(len(conf.iodevs[IN]))]
                     got = 0
-                    frames = M * N
+                    frames = take * N
                     hit_eof = False
-                    for b in range(M):
+                    for b in range(take):
                         words, f = self.read_block_dio()
                         for di in range(len(stacks)):
                             stacks[di][b] = words[di]
@@ -1396,6 +1434,8 @@ class Engine:
                             frames = b * N + f
                             hit_eof = True
                             break
+                    if left is not None:
+                        left -= got
                     item = ([jnp.asarray(st) for st in stacks],
                             frames, got, hit_eof)
                     while not pstate["stop"]:
@@ -1416,6 +1456,68 @@ class Engine:
         pth = threading.Thread(target=producer, daemon=True)
         pth.start()
 
+        try:
+            try:
+                self._run_offline_batches(max_blocks, M, N, wq, wstats,
+                                          pq, pstate, N / conf.sampling_rate)
+            finally:
+                # always stop both pipeline threads, even on an exception
+                # mid-loop (run() gets this via its own try/finally)
+                pstate["stop"] = True
+                try:
+                    while True:
+                        pq.get_nowait()
+                except queue.Empty:
+                    pass
+                pth.join(timeout=10.0)
+                try:
+                    wq.put(None, timeout=5.0)
+                except queue.Full:
+                    pass
+                wth.join(timeout=30.0)
+        except BaseException:
+            # release devices like run()'s error path: a caller that
+            # catches the error and builds a new Engine must not inherit
+            # still-open devices
+            if setup:
+                try:
+                    self.teardown()
+                except Exception:
+                    pass
+            raise
+
+        if wstats["err"] is not None:
+            if setup:
+                try:
+                    self.teardown()
+                except Exception:
+                    pass
+            raise wstats["err"]
+        frames_out = wstats["frames"]
+        elapsed = time.perf_counter() - t_run0
+        stats = {
+            "blocks": self.blockcounter,
+            "frames": frames_out,
+            "elapsed_s": elapsed,
+            "xrt": (frames_out / conf.sampling_rate) / elapsed
+            if elapsed > 0 else 0.0,
+            "p50_block_ms": float(np.median(np.asarray(self._periods)) * 1e3)
+            if self._periods else 0.0,
+            "p95_block_ms": float(np.percentile(np.asarray(self._periods), 95) * 1e3)
+            if self._periods else 0.0,
+            "rti_max": self._rti_max,
+            "overflows": [o.n_overflows for o in self.overflow],
+            "peak_db": [o.peak_db() for o in self.overflow],
+        }
+        if setup:
+            self.teardown()
+        return stats
+
+    def _run_offline_batches(self, max_blocks, M, N, wq, wstats, pq,
+                             pstate, budget):
+        import queue
+
+        eof = False
         while not self._stopped and not eof and wstats["err"] is None:
             rem = (None if max_blocks is None
                    else max_blocks - self.blockcounter)
@@ -1484,47 +1586,13 @@ class Engine:
                     break
                 except queue.Full:
                     continue
-            self._periods.append((time.perf_counter() - t0) / M)
-
-        pstate["stop"] = True
-        try:
-            while True:
-                pq.get_nowait()
-        except queue.Empty:
-            pass
-        pth.join(timeout=10.0)
-
-        try:
-            wq.put(None, timeout=5.0)
-        except queue.Full:
-            pass
-        wth.join(timeout=30.0)
-        if wstats["err"] is not None:
-            if setup:
-                try:
-                    self.teardown()
-                except Exception:
-                    pass
-            raise wstats["err"]
-        frames_out = wstats["frames"]
-        elapsed = time.perf_counter() - t_run0
-        stats = {
-            "blocks": self.blockcounter,
-            "frames": frames_out,
-            "elapsed_s": elapsed,
-            "xrt": (frames_out / conf.sampling_rate) / elapsed
-            if elapsed > 0 else 0.0,
-            "p50_block_ms": float(np.median(np.asarray(self._periods)) * 1e3)
-            if self._periods else 0.0,
-            "p95_block_ms": float(np.percentile(np.asarray(self._periods), 95) * 1e3)
-            if self._periods else 0.0,
-            "rti_max": self._rti_max,
-            "overflows": [o.n_overflows for o in self.overflow],
-            "peak_db": [o.peak_db() for o in self.overflow],
-        }
-        if setup:
-            self.teardown()
-        return stats
+            per = (time.perf_counter() - t0) / M
+            self._periods.append(per)
+            # full batches only, the offline analog of the reference's
+            # full_proc rti gating (bfrun.c:1436-1445); without this the
+            # stats dict reported a stale rti from a previous run()
+            self.realtime_index = per / budget
+            self._rti_max = max(self._rti_max, per / budget)
 
     def _dump_debug_timeline(self):
         """Full-ring timeline dump (print_debug, bfrun.c:230-434): one
