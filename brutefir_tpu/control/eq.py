@@ -236,6 +236,9 @@ class EqModule:
                 raise RuntimeError(
                     f"EQ: {fr:.1f} Hz is not a band frequency")
             mag[freq.index(fr)] = v
+        # a magnitude given AT 0 Hz or Nyquist is accepted but then
+        # overwritten by this unconditional edge mirroring -- exactly the
+        # reference's (quirky) behavior, bflogic_eq.c:146-158
         mag[0] = mag[1]
         mag[-1] = mag[-2]
         for fr, v in phase_pairs:

@@ -19,10 +19,13 @@ Eligibility (the engine falls back to the host codec otherwise):
   * no integer/subsample delay lines (they hold host state). Mutes ARE
     handled here (a zero mask is exactly the reference's zeroed buffer).
 
-Quantization replicates dither_funs.h:70-114 bit-for-bit in float32:
-v = x + 0.5; truncate toward zero; decrement negatives in the integer
-domain; clip to [imin, imax] with overflow statistics. The per-channel
-meters (clip count, integer peak, clipped-magnitude peak -- bfmod.h:99-104)
+Quantization replicates dither_funs.h:70-114 bit-for-bit: the reference
+promotes its float path through the DOUBLE quantizer
+(fftw_convolver.c:447-473), so v = (double)x + 0.5, truncate toward
+zero, decrement negatives in the integer domain, clip to float-rounded
+[imin, imax] bounds. quantize_nd_exact reproduces those f64 semantics
+exactly with f32/int32 ops (no f64 on device). The per-channel meters
+(clip count, integer peak, clipped-magnitude peak -- bfmod.h:99-104)
 come back as a small side output.
 """
 
@@ -54,6 +57,75 @@ def device_format_word(fmt) -> np.dtype | None:
     return np.dtype({1: np.int8, 2: np.int16, 4: np.int32}[fmt.bytes])
 
 
+def _nd_clip_thresholds(imin: int, imax: int) -> tuple:
+    """Exact float32 decision thresholds for the reference's double-
+    precision clip tests.
+
+    The reference's no-dither float path promotes through the DOUBLE
+    quantizer with float-rounded bounds (real2rawf_no_dither ->
+    ditherd_real2int_no_dither, fftw_convolver.c:447-473): with
+    v = (double)y + 0.5, under ⟺ v <= (double)(float)imin and
+    over ⟺ v > (double)(float)imax. For float32 y these are exactly
+    y <= rmin_f - 0.5 and y > rmax_f - 0.5; returns the float32 grid
+    points (under_t, over_t) such that under ⟺ y < under_t and
+    over ⟺ y >= over_t as pure f32 comparisons.
+    """
+    def next_above(x64):
+        # smallest float32 strictly greater than the real number x64
+        c = np.float32(x64)
+        if np.float64(c) > x64:
+            return c
+        return np.nextafter(c, np.float32(np.inf))
+
+    under_t = next_above(np.float64(np.float32(imin)) - 0.5)
+    over_t = next_above(np.float64(np.float32(imax)) - 0.5)
+    return under_t, over_t
+
+
+def quantize_nd_exact(y: jnp.ndarray, imin: int, imax: int):
+    """Mid-tread no-dither quantizer, bit-equal to the host/reference
+    double-precision path (dither_funs.h:70-114), in f32/int32 ops.
+
+    A plain f32 ``y + 0.5`` loses the half above 2^23 (1 LSB divergence
+    over the whole upper range) and f32(imax) rounds UP for 32-bit
+    formats (missing full-scale clips). Instead: split y into exact
+    integer + fraction, decide the half-step and the v<0 branch with
+    exact comparisons, and clip against thresholds precomputed in f64.
+
+    Returns (q int32, under bool, over bool).
+    """
+    rd = y.dtype
+    under_t, over_t = _nd_clip_thresholds(imin, imax)
+    under = y < rd.type(under_t)
+    over = y >= rd.type(over_t)
+    clip = under | over
+    yc = jnp.where(clip, rd.type(0), y)       # keep trunc in int32 range
+    t = yc.astype(jnp.int32)                  # trunc toward zero, exact
+    f = yc - t.astype(rd)                     # exact: |f| < 1
+    half = rd.type(0.5)
+    # v = y + 0.5 computed in f64 equals t + (f + 0.5) exactly; all
+    # branch decisions reduce to exact f32 comparisons on f
+    s_pos = t + (f >= half).astype(jnp.int32)
+    v_neg = (t < 0) | ((t == 0) & (f < -half))
+    s_neg = jnp.where(v_neg, t - 1 + (f > -half).astype(jnp.int32), 0)
+    q = jnp.where(yc >= 0, s_pos, s_neg)
+    q = jnp.where(under, jnp.int32(imin), q)
+    q = jnp.where(over, jnp.int32(imax), q)
+    return q, under, over
+
+
+def scatter_words(cols: jnp.ndarray, selection: np.ndarray,
+                  open_channels: int, word_dtype) -> jnp.ndarray:
+    """[P_used, N] per-channel samples -> [N, open_ch] wire words.
+
+    The single definition of the used-channel -> open-column scatter;
+    the dithered output path (runtime/device_io.py) shares it so wire
+    packing can never drift between dithered and undithered devices.
+    """
+    words = jnp.zeros((cols.shape[1], open_channels), word_dtype)
+    return words.at[:, selection].set(cols.astype(word_dtype).T)
+
+
 def decode_words(words: jnp.ndarray, selection: np.ndarray,
                  virt_map: np.ndarray, rd) -> jnp.ndarray:
     """[N, open_ch] raw words -> [C_virtual, N] float at integer scale.
@@ -83,23 +155,16 @@ def encode_words(y: jnp.ndarray, fmt, selection: np.ndarray,
         ], axis=1)
         out_cols = y.astype(word_dtype)
     else:
-        imax = fmt.imax
-        imin = fmt.imin
-        v = y + y.dtype.type(0.5)
-        under = v <= y.dtype.type(imin)
-        over = v > y.dtype.type(imax)
+        q, under, over = quantize_nd_exact(y, fmt.imin, fmt.imax)
         clip = under | over
-        q = jnp.trunc(jnp.where(clip, 0.0, v)).astype(jnp.int32)
-        q = jnp.where(v < 0, q - 1, q)
-        q = jnp.where(under, imin, q)
-        q = jnp.where(over, imax, q)
-        mag = jnp.abs(v)
+        # meters only: the float-rounded |y + 0.5| is a reported peak,
+        # not part of the sample bit contract
+        mag = jnp.abs(y + y.dtype.type(0.5))
         meters = jnp.stack([
             jnp.sum(clip.astype(jnp.float32), axis=1),
             jnp.max(jnp.where(clip, mag, 0.0), axis=1),
             jnp.max(jnp.where(clip, 0, jnp.abs(q)), axis=1).astype(jnp.float32),
         ], axis=1)
         out_cols = q.astype(word_dtype)
-    words = jnp.zeros((N, open_channels), word_dtype)
-    words = words.at[:, selection].set(out_cols.T)
-    return words, meters
+    return scatter_words(out_cols, selection, open_channels, word_dtype), \
+        meters

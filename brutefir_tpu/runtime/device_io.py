@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from ..config.model import BFConfig, IN, OUT
 from ..graph.compile import _step_impl
-from ..ops.device_codec import device_format_word, decode_words, encode_words
+from ..ops.device_codec import (device_format_word, decode_words,
+                                encode_words, scatter_words)
 from ..ops.device_dither import dither_window, dither_quantize
 
 
@@ -372,8 +373,7 @@ class DeviceIO:
                         phys, d_all[rows], sf_all[rows],
                         fmt.imin, fmt.imax)
                     sf_all = sf_all.at[rows].set(sf_new)
-                    words = jnp.zeros((phys.shape[1], open_ch), wdt)
-                    words = words.at[:, sel].set(q.astype(wdt).T)
+                    words = scatter_words(q, sel, open_ch, wdt)
                 else:
                     words, m = encode_words(phys, fmt, sel, open_ch, wdt)
                 if out_wire[di] in ("p24", "raw3"):
