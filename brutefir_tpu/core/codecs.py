@@ -134,7 +134,11 @@ def quantize_no_dither(x: np.ndarray, fmt: SampleFormat, overflow: Overflow) -> 
         rmin = np.float64(fmt.imin)
         rmax = np.float64(fmt.imax)
 
-    under = shifted <= rmin
+    # NaN saturates to imin and counts, like the native path (codec.cpp)
+    # -- it fails both range tests, and an invalid float->int cast would
+    # otherwise emit a silent 0 with no accounting
+    nan = np.isnan(shifted)
+    under = (shifted <= rmin) | nan
     over = shifted > rmax
     clipped = under | over
     # trunc then decrement negatives in the *integer* domain (the reference
@@ -148,8 +152,9 @@ def quantize_no_dither(x: np.ndarray, fmt: SampleFormat, overflow: Overflow) -> 
     n_ovf = int(np.count_nonzero(under) + np.count_nonzero(over))
     overflow.n_overflows += n_ovf
     if n_ovf:
-        mag = np.abs(shifted[clipped])
-        overflow.largest = max(overflow.largest, float(mag.max()))
+        mag = np.abs(shifted[clipped & ~nan])
+        if mag.size:
+            overflow.largest = max(overflow.largest, float(mag.max()))
     ok = ~clipped
     if np.any(ok):
         overflow.intlargest = max(overflow.intlargest, int(np.abs(qi[ok]).max()))

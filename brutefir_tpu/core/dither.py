@@ -157,6 +157,11 @@ class DitherState:
         rt = self.table.dtype
         imin, imax = fmt.imin, fmt.imax
         rmin, rmax = rt(imin), rt(imax)
+        # bits==32 float32: rmax rounds UP to 2^31, so d == 2^31 would
+        # pass `d > rmax` and overflow the int32 store (the reference's
+        # cast there is UB -- same clip_hi rule as codec.cpp)
+        clip_hi = (rmax if float(rmax) > imax
+                   else np.nextafter(rmax, rt(np.inf)))
         sf0, sf1 = rt(self.sf[0]), rt(self.sf[1])
         out = np.empty(x.shape[0], dtype=np.int32)
         n_ovf = 0
@@ -169,6 +174,13 @@ class DitherState:
             real = rt(x[i]) + (sf0 - sf1)
             sf1 = sf0
             dithered = real + rt(d[i])
+            if dithered != dithered:
+                # NaN: saturate + count + reset the feedback, like the
+                # native path (codec.cpp) -- int(NaN) would raise
+                out[i] = imin
+                n_ovf += 1
+                sf0 = rt(0.0)
+                continue
             # clip peak compares `real` but stores `dithered` -- the
             # reference's exact accounting (dither_funs.h:38-39,52-53),
             # pinned by the golden-vector tests
@@ -183,7 +195,7 @@ class DitherState:
                     if -s > intlargest:
                         intlargest = -s
             else:
-                if dithered > rmax:
+                if dithered >= clip_hi:
                     s = imax
                     n_ovf += 1
                     if real > largest:

@@ -85,8 +85,17 @@ def decode_f32(raw: np.ndarray, fmt, n_frames: int, open_channels: int,
     lib = _load()
     sel = np.ascontiguousarray(channel_selection, dtype=np.int32)
     out = np.empty((len(sel), n_frames), dtype=np.float32)
-    lib.bf_decode_f32(np.ascontiguousarray(raw[: n_frames * open_channels * fmt.bytes]),
-                      out, n_frames, open_channels, sel, len(sel),
+    need = n_frames * open_channels * fmt.bytes
+    buf = np.ascontiguousarray(raw[:need])
+    # the C walks need bytes unconditionally and loads word-sized --
+    # validate what the numpy fallback's reshape would have caught, and
+    # realign odd-offset views (fresh numpy allocations are aligned)
+    if buf.nbytes < need:
+        raise ValueError(
+            f"decode_f32: raw buffer holds {buf.nbytes} of {need} bytes")
+    if fmt.bytes in (2, 4, 8) and buf.ctypes.data % fmt.bytes:
+        buf = buf.copy()
+    lib.bf_decode_f32(buf, out, n_frames, open_channels, sel, len(sel),
                       fmt.bytes, int(fmt.is_float), _swap_flag(fmt))
     return out
 
@@ -136,10 +145,21 @@ def quantize_rows_no_dither(x: np.ndarray, fmt, overflows) -> np.ndarray:
     return q
 
 
+def _check_out(out: np.ndarray, n_frames: int, open_channels: int,
+               fmt) -> None:
+    need = n_frames * open_channels * fmt.bytes
+    if out.nbytes < need:
+        raise ValueError(
+            f"encode: out buffer holds {out.nbytes} of {need} bytes")
+    if fmt.bytes in (2, 4, 8) and out.ctypes.data % fmt.bytes:
+        raise ValueError("encode: out buffer is not word-aligned")
+
+
 def encode_int(rows_q: np.ndarray, fmt, open_channels: int, channel_selection,
                out: np.ndarray) -> None:
     lib = _load()
     sel = np.ascontiguousarray(channel_selection, dtype=np.int32)
+    _check_out(out, rows_q.shape[1], open_channels, fmt)
     lib.bf_encode_int(np.ascontiguousarray(rows_q, np.int32), out,
                       rows_q.shape[1], open_channels, sel, len(sel),
                       fmt.bytes, _swap_flag(fmt))
@@ -152,6 +172,7 @@ def encode_float(rows: np.ndarray, fmt, open_channels: int, channel_selection,
     maxes = np.array([o.max for o in overflows], dtype=np.float64)
     stats = (OvfStatsC * len(overflows))(
         *[_make_stats(o) for o in overflows])
+    _check_out(out, rows.shape[1], open_channels, fmt)
     lib.bf_encode_float(np.ascontiguousarray(rows, np.float32), out,
                         rows.shape[1], open_channels, sel, len(sel),
                         fmt.bytes, _swap_flag(fmt), maxes,

@@ -124,7 +124,12 @@ void bf_quantize_nd(const float* x, int64_t n, int32_t bits, int32_t* q,
                 if (-v > lg) lg = -v;
             } else {
                 s = (int32_t)v - 1;
-                if (-s > il) il = -s;
+                // s can be INT32_MIN (x = -2^31 is in range); negate in
+                // unsigned space -- plain -s is signed-overflow UB. The
+                // wrapped value keeps the reference's observed behavior
+                // (full-scale negative peak never recorded).
+                if ((int32_t)(0u - (uint32_t)s) > il)
+                    il = (int32_t)(0u - (uint32_t)s);
             }
         } else {
             if (v > rmax) {
@@ -151,6 +156,12 @@ void bf_quantize_dither(const float* x, const float* dith, int64_t n,
     const int32_t imax = (int32_t)((1u << (bits - 1)) - 1);
     const int32_t imin = -imax - 1;
     const float rmin = (float)imin, rmax = (float)imax;
+    // bits==32: rmax rounds UP to 2^31, so d == 2^31 would pass
+    // `d > rmax` and hit an out-of-range cast (UB; the reference shares
+    // this edge, dither_funs.h:49). Define it as a clip: clip_hi is the
+    // smallest float whose cast would overflow.
+    const float clip_hi =
+        (bits == 32) ? rmax : std::nextafterf(rmax, INFINITY);
     float sf0 = sf[0], sf1 = sf[1];
     uint32_t novf = st->n_overflows;
     int32_t il = st->intlargest;
@@ -180,10 +191,12 @@ void bf_quantize_dither(const float* x, const float* dith, int64_t n,
                 if (real < -lg) lg = (double)-d;
             } else {
                 s = (int32_t)d - 1;
-                if (-s > il) il = -s;
+                // unsigned negate: no signed-overflow UB (see nd path)
+                if ((int32_t)(0u - (uint32_t)s) > il)
+                    il = (int32_t)(0u - (uint32_t)s);
             }
         } else {
-            if (d > rmax) {
+            if (d >= clip_hi) {
                 s = imax;
                 novf++;
                 if (real > lg) lg = (double)d;
@@ -234,22 +247,15 @@ void bf_quantize_nd_rows(const float* x, int32_t n_rows, int64_t n,
             novf += clip;
             double a = v < 0.0 ? -v : v;
             lgc = (clip && a > lgc) ? a : lgc;
-            int32_t sa = s < 0 ? -s : s;
+            // unsigned negate: s == INT32_MIN (in-range x = -2^31, and
+            // every imin-saturated clip) must not hit signed-overflow UB
+            int32_t sa = s < 0 ? (int32_t)(0u - (uint32_t)s) : s;
             il = (!clip && sa > il) ? sa : il;
             qr[i] = s;
         }
         st->n_overflows += novf;
         st->intlargest = il;
         if (lgc > st->largest) st->largest = lgc;
-    }
-}
-
-void bf_quantize_dither_rows(const float* x, const float* dith, int32_t n_rows,
-                             int64_t n, int32_t bits, float* sf /* [rows][2] */,
-                             int32_t* q, OvfStats* stats) {
-    for (int32_t r = 0; r < n_rows; r++) {
-        bf_quantize_dither(x + (int64_t)r * n, dith + (int64_t)r * n, n, bits,
-                           sf + 2 * r, q + (int64_t)r * n, stats + r);
     }
 }
 

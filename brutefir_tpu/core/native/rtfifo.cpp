@@ -140,7 +140,19 @@ uint64_t bf_jack_ctx_xruns(void *ctx) {
 // reference's synchronization-failure behavior (dai.c:1336-1369).
 int bf_jack_process(uint32_t nframes, void *arg) {
     JackCtx *c = (JackCtx *)arg;
-    if (!c || !c->running.load(std::memory_order_acquire)) return 0;
+    if (!c) return 0;
+    if (!c->running.load(std::memory_order_acquire)) {
+        // a stopped playback stream must emit silence: JACK reuses port
+        // buffers without clearing, so returning early would loop the
+        // last written period until jack_deactivate
+        if (c->io != 0) {
+            for (int i = 0; i < c->n_ports; i++) {
+                float *b = (float *)c->get_buffer(c->ports[i], nframes);
+                if (b) memset(b, 0, (size_t)nframes * sizeof(float));
+            }
+        }
+        return 0;
+    }
     const int P = c->n_ports;
     float *bufs[MAX_PORTS];
     for (int i = 0; i < P; i++)

@@ -45,7 +45,6 @@ def _load():
     lib.bf_ring_used.argtypes = [c.c_void_p]
     lib.bf_ring_write.restype = c.c_uint64
     lib.bf_ring_write.argtypes = [c.c_void_p, c.c_void_p, c.c_uint64]
-    lib.bf_ring_write_at = lib.bf_ring_write  # byref-offset alias
     lib.bf_ring_read.restype = c.c_uint64
     lib.bf_ring_read.argtypes = [c.c_void_p, c.c_void_p, c.c_uint64]
     lib.bf_jack_ctx_create.restype = c.c_void_p
@@ -136,7 +135,7 @@ class NativeRing:
             ring = self._ring
             if ring is None:
                 return sent
-            n = int(self._lib.bf_ring_write_at(
+            n = int(self._lib.bf_ring_write(
                 ring, ctypes.byref(buf, sent), len(data) - sent))
             sent += n
             if sent < len(data):

@@ -126,9 +126,19 @@ def dither_quantize(x: jax.Array, d: jax.Array, sf: jax.Array,
     s = xi + jnp.floor(tf)                             # full-precision floor
     # host clip/count semantics (dither_funs.h / _quantize_py): count on
     # the PRE-floor dithered value — ``dithered <= rmin`` or ``> rmax``
-    # (e.g. t in (imax, imax+1) floors to imax but still counts)
-    ovf = (t_val <= f32(imin)) | (t_val > f32(imax))
-    sq = jnp.clip(s, f32(imin), f32(imax)).astype(jnp.int32)
+    # (e.g. t in (imax, imax+1) floors to imax but still counts).
+    # f32(imax) rounds UP to 2^31 for 32-bit formats, so the upper test
+    # uses the exact f32 threshold (over ⟺ t >= over_t) and the clamp
+    # stays below the int32 cast limit, with clipped samples forced to
+    # imax like the host (codec.cpp clip_hi rule).
+    c = np.float32(imax)
+    over_t = (c if np.float64(c) > imax
+              else np.nextafter(c, np.float32(np.inf)))
+    clamp_hi = np.nextafter(np.float32(over_t), np.float32(-np.inf))
+    over = t_val >= f32(over_t)
+    ovf = (t_val <= f32(imin)) | over
+    sq = jnp.where(over, jnp.int32(imax),
+                   jnp.clip(s, f32(imin), f32(clamp_hi)).astype(jnp.int32))
     # meters in encode_words' convention: [n_overflows, clip peak, int peak]
     mag = jnp.abs(t_val)
     meters = jnp.stack([
