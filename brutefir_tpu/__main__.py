@@ -90,6 +90,16 @@ def main(argv=None) -> int:
             return status[0] if status else BF_EXIT_OTHER
         os.close(r)
         daemon_w = w
+        # detach from the controlling terminal (the reference's
+        # setsid(), brutefir.c:78-81): without it a closed terminal
+        # HUPs the "daemon". The reference's chdir("/") is NOT copied
+        # -- coeff paths resolve at parse but output files open at
+        # engine setup, and relative paths must keep working -- and
+        # neither is umask(0) (world-writable outputs).
+        try:
+            os.setsid()
+        except OSError:
+            pass   # already a session leader
 
     def _report_ready(code: int):
         nonlocal daemon_w

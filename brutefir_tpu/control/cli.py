@@ -110,6 +110,8 @@ def _parse_module_params(params):
     while i < len(params):
         f = need(T.FIELD).value
         if f == "port":
+            if i >= len(params):
+                raise RuntimeError("CLI: parse error in module parameters")
             t = params[i]
             i += 1
             if t.kind == T.REAL:
@@ -154,6 +156,10 @@ class CliModule:
         self.print_prompt = False
         self.print_peak_updates = False
         self._last_overflows = None
+        # the stream `upk` peak updates go to: the active socket/serial
+        # session when one exists (the reference's client_stream,
+        # bflogic_cli.c:803-805), stderr in script mode
+        self._peak_stream = None
         # script-mode cursor state
         self._lines = None
         self._line_idx = 0
@@ -250,19 +256,22 @@ class CliModule:
             return parts[0], ""
         return parts[0], parts[1]
 
-    def _set_scale(self, out, scales, idx, arg):
+    def _set_scale(self, out, scales, idx, arg, kind):
+        # a missing value falls through to the float('') ValueError --
+        # the reference's strtod failure message, not a silent no-op
+        # (bflogic_cli.c:541-603; cffa uses the "input" wording)
         arg = arg.strip()
         if arg[:1] in ("M", "m"):
             try:
                 scales[idx] = float(arg[1:])
             except ValueError:
-                out.write("Invalid multiplier.\n")
+                out.write(f"Invalid {kind} multiplier.\n")
                 return
         else:
             try:
                 att = float(arg)
             except ValueError:
-                out.write("Invalid attenuation.\n")
+                out.write(f"Invalid {kind} attenuation.\n")
                 return
             mag = math.pow(10.0, -att / 20.0)
             scales[idx] = -mag if scales[idx] < 0 else mag
@@ -333,12 +342,9 @@ class CliModule:
     def _print_overflows(self, out):
         out.write("peak: ")
         for n, o in enumerate(self.engine.overflow):
-            peak = max(o.largest, float(o.intlargest))
-            if peak != 0.0:
-                db = 20.0 * math.log10(peak / o.max)
-                out.write(f"{n}/{o.n_overflows}/{db:+.2f} ")
-            else:
-                out.write(f"{n}/{o.n_overflows}/-Inf ")
+            db = o.peak_db()   # one definition, shared with the engine
+            out.write(f"{n}/{o.n_overflows}/"
+                      + (f"{db:+.2f} " if math.isfinite(db) else "-Inf "))
         out.write("\n")
 
     # ------- command dispatch --------------------------------------------
@@ -363,24 +369,27 @@ class CliModule:
             rid = self._get_id(out, a, FILTER_ID)
             if rid is not None:
                 pos = self._get_id(out, b, FILTER_ID, rid)
-                if pos is not None and val:
-                    self._set_scale(out, ctrl.fctrl[rid].fscales, pos, val)
+                if pos is not None:
+                    self._set_scale(out, ctrl.fctrl[rid].fscales, pos, val,
+                                    "input")
         elif cmd.startswith("cfia"):
             a, rest = self._split2(cmd[4:].strip())
             b, val = self._split2(rest)
             rid = self._get_id(out, a, FILTER_ID)
             if rid is not None:
                 pos = self._get_id(out, b, INPUT_ID, rid)
-                if pos is not None and val:
-                    self._set_scale(out, ctrl.fctrl[rid].in_scales, pos, val)
+                if pos is not None:
+                    self._set_scale(out, ctrl.fctrl[rid].in_scales, pos, val,
+                                    "input")
         elif cmd.startswith("cfoa"):
             a, rest = self._split2(cmd[4:].strip())
             b, val = self._split2(rest)
             rid = self._get_id(out, a, FILTER_ID)
             if rid is not None:
                 pos = self._get_id(out, b, OUTPUT_ID, rid)
-                if pos is not None and val:
-                    self._set_scale(out, ctrl.fctrl[rid].out_scales, pos, val)
+                if pos is not None:
+                    self._set_scale(out, ctrl.fctrl[rid].out_scales, pos, val,
+                                    "output")
         elif cmd.startswith("cfc"):
             a, b = self._split2(cmd[3:].strip())
             rid = self._get_id(out, a, FILTER_ID)
@@ -564,7 +573,12 @@ class CliModule:
         if cur != self._last_overflows:
             self._last_overflows = cur
             import sys
-            self._print_overflows(sys.stderr)
+            stream = self._peak_stream or sys.stderr
+            try:
+                self._print_overflows(stream)
+                stream.flush()
+            except (OSError, ValueError):
+                pass   # session closed mid-push
 
     def command(self, params: str):
         """lmc entry: execute a command string, return (ok, message)."""
@@ -624,15 +638,24 @@ class CliModule:
             attrs[1] = 0                         # oflag
             attrs[2] = (termios.CS8 | termios.CREAD | termios.CLOCAL)
             attrs[3] = 0                         # lflag (raw, no echo)
+            # blocking reads, one byte at a time (the reference's
+            # c_cc[VMIN]=1, VTIME=0, bflogic_cli.c:1280-1281) -- an
+            # inherited VMIN=0/VTIME=0 would turn every read into an
+            # instant EOF and spin the reopen loop
+            attrs[6][termios.VMIN] = 1
+            attrs[6][termios.VTIME] = 0
             if speed is not None:
                 attrs[4] = speed                 # ispeed
                 attrs[5] = speed                 # ospeed
             termios.tcsetattr(fd, termios.TCSANOW, attrs)
         except termios.error:
             pass                                 # ptys reject some attrs
+        # errors="replace": line noise / baud mismatch must not raise a
+        # UnicodeDecodeError through the session thread
         f = io.TextIOWrapper(
             open(fd, "r+b", buffering=0), encoding="utf-8",
-            newline="\n", write_through=True)
+            errors="replace", newline="\n", write_through=True)
+        self._peak_stream = f
         try:
             while True:
                 if self.print_prompt:
@@ -651,6 +674,11 @@ class CliModule:
         except OSError:
             return
         finally:
+            # session close resets the push target and the upk flag,
+            # like the reference (bflogic_cli.c:1081)
+            if self._peak_stream is f:
+                self._peak_stream = None
+                self.print_peak_updates = False
             try:
                 f.close()
             except OSError:
@@ -666,7 +694,11 @@ class CliModule:
                              daemon=True).start()
 
     def _client_loop(self, client: socket.socket):
-        f = client.makefile("rw", newline="\n")
+        # errors="replace": arbitrary client bytes (8-bit telnet) answer
+        # "Unknown command", they do not kill the session thread
+        f = client.makefile("rw", newline="\n", encoding="utf-8",
+                            errors="replace")
+        self._peak_stream = f
         try:
             while True:
                 if self.print_prompt:
@@ -685,6 +717,9 @@ class CliModule:
         except (BrokenPipeError, ConnectionResetError):
             return
         finally:
+            if self._peak_stream is f:
+                self._peak_stream = None
+                self.print_peak_updates = False
             try:
                 f.close()
                 client.close()

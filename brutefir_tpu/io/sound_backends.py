@@ -195,13 +195,26 @@ class OssDevice(IoDevice):
         import fcntl
         import struct
         flags = os.O_RDONLY if self.io == IN else os.O_WRONLY
-        self.fd = os.open(self.device, flags)
+        # wrap raw OS errors into the module's typed error so the CLI
+        # exit-code contract holds (a missing /dev/dsp must print a
+        # clean message, not a traceback -- bfio_oss.c error paths)
+        try:
+            self.fd = os.open(self.device, flags)
+        except OSError as e:
+            raise IoModuleError(
+                f"OSS I/O: could not open {self.device}: {e.strerror}"
+            ) from None
         for req, val in ((self.SNDCTL_DSP_SETFMT,
                           self.AFMT[self.sample_format.name]),
                          (self.SNDCTL_DSP_CHANNELS, self.open_channels),
                          (self.SNDCTL_DSP_SPEED, self.sample_rate)):
             buf = struct.pack("i", val)
-            res = fcntl.ioctl(self.fd, req, buf)
+            try:
+                res = fcntl.ioctl(self.fd, req, buf)
+            except OSError as e:
+                raise IoModuleError(
+                    f"OSS I/O: ioctl {req:#x} failed: {e.strerror}"
+                ) from None
             got = struct.unpack("i", res)[0]
             if got != val:
                 raise IoModuleError(
@@ -211,7 +224,11 @@ class OssDevice(IoDevice):
     def read(self, nbytes):
         out = bytearray()
         while len(out) < nbytes:
-            chunk = os.read(self.fd, nbytes - len(out))
+            try:
+                chunk = os.read(self.fd, nbytes - len(out))
+            except OSError as e:
+                raise IoModuleError(
+                    f"OSS I/O: read failed: {e.strerror}") from None
             if not chunk:
                 break
             out += chunk
@@ -224,7 +241,11 @@ class OssDevice(IoDevice):
         buf = bytes(data)
         done = 0
         while done < len(buf):
-            done += os.write(self.fd, buf[done:])
+            try:
+                done += os.write(self.fd, buf[done:])
+            except OSError as e:
+                raise IoModuleError(
+                    f"OSS I/O: write failed: {e.strerror}") from None
         return done
 
     def close(self):
@@ -516,6 +537,14 @@ class PulseDevice(IoDevice):
         _fields_ = [("format", ctypes.c_int), ("rate", ctypes.c_uint32),
                     ("channels", ctypes.c_uint8)]
 
+    class _BufferAttr(ctypes.Structure):
+        # pa_buffer_attr (pulse/def.h); (uint32)-1 = server default
+        _fields_ = [("maxlength", ctypes.c_uint32),
+                    ("tlength", ctypes.c_uint32),
+                    ("prebuf", ctypes.c_uint32),
+                    ("minreq", ctypes.c_uint32),
+                    ("fragsize", ctypes.c_uint32)]
+
     def __init__(self, params, io, sample_format, sample_rate, open_channels):
         super().__init__(params, io, sample_format, sample_rate, open_channels)
         opts = _parse_fields(params, {"server": T.STRING, "device": T.STRING,
@@ -537,13 +566,25 @@ class PulseDevice(IoDevice):
         err = ctypes.c_int(0)
         opts = self._opts
         direction = 2 if self.io == IN else 1   # PA_STREAM_RECORD=2
+        # bound the server-side buffering to the engine's period: the
+        # Pulse defaults (hundreds of ms of tlength / large fragsize)
+        # would silently replace the advertised fixed 2N I/O delay
+        fb = self.sample_format.bytes * self.open_channels
+        period_bytes = max(1, int(period_size)) * fb
+        default = 0xFFFFFFFF
+        attr = self._BufferAttr(default, default, default, default, default)
+        if self.io == IN:
+            attr.fragsize = period_bytes
+        else:
+            attr.tlength = 2 * period_bytes
+            attr.maxlength = 4 * period_bytes
         self._s = lib.pa_simple_new(
             opts.get("server", "").encode() or None,
             opts.get("app_name", "brutefir").encode(),
             direction,
             opts.get("device", "").encode() or None,
             opts.get("stream_name", "brutefir").encode(),
-            ctypes.byref(ss), None, None, ctypes.byref(err))
+            ctypes.byref(ss), None, ctypes.byref(attr), ctypes.byref(err))
         if not self._s:
             raise IoModuleError(
                 f"Pulse I/O: pa_simple_new failed (error {err.value})")

@@ -83,7 +83,12 @@ class RuntimeControl:
         self._dirty = True
 
     def change_coeff(self, filter_idx: int, coeff: int):
-        if -1 <= coeff < len(self.conf.coeffs):
+        # any negative id means "no coeff" (the reference applies
+        # `coeff < 0` uniformly, bfrun.c:1585, and get_id has no lower
+        # bound for COEFF_ID) -- do not silently drop e.g. cfc 0 -5
+        if coeff < -1:
+            coeff = -1
+        if coeff < len(self.conf.coeffs):
             self.fctrl[filter_idx].coeff = coeff
             self._dirty = True
 
