@@ -388,13 +388,26 @@ def main():
 _stage_subproc_broken = False
 
 
+_DEVICE_CONTENTION_MARKERS = (
+    # signatures of "the parent process holds the chip" -- only these
+    # justify skipping the remaining subprocess stages
+    "Unable to initialize backend",
+    "already in use",
+    "Device or resource busy",
+    "failed to acquire",
+    "libtpu",
+)
+
+
 def _stage_run(tool_name, argv, env_extra, timeout_var, default_timeout):
     """Run a measurement tool in a watched subprocess; returns its stdout
-    or None. A nonzero exit / timeout marks subprocess stages broken and
-    every later stage is skipped immediately: on exclusive-access
-    (non-relay) TPU runtimes a child process cannot acquire the device
-    the parent holds, and burning each remaining stage's full timeout
-    would cost ~15 minutes of wall clock for a row of Nones."""
+    or None. Only failures that look like exclusive-device contention (a
+    timeout, or a device-acquisition error in stderr) latch the broken
+    flag and skip later stages: on exclusive-access (non-relay) TPU
+    runtimes a child process cannot acquire the device the parent holds,
+    and burning each remaining stage's full timeout would cost ~15 minutes
+    of wall clock for a row of Nones. Other nonzero exits (a tool-specific
+    crash, a transient host hiccup) skip only this stage."""
     global _stage_subproc_broken
     if _stage_subproc_broken:
         return None
@@ -411,13 +424,18 @@ def _stage_run(tool_name, argv, env_extra, timeout_var, default_timeout):
             sys.stderr.write(
                 f"bench: {tool_name} stage failed (rc {r.returncode}); "
                 f"stderr tail: {r.stderr[-400:]!r}\n")
-            _stage_subproc_broken = True
+            if any(m in (r.stderr or "") for m in
+                   _DEVICE_CONTENTION_MARKERS):
+                _stage_subproc_broken = True
             return None
         return r.stdout
+    except subprocess.TimeoutExpired as e:
+        sys.stderr.write(f"bench: {tool_name} stage timed out ({e})\n")
+        _stage_subproc_broken = True
+        return None
     except Exception as e:
         sys.stderr.write(f"bench: {tool_name} stage failed "
                          f"({type(e).__name__}: {e})\n")
-        _stage_subproc_broken = True
         return None
 
 

@@ -154,12 +154,19 @@ class CliModule:
         self.port = opts.get("port")
         self.line_speed = opts.get("line_speed")
         self.print_prompt = False
-        self.print_peak_updates = False
         self._last_overflows = None
-        # the stream `upk` peak updates go to: the active socket/serial
-        # session when one exists (the reference's client_stream,
-        # bflogic_cli.c:803-805), stderr in script mode
-        self._peak_stream = None
+        # `upk` peak updates are tracked PER SESSION: each socket/serial
+        # session registers its stream + write lock in _session_locks while
+        # alive; `upk` toggles that stream's membership in _peak_sessions
+        # (the reference has one session at a time -- bflogic_cli.c:803-805
+        # -- so per-session is the faithful generalization for concurrent
+        # clients). Script mode / lmc commands target stderr. The per-stream
+        # lock serializes engine peak pushes against the session thread's
+        # own prompt/response writes on the same TextIOWrapper.
+        self._peak_lock = threading.Lock()
+        self._session_locks = {}            # stream -> write lock
+        self._peak_sessions = {}            # stream -> write lock (upk on)
+        self._stderr_lock = threading.Lock()
         # script-mode cursor state
         self._lines = None
         self._line_idx = 0
@@ -482,7 +489,7 @@ class CliModule:
             for o in eng.overflow:
                 o.reset()
         elif cmd == "upk":
-            self.print_peak_updates = not self.print_peak_updates
+            self._toggle_peak_updates(out)
         elif cmd == "tp":
             self.print_prompt = not self.print_prompt
         elif cmd == "rti":
@@ -566,19 +573,51 @@ class CliModule:
         instead of waiting for the next block_start poll."""
         self._maybe_print_peaks()
 
+    @property
+    def print_peak_updates(self) -> bool:
+        """True when any session (or script mode) has `upk` enabled."""
+        with self._peak_lock:
+            return bool(self._peak_sessions)
+
+    def _toggle_peak_updates(self, out):
+        """`upk` for the issuing session's stream; script/lmc -> stderr."""
+        import sys
+        with self._peak_lock:
+            if out in self._session_locks:
+                stream, lock = out, self._session_locks[out]
+            else:
+                stream, lock = sys.stderr, self._stderr_lock
+            if stream in self._peak_sessions:
+                del self._peak_sessions[stream]
+            else:
+                self._peak_sessions[stream] = lock
+
+    def _register_session(self, stream) -> threading.Lock:
+        lock = threading.Lock()
+        with self._peak_lock:
+            self._session_locks[stream] = lock
+        return lock
+
+    def _unregister_session(self, stream):
+        with self._peak_lock:
+            self._session_locks.pop(stream, None)
+            self._peak_sessions.pop(stream, None)
+
     def _maybe_print_peaks(self):
-        if not self.print_peak_updates:
+        with self._peak_lock:
+            targets = list(self._peak_sessions.items())
+        if not targets:
             return
         cur = tuple(o.n_overflows for o in self.engine.overflow)
         if cur != self._last_overflows:
             self._last_overflows = cur
-            import sys
-            stream = self._peak_stream or sys.stderr
-            try:
-                self._print_overflows(stream)
-                stream.flush()
-            except (OSError, ValueError):
-                pass   # session closed mid-push
+            for stream, lock in targets:
+                try:
+                    with lock:
+                        self._print_overflows(stream)
+                        stream.flush()
+                except (OSError, ValueError):
+                    pass   # session closed mid-push
 
     def command(self, params: str):
         """lmc entry: execute a command string, return (ok, message)."""
@@ -655,30 +694,31 @@ class CliModule:
         f = io.TextIOWrapper(
             open(fd, "r+b", buffering=0), encoding="utf-8",
             errors="replace", newline="\n", write_through=True)
-        self._peak_stream = f
+        wlock = self._register_session(f)
         try:
             while True:
-                if self.print_prompt:
-                    f.write("> ")
-                    f.flush()
+                with wlock:
+                    if self.print_prompt:
+                        f.write("> ")
+                        f.flush()
                 line = f.readline()
                 if not line:
                     return
                 st = _SleepTask()
-                cont = self.run_line(f, line.strip(), st)
+                with wlock:
+                    cont = self.run_line(f, line.strip(), st)
                 if st.do_sleep and not st.block_sleep:
                     time.sleep(st.seconds + st.useconds / 1e6)
-                f.flush()
+                with wlock:
+                    f.flush()
                 if not cont:
                     return
         except OSError:
             return
         finally:
-            # session close resets the push target and the upk flag,
-            # like the reference (bflogic_cli.c:1081)
-            if self._peak_stream is f:
-                self._peak_stream = None
-                self.print_peak_updates = False
+            # session close drops only THIS session's push target / upk
+            # state, like the reference (bflogic_cli.c:1081)
+            self._unregister_session(f)
             try:
                 f.close()
             except OSError:
@@ -698,28 +738,29 @@ class CliModule:
         # "Unknown command", they do not kill the session thread
         f = client.makefile("rw", newline="\n", encoding="utf-8",
                             errors="replace")
-        self._peak_stream = f
+        wlock = self._register_session(f)
         try:
             while True:
-                if self.print_prompt:
-                    f.write("> ")
-                    f.flush()
+                with wlock:
+                    if self.print_prompt:
+                        f.write("> ")
+                        f.flush()
                 line = f.readline()
                 if not line:
                     return
                 st = _SleepTask()
-                cont = self.run_line(f, line.strip(), st)
+                with wlock:
+                    cont = self.run_line(f, line.strip(), st)
                 if st.do_sleep and not st.block_sleep:
                     time.sleep(st.seconds + st.useconds / 1e6)
-                f.flush()
+                with wlock:
+                    f.flush()
                 if not cont:
                     return
         except (BrokenPipeError, ConnectionResetError):
             return
         finally:
-            if self._peak_stream is f:
-                self._peak_stream = None
-                self.print_peak_updates = False
+            self._unregister_session(f)
             try:
                 f.close()
                 client.close()

@@ -242,10 +242,16 @@ class OssDevice(IoDevice):
         done = 0
         while done < len(buf):
             try:
-                done += os.write(self.fd, buf[done:])
+                n = os.write(self.fd, buf[done:])
             except OSError as e:
                 raise IoModuleError(
                     f"OSS I/O: write failed: {e.strerror}") from None
+            if n == 0:
+                # some OSS emulation layers return 0 on a full buffer
+                # instead of blocking; retrying would busy-spin forever
+                raise IoModuleError(
+                    "OSS I/O: write returned 0 bytes (device stalled)")
+            done += n
         return done
 
     def close(self):

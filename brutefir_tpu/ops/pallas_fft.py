@@ -49,7 +49,10 @@ the MXU-permutation and VPU-butterfly glues -- XLA's fft + fused
 shuffle glue stands as the practical floor for bit-parity f32 on this
 hardware generation. NOT wired into the engine; kept with parity tests
 so the A/B can be re-run on future hardware (a native-f32 or wider-MXU
-part flips the arithmetic).
+part flips the arithmetic). NOTE: the CI parity tests run these kernels
+in interpret mode on CPU hosts only -- the Mosaic lowering path is NOT
+exercised there; a future re-A/B should start with a compiled-path
+smoke test on the target hardware before trusting the numbers.
 """
 
 from __future__ import annotations
@@ -60,6 +63,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from .pallas_glue import _bin0_tile as _bin0  # shared packed-bin-0 mask
+from .pallas_glue import _interp  # shared backend probe (one fix point)
 
 _LANES = 128
 
@@ -145,9 +151,6 @@ def _dot(a, b):
         preferred_element_type=jnp.float32)
 
 
-from .pallas_glue import _bin0_tile as _bin0  # shared packed-bin-0 mask
-
-
 def _fwd_kernel(zr_ref, zi_ref, c_ref, d_ref, tw_ref, ab_ref, x_ref):
     zr = zr_ref[0]
     zi = zi_ref[0]
@@ -207,9 +210,6 @@ def _inv_kernel(p_ref, e_ref, tw_ref, f_ref, ab_ref, v_ref):
     zqi = _dot(fr, qti) + _dot(fi, qtr)
     v_ref[0, 0] = zpr + zqr                # z = P + conj(Q)
     v_ref[0, 1] = zpi - zqi
-
-
-from .pallas_glue import _interp  # shared backend probe (one fix point)
 
 
 def rfft_planes_fused(x: jnp.ndarray) -> jnp.ndarray:
