@@ -878,6 +878,27 @@ def _link(conf: BFConfig):
         if has_loop(f.intname):
             raise ConfigParseError(f"filter {f.intname} is involved in a loop")
 
+    # manual process placement constraints (bfconf.c:2893-2931): filters
+    # connected via filter edges must share a process, and one output
+    # channel may only mix filters from a single process. (The engine
+    # maps process groups onto the 'f' mesh axis; these configs would
+    # actually work there thanks to the out-mix psum, but the reference
+    # rejects them, so parity does too.)
+    if conf.filters and all(f.process >= 0 for f in conf.filters):
+        for f in conf.filters:
+            for src, _ in f.in_filters:
+                if conf.filters[src].process != f.process:
+                    raise ConfigParseError(
+                        "Connected filters must be processed within the "
+                        "same process.")
+        out_owner = {}
+        for f in conf.filters:
+            for ch, _ in f.out_channels:
+                if out_owner.setdefault(ch, f.process) != f.process:
+                    raise ConfigParseError(
+                        "Mixed outputs must be processed within the same "
+                        "process.")
+
     # coeff block counts (bfconf.c:2826-2833)
     for c in conf.coeffs:
         if c.n_blocks <= 0:

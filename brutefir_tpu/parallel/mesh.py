@@ -51,7 +51,7 @@ def make_mesh(devices=None, f_axis: int = 1, sp_axis: int = None) -> Mesh:
 
 
 def auto_mesh(n_filters: int, n_bins: int, real_dtype,
-              devices=None, env=None):
+              devices=None, env=None, f_pref: int = 0):
     """Pick an ('f', 'sp') mesh for the visible devices automatically.
 
     The analog of the reference's default multi-CPU behavior: it forks one
@@ -72,6 +72,15 @@ def auto_mesh(n_filters: int, n_bins: int, real_dtype,
       "off"/"0"/"1"  -> single device (no mesh)
       "FxS"          -> explicit mesh axes (e.g. "2x4")
       "auto"/unset   -> heuristic above
+
+    ``f_pref`` > 0 requests manual `filter { process: N; }` placement
+    (bfconf.c:1024-1036): the 'f' axis is made as close to the process
+    count as the device count allows (never larger), and the filter-count
+    divisibility requirement is waived -- the engine pads the filter axis
+    so every group lands on an exact shard boundary. An explicit FxS env
+    setting still wins; process ids then fold onto its 'f' axis
+    round-robin like the reference folds processes onto CPUs
+    (bfconf.c:2304-2316).
     """
     import os
     from ..ops.pallas_mac import pallas_shardable, pallas_available
@@ -111,6 +120,20 @@ def auto_mesh(n_filters: int, n_bins: int, real_dtype,
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if n <= 1:
+        return None
+
+    if f_pref > 0:
+        # manual placement: honor the process count on the 'f' axis as
+        # closely as the device count allows. Padding (engine side)
+        # guarantees filter-axis divisibility for any f, so only the
+        # bin axis constrains sp.
+        for total in range(n, 1, -1):
+            divs = [d for d in range(1, total + 1) if total % d == 0]
+            for f in sorted((d for d in divs if d <= f_pref),
+                            key=lambda d: -d):
+                sp = total // f
+                if n_bins % sp == 0:
+                    return make_mesh(devices[:total], f_axis=f, sp_axis=sp)
         return None
 
     def usable(f, sp):

@@ -32,9 +32,17 @@ class FilterControl:
 
 
 class RuntimeControl:
-    def __init__(self, conf: BFConfig, spec: GraphSpec):
+    def __init__(self, conf: BFConfig, spec: GraphSpec,
+                 spec_rows=None, f2row=None):
+        """``spec_rows``/``f2row`` carry the manual `process:` placement
+        permutation (Engine: config filter order -> padded spec rows,
+        bfconf.c:1024-1036). None = spec rows are config order. The
+        mutation API (fctrl, change_coeff, ...) always speaks config
+        indices; only snapshot() emits spec-row-ordered arrays."""
         self.conf = conf
         self.spec = spec
+        self.spec_rows = list(spec_rows) if spec_rows is not None else None
+        self.f2row = f2row
         F = spec.n_filters
         self.fctrl = [
             FilterControl(
@@ -164,7 +172,7 @@ class RuntimeControl:
 
         xfade_now = [
             conf.filters[n].crossfade and final_coeff[n] != self.prev_coeff[n]
-            for n in range(F)
+            for n in range(len(conf.filters))
         ]
         changed = (self._dirty or any(xfade_now)
                    or final_coeff != self.prev_coeff
@@ -183,24 +191,44 @@ class RuntimeControl:
         prev_mask = np.zeros((F, B), rd)
         xfade = np.zeros(F, rd)
 
+        rowmap = self.f2row
         for n, f in enumerate(conf.filters):
+            r = n if rowmap is None else int(rowmap[n])
             fc = self.fctrl[n]
             for j, (ch, _) in enumerate(f.in_channels):
-                in_mix[n, ch] = fc.in_scales[j] * self.virtscale[IN][ch]
+                in_mix[r, ch] = fc.in_scales[j] * self.virtscale[IN][ch]
             for j, (src, _) in enumerate(f.in_filters):
-                fmix[n, src] = fc.fscales[j]
+                rs = src if rowmap is None else int(rowmap[src])
+                fmix[r, rs] = fc.fscales[j]
             for j, (ch, _) in enumerate(f.out_channels):
-                out_mix[ch, n] = fc.out_scales[j] / self.virtscale[OUT][ch]
+                out_mix[ch, r] = fc.out_scales[j] / self.virtscale[OUT][ch]
             d = min(max(fc.delayblocks, 0), B - 1)
-            delay[n] = d
+            delay[r] = d
             c = final_coeff[n]
-            coeff_idx[n] = self._bank_index(c)
-            mask[n, : self._cblocks(c, d)] = 1.0
+            coeff_idx[r] = self._bank_index(c)
+            mask[r, : self._cblocks(c, d)] = 1.0
             pc = self.prev_coeff[n]
-            prev_idx[n] = self._bank_index(pc)
-            prev_mask[n, : self._cblocks(pc, d)] = 1.0
+            prev_idx[r] = self._bank_index(pc)
+            prev_mask[r, : self._cblocks(pc, d)] = 1.0
             if xfade_now[n]:
-                xfade[n] = 1.0
+                xfade[r] = 1.0
+
+        if self.spec_rows is not None:
+            # placement-padding rows: their mixes stay structurally zero
+            # (nothing enters or leaves them, their spectra ring holds
+            # only zeros), so they mirror the first real row's
+            # coeff/mask/delay to keep the uniform fast paths
+            # (snapshot_uniform/_delay) intact across padding
+            r0 = next((r for r, nf in enumerate(self.spec_rows) if nf >= 0),
+                      -1)
+            if r0 >= 0:
+                for r, nf in enumerate(self.spec_rows):
+                    if nf < 0:
+                        delay[r] = delay[r0]
+                        coeff_idx[r] = coeff_idx[r0]
+                        mask[r] = mask[r0]
+                        prev_idx[r] = prev_idx[r0]
+                        prev_mask[r] = prev_mask[r0]
 
         ps_thresh = None
         if spec.powersave:

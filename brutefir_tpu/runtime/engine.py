@@ -110,11 +110,15 @@ class Engine:
         for n, f in enumerate(conf.filters):
             for ch, _ in f.out_channels:
                 output_sources[ch].append(n)
-        self.spec = build_graph_spec(
-            self.N, self.B, conf.n_channels[IN], conf.n_channels[OUT],
-            filter_inputs, [f.crossfade for f in conf.filters], self.rd,
-            powersave=conf.powersave and conf.analog_powersave < 1.0,
-            channel_inputs=channel_inputs, output_sources=output_sources)
+        crossfades = [f.crossfade for f in conf.filters]
+
+        # manual filter->process placement (`filter { process: N; }`,
+        # bfconf.c:1024-1036): the parser enforces all-or-none and the
+        # cross-process mixing constraints (bfconf.c:2893-2931)
+        manual_proc = [f.process for f in conf.filters]
+        manual = bool(conf.filters) and all(p >= 0 for p in manual_proc)
+        n_proc = (max(manual_proc) + 1) if manual else 0
+
         self._mesh_auto = False
         if mesh is None:
             # multi-device hosts shard by default, like the reference's
@@ -125,8 +129,8 @@ class Engine:
             self._mesh_auto = (os.environ.get("BRUTEFIR_TPU_MESH", "auto")
                                .strip().lower() in ("", "auto"))
             try:
-                mesh = auto_mesh(max(self.spec.n_filters, 1),
-                                 self.spec.n_bins, self.rd)
+                mesh = auto_mesh(max(len(conf.filters), 1), self.N, self.rd,
+                                 f_pref=n_proc if manual else 0)
             except BFError:
                 raise   # malformed BRUTEFIR_TPU_MESH: typed config error
             except RuntimeError:
@@ -140,17 +144,51 @@ class Engine:
                     f"Multi-device mesh: f={mesh.shape['f']} x "
                     f"sp={mesh.shape['sp']} over "
                     f"{mesh.devices.size} devices\n")
-        if (any(f.process > 0 for f in conf.filters)
-                and not getattr(conf, "quiet", False)):
-            # reference: `filter { process: N; }` pins a filter to a forked
-            # CPU process (bfconf.c:1024-1036). Here placement over the
-            # mesh's 'f' axis belongs to the XLA partitioner, which also
-            # load-balances -- manual pins are advisory and ignored
-            # (docs/PARITY.md #1)
-            sys.stderr.write(
-                "Warning: filter process: settings are ignored -- device "
-                "placement is chosen by the XLA partitioner over the mesh "
-                "('f' axis)\n")
+
+        # honor manual pins as grouped shard assignment on the 'f' axis:
+        # permute the filter axis so each process group occupies its own
+        # contiguous shard chunk (padding groups to equal size with inert
+        # rows -- zero in_mix/mask/out_mix), process id -> shard
+        # round-robin like the reference folds processes onto CPUs
+        # (bfconf.c:2304-2316). f2spec maps config filter index -> spec
+        # row; None = identity (auto placement / single device).
+        self.f2spec = None
+        self.spec_rows = None          # spec row -> config idx (-1 = pad)
+        if manual and mesh is not None and mesh.shape["f"] > 1:
+            f_n = mesh.shape["f"]
+            groups = [[] for _ in range(f_n)]
+            for nf, p in enumerate(manual_proc):
+                groups[p % f_n].append(nf)
+            gsize = max(len(g) for g in groups)
+            rows = []
+            for g in groups:
+                rows.extend(g + [-1] * (gsize - len(g)))
+            f2spec = np.full(len(conf.filters), -1, np.int32)
+            for row, nf in enumerate(rows):
+                if nf >= 0:
+                    f2spec[nf] = row
+            self.f2spec = f2spec
+            self.spec_rows = rows
+            filter_inputs = [
+                ([int(f2spec[s]) for s in filter_inputs[nf]] if nf >= 0
+                 else []) for nf in rows]
+            channel_inputs = [
+                (channel_inputs[nf] if nf >= 0 else []) for nf in rows]
+            crossfades = [(crossfades[nf] if nf >= 0 else False)
+                          for nf in rows]
+            output_sources = [[int(f2spec[s]) for s in srcs]
+                              for srcs in output_sources]
+            if not getattr(conf, "quiet", False):
+                sys.stderr.write(
+                    f"Manual process placement: {n_proc} process group(s) "
+                    f"onto the {f_n}-way 'f' mesh axis "
+                    f"({len(rows)} filter rows incl. padding)\n")
+
+        self.spec = build_graph_spec(
+            self.N, self.B, conf.n_channels[IN], conf.n_channels[OUT],
+            filter_inputs, crossfades, self.rd,
+            powersave=conf.powersave and conf.analog_powersave < 1.0,
+            channel_inputs=channel_inputs, output_sources=output_sources)
         # MAC implementation (measured on TPU v5e, ops/pallas_mac.py):
         # the statically-unrolled Pallas kernel with the lane-tiled ring
         # layout beats the dense path at every measured shape — full
@@ -204,7 +242,9 @@ class Engine:
             self.bank = jnp.asarray(bank, jnp.bfloat16)
         else:
             self.bank = jnp.asarray(bank)
-        self.control = RuntimeControl(conf, self.spec)
+        self.control = RuntimeControl(conf, self.spec,
+                                      spec_rows=self.spec_rows,
+                                      f2row=self.f2spec)
 
         # devices
         self.devices: List[list] = [[], []]
@@ -313,6 +353,16 @@ class Engine:
         # ring has ramped, and (under powersave) only while the input is
         # live. The ramp counter is the engine-level procblocks analog.
         self._procblocks = 0
+        # powersave dispatch skip (bfrun.c:722-772,1719-1722): consecutive
+        # silent blocks seen by the device; once the ring history has
+        # drained past _ps_drain the device state is at its all-zero
+        # fixed point and further silent blocks skip dispatch entirely
+        self._ps_fixed = 0
+        self._ps_skipped = 0
+        self._ps_pending_t = 0   # skips since the last dispatched block
+        self._ps_drain = 0       # finalized in _run_loop_blocks
+        self._ps_skippable = False
+        self._ps_need_prev = None  # last skipped input block (see skip)
         self.logic = []          # logic module instances (cli/eq)
         self._peak_hooks = []    # bfevents.peak analogs (set in attach_logic)
         self._last_peak_state = None
@@ -389,7 +439,14 @@ class Engine:
             hooks = [getattr(m, kind) for m in self.logic
                      if getattr(m, kind, None) is not None]
             if hooks:
-                taps[kind] = self._make_freqd_tap(hooks)
+                # pre/post_convolve are filter-indexed: under manual
+                # process placement the traced idx are spec rows, but
+                # the module ABI speaks config filter intnames --
+                # translate (padding rows are skipped)
+                row2conf = (self.spec_rows
+                            if kind in ("pre_convolve", "post_convolve")
+                            else None)
+                taps[kind] = self._make_freqd_tap(hooks, row2conf)
         if taps:
             if self.mesh is not None:
                 if not self._mesh_auto:
@@ -433,11 +490,13 @@ class Engine:
             if hook is not None:  # bfevents.initialised analog
                 hook()
 
-    def _make_freqd_tap(self, hooks):
+    def _make_freqd_tap(self, hooks, row2conf=None):
         """Host tap: planes [C, 2, N] -> natural rfft spectra [C, N+1]
         (complex, mutable rows) -> hooks -> planes back. The reference
         hands its internal reordered halfcomplex layout; the rebuild's
-        module ABI uses the natural rfft layout (docs/PARITY.md)."""
+        module ABI uses the natural rfft layout (docs/PARITY.md).
+        ``row2conf``: spec row -> config filter intname (manual process
+        placement permutation); padding rows (-1) skip the hooks."""
         from ..ops.partconv import (np_p2c, np_c2p, pack_spectrum,
                                     unpack_spectrum)
 
@@ -449,9 +508,14 @@ class Engine:
                 return arr
             zu = np.ascontiguousarray(unpack_spectrum(np_p2c(arr)))
             for ch in range(arr.shape[0]):
+                fid = int(idx[ch])
+                if row2conf is not None:
+                    fid = row2conf[fid]
+                    if fid < 0:
+                        continue
                 row = zu[ch]
                 for h in hooks:
-                    h(row, int(idx[ch]))
+                    h(row, fid)
             return np_c2p(pack_spectrum(zu)).astype(arr.dtype)
 
         return tapfn
@@ -926,6 +990,25 @@ class Engine:
                 raw[:frames].tobytes())
         self._peak_push()
 
+    def _dio_zero_outs(self, N):
+        """Synthesized silent wire words for a powersave-skipped block
+        (bfrun.c:722-772): per output device, the exact words the device
+        would produce for an all-zero block -- zero words for the signed
+        int / float32 / packed-24 wire formats the dio path admits."""
+        outs = []
+        for di, dev in enumerate(self.conf.iodevs[OUT]):
+            if self.dio.out_wire[di] in ("p24", "raw3"):
+                outs.append(np.zeros((N, dev.open_channels, 3), np.uint8))
+            else:
+                outs.append(np.zeros((N, dev.open_channels),
+                                     self.dio.out_words[di]))
+        return outs
+
+    def _dio_zero_meters(self):
+        """Meter rows for a silent block: 0 overflows, 0.0 peaks."""
+        return [np.zeros((dev.used_channels, 4), np.float32)
+                for dev in self.conf.iodevs[OUT]]
+
     def _block_start_hooks(self):
         for mod in self.logic:
             hook = getattr(mod, "block_start", None)
@@ -1041,7 +1124,12 @@ class Engine:
                 wq.put(None, timeout=5.0)
             except queue.Full:
                 pass
-            wth.join(timeout=30.0)
+            # patient join: the writer may still be waiting on a cold
+            # program compile or a slow transport fetch -- abandoning a
+            # live in-flight RPC crashes the runtime at process exit.
+            # 600 s bounds a genuinely wedged relay (the opt-in watchdog
+            # aborts sooner when armed).
+            wth.join(timeout=600.0)
 
         # opt-in stall watchdog (BRUTEFIR_TPU_WATCHDOG=<seconds>): abort
         # the process when NO block completes for that long mid-run --
@@ -1115,6 +1203,7 @@ class Engine:
             if self._periods else 0.0,
             "overflows": [o.n_overflows for o in self.overflow],
             "peak_db": [o.peak_db() for o in self.overflow],
+            "ps_skipped": self._ps_skipped,
         }
         if setup:
             self.teardown()
@@ -1202,6 +1291,31 @@ class Engine:
                          pq, pstate):
         import queue
 
+        # Dispatch-skip eligibility (decided here, after attach_logic may
+        # have dropped the device-IO path). Drain margin: B blocks flush
+        # the spectra ring, one per cascade stage flushes the eval_prev
+        # tails, +2 covers the loud->silent boundary block and the
+        # tail-flush block. On the device-IO path the device also holds
+        # integer-delay windows and subdelay rings (device_io.dstate);
+        # they drain to zeros too, so the margin grows by their block
+        # capacity. Output dither is the one device state with NO silent
+        # fixed point (the stream position matters), so a dithered dio
+        # output disables the skip -- the host path keeps dither host-side
+        # in write_block and skips fine.
+        self._ps_drain = self.B + len(self.spec.stages) + 2
+        dio_ok = False
+        if self.dio is not None:
+            dio_ok = not any(self.dio._dev_dither)
+            for io in (IN, OUT):
+                d = self.dio._dly[io]
+                if d is not None:
+                    self._ps_drain += -(-d["W"] // N)    # ceil
+                if self.dio._sd[io] is not None:
+                    self._ps_drain += 1
+        self._ps_skippable = (
+            bool(self.conf.powersave) and (self.dio is None or dio_ok)
+            and os.environ.get("BRUTEFIR_TPU_PS_SKIP", "1") != "0")
+
         eof = False
         while not self._stopped and not eof:
             if max_blocks is not None and self.blockcounter >= max_blocks:
@@ -1227,7 +1341,77 @@ class Engine:
                     break
             t1 = time.perf_counter()
             pending_item = None
-            if frames > 0 or self.blockcounter == 0:
+            # powersave silence, decided BEFORE dispatch: once the device
+            # ring history has fully drained (the reference's procblocks
+            # countdown, bfrun.c:1566-1571,1719-1722), the device state
+            # sits at its all-zero fixed point and a further silent block
+            # is skipped entirely -- no upload, no execute, no download.
+            # The host synthesizes the zero output block; write_block's
+            # host-side encode (delays, meters, dither) keeps advancing,
+            # so the byte stream is identical to the always-dispatch run.
+            if pq is not None:
+                silent = pre_silent
+            elif self.dio is not None:
+                silent = self._input_silent_words(xw)
+            else:
+                silent = self._input_silent(x if frames > 0 else None)
+            skip = (silent and frames == N and self._ps_skippable
+                    and self._ps_fixed >= self._ps_drain)
+            if skip:
+                with self.control_mutex:
+                    # control bookkeeping must advance exactly as on a
+                    # dispatched block (prev_coeff, EQ coeff_final hooks)
+                    self.control.snapshot()
+                    out_snap = (list(self.control.delay[OUT]),
+                                list(self.control.mute[OUT]),
+                                list(self.control.subdelay[OUT]))
+                if self.dio is not None:
+                    # zero wire words ARE the device's silent output: the
+                    # drained delay/subdelay rings hold zeros, gains scale
+                    # zeros, and the mid-tread quantizers map 0.0 -> word
+                    # 0 for every dio-eligible format (no dither here --
+                    # eligibility above). Meters: 0 overflows, 0.0 peaks.
+                    pending_item = ("dio", self._dio_zero_outs(N),
+                                    self._dio_zero_meters(), True, frames)
+                else:
+                    # fresh buffer: output_timed hooks may mutate rows
+                    y0 = np.zeros((self.conf.n_channels[OUT], N), self.rd)
+                    pending_item = ("host", y0, frames, out_snap)
+                    # prev_in is stored pre-gate (compile.py StepState):
+                    # the always-dispatch path would hold this block's
+                    # samples there (sub-threshold noise under the analog
+                    # gate), so remember them for restoration at resume.
+                    # (dio silence is exact-zero words, so its prev_in
+                    # fixed point is already zeros -- nothing to restore.)
+                    self._ps_need_prev = x
+                self._ps_skipped += 1
+                self._ps_pending_t += 1
+                self.blockcounter += 1
+            elif frames > 0 or self.blockcounter == 0:
+                if self._ps_pending_t:
+                    # skipped blocks advance the ring clock too: the ring
+                    # write position and the MAC's rotation are t mod B
+                    # (graph/compile.py), so resume must land on the same
+                    # rotation as the always-dispatch run -- same float
+                    # summation order, bit-identical output
+                    tv = jnp.asarray(np.int32(
+                        int(self.state.t) + self._ps_pending_t))
+                    if self.mesh is not None:
+                        st_s = (self.dio._in_sh[0] if self.dio is not None
+                                else self._sharded.shardings[0])
+                        tv = jax.device_put(tv, st_s.t)
+                    self.state = self.state._replace(t=tv)
+                    self._ps_pending_t = 0
+                if self._ps_need_prev is not None:
+                    # resume after skipped blocks: restore the
+                    # overlap-save tail to the last skipped input block,
+                    # exactly what always-dispatch would hold in prev_in
+                    pv = jnp.asarray(self._ps_need_prev)
+                    if self.mesh is not None:
+                        pv = jax.device_put(
+                            pv, self._sharded.shardings[0].prev_in)
+                    self.state = self.state._replace(prev_in=pv)
+                    self._ps_need_prev = None
                 self._dbg("filter", "call dispatch", self.blockcounter)
                 with self.control_mutex:
                     ctrl = self.control.snapshot()
@@ -1284,12 +1468,10 @@ class Engine:
             period = t3 - t0
             self._periods.append(period)
             rti = period / budget
-            if pq is not None:
-                silent = pre_silent
-            elif self.dio is not None:
-                silent = self._input_silent_words(xw)
-            else:
-                silent = self._input_silent(x if frames > 0 else None)
+            if not silent:
+                self._ps_fixed = 0
+            elif self._ps_fixed < self._ps_drain:
+                self._ps_fixed += 1
             full = self._update_full_proc(silent)
             if full:
                 self.realtime_index = rti
@@ -1474,7 +1656,9 @@ class Engine:
                     wq.put(None, timeout=5.0)
                 except queue.Full:
                     pass
-                wth.join(timeout=30.0)
+                # patient join (see run()'s shutdown_writer): never
+                # abandon a live in-flight fetch/compile
+                wth.join(timeout=600.0)
         except BaseException:
             # release devices like run()'s error path: a caller that
             # catches the error and builds a new Engine must not inherit
@@ -1517,6 +1701,20 @@ class Engine:
                              pstate, budget):
         import queue
 
+        # The first dispatch pays the (possibly cold) program compile --
+        # observed 2+ minutes on a remote-attached chip. That wait must
+        # land on THIS thread, not the writer: the writer is reaped with
+        # a bounded join at shutdown, and a compile longer than the join
+        # timeout made the run report 0 frames and abandon the in-flight
+        # fetch (crashing the runtime at exit). One scalar fetch
+        # synchronizes the compile; later batches stream pipelined.
+        first_sync = [True]
+
+        def sync_first(nan_ok):
+            if first_sync[0]:
+                first_sync[0] = False
+                bool(np.asarray(nan_ok))
+
         eof = False
         while not self._stopped and not eof and wstats["err"] is None:
             rem = (None if max_blocks is None
@@ -1555,6 +1753,7 @@ class Engine:
                     self.state, outs1, meters1, nan1 = self.dio.step(
                         self.state, ctrl, gains[0], gains[1], self.bank,
                         [st[b] for st in dstacks], uniform=uni)
+                    sync_first(nan1)
                     self.blockcounter += 1
                     while wstats["err"] is None:
                         try:
@@ -1578,6 +1777,7 @@ class Engine:
             mstep = self.dio.multi_step(M, uniform=uni, udelay=udl)
             self.state, outs, meters, nan_ok = mstep(
                 self.state, ctrl, gains[0], gains[1], self.bank, dstacks)
+            sync_first(nan_ok)
             self.blockcounter += M
             while wstats["err"] is None:
                 try:

@@ -147,14 +147,17 @@ output {chans} {{ device: "file" {{ path: "{outp}"; }}; sample: "S24_4LE"; chann
     assert np.abs(y.astype(np.int64) - x.astype(np.int64)).max() <= 1
 
 
-def test_process_setting_warns(tmp_path, rng, capsys):
-    """filter { process: N; } is advisory: placement belongs to the XLA
-    partitioner; the engine says so loudly (PARITY #1)."""
+def test_process_setting_places(tmp_path, rng, capsys, monkeypatch):
+    """filter { process: N; } maps process groups onto the 'f' mesh axis
+    (bfconf.c:1024-1036); the engine reports the placement. A single
+    filter pinned to process 1 still gets an f=2 mesh, landing in the
+    second group's shard chunk with an inert pad row in the first."""
     from brutefir_tpu.config import parse_config
     from brutefir_tpu.runtime import Engine
     x = np.zeros(256, np.float32)
     inp, outp = tmp_path / "in.f32", tmp_path / "out.f32"
     x.astype("<f4").tofile(inp)
+    monkeypatch.setenv("BRUTEFIR_TPU_MESH", "auto")
     conf = parse_config(f"""
 sampling_rate: 44100;
 filter_length: 128;
@@ -163,9 +166,11 @@ input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "FLOAT_LE"; channels: 1;
 output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "FLOAT_LE"; channels: 1; }};
 filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; process: 1; }};
 """)
-    Engine(conf)
+    eng = Engine(conf)
     err = capsys.readouterr().err
-    assert "process" in err and "partitioner" in err
+    assert "Manual process placement" in err
+    assert eng.mesh is not None and eng.mesh.shape["f"] == 2
+    assert eng.spec_rows == [-1, 0]      # group 0 pad, group 1 = filter 0
 
 
 def test_mesh_env_malformed_is_typed_config_error(monkeypatch):
