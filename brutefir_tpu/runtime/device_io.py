@@ -215,6 +215,7 @@ class DeviceIO:
                     dith_phys.append(dev.phys_base + i)
         self._dith_rows = []             # per out device: [used] -> D idx
         self.dstate = {}
+        self._staged = self._staged_src = None   # see _stage_ctrl
         self._dith_tab = None
         if dith_phys:
             order = {p: j for j, p in enumerate(sorted(dith_phys))}
@@ -484,10 +485,15 @@ class DeviceIO:
                 self._sd_refresh(io)
 
     def update_delays(self, in_delays, out_delays):
-        """Apply runtime delay changes with host DelayLine semantics
-        (delay.c:283-317): silently refuse > maxdelay or fixed (-1)
-        channels; an increase splices zeros into the device window so
-        the output plays silence, not replayed history."""
+        """Apply runtime delay changes with the reference's change_delay
+        semantics (delay.c:283-317, golden-pinned on the host DelayLine):
+        silently refuse > maxdelay or fixed (-1) channels; an increase
+        zeroes the channel's ENTIRE effective history -- the next
+        ``new`` output samples are silence, exactly like the reference's
+        buffer memsets. A decrease keeps the true last samples (FIFO
+        drop-oldest); the reference instead replays stale buffer contents
+        for one pipeline refill -- a curbuf-reset artifact the windowed
+        gather deliberately does not copy (docs/PARITY.md)."""
         for io, vals, key in ((IN, in_delays, "dlw_in"),
                               (OUT, out_delays, "dlw_out")):
             d = self._dly[io]
@@ -502,11 +508,25 @@ class DeviceIO:
                 if new > old:
                     W = d["W"]
                     self.dstate[key] = (self.dstate[key]
-                                        .at[ch, W - new:W - old].set(0.0))
+                                        .at[ch, W - new:].set(0.0))
                 d["cur"][ch] = new
                 changed = True
             if changed:
                 d["arr"] = jnp.asarray(np.asarray(d["cur"], np.int32))
+
+    def _stage_ctrl(self, ctrl):
+        """Pre-stage the control pytree on device, reused while the
+        snapshot object is unchanged (RuntimeControl.snapshot returns a
+        cached instance between control changes). Saves ~11 small host
+        uploads per block on the realtime path -- on a remote transport
+        each numpy argument of the jitted call is a per-block transfer."""
+        if ctrl is not self._staged_src:
+            if self._in_sh is not None:
+                self._staged = jax.device_put(ctrl, self._in_sh[1])
+            else:
+                self._staged = jax.tree_util.tree_map(jnp.asarray, ctrl)
+            self._staged_src = ctrl
+        return self._staged
 
     def step(self, state, ctrl, in_gain, out_gain, bank, in_words,
              uniform=False):
@@ -514,8 +534,8 @@ class DeviceIO:
         di, do = self._dvecs()
         sri, sbi, sro, sbo = self._sdvecs()
         state, outs, meters, nan_ok, self.dstate = fn(
-            state, ctrl, in_gain, out_gain, bank, in_words, self.dstate,
-            di, do, sri, sbi, sro, sbo)
+            state, self._stage_ctrl(ctrl), in_gain, out_gain, bank,
+            in_words, self.dstate, di, do, sri, sbi, sro, sbo)
         return state, outs, meters, nan_ok
 
     def multi_step(self, m: int, uniform: bool = False,
@@ -627,8 +647,8 @@ class DeviceIO:
             di, do = self._dvecs()
             sri, sbi, sro, sbo = self._sdvecs()
             state, outs, agg, nan, self.dstate = _fn(
-                state, ctrl, in_gain, out_gain, bank, in_words,
-                self.dstate, di, do, sri, sbi, sro, sbo)
+                state, self._stage_ctrl(ctrl), in_gain, out_gain, bank,
+                in_words, self.dstate, di, do, sri, sbi, sro, sbo)
             return state, outs, agg, nan
 
         self._multi[key] = wrapped

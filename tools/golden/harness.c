@@ -26,10 +26,22 @@
 #include "swap.h"
 #include "dither.h"
 #include "firwindow.h"
+#include "delay.h"
 
 /* ---- minimal runtime the reference files expect ---- */
 
 struct bfconf *bfconf;
+
+/* delay.c's subsample half needs the td convolver; the integer-delay
+   goldens never call it -- stub to satisfy the linker */
+typedef struct _td_conv_t_ td_conv_t;
+int convolver_td_block_length(int n_coeffs) { (void)n_coeffs; abort(); }
+td_conv_t *convolver_td_new(void *coeffs, int n_coeffs) {
+    (void)coeffs; (void)n_coeffs; abort();
+}
+void convolver_td_convolve(td_conv_t *tdc, void *overlap_block) {
+    (void)tdc; (void)overlap_block; abort();
+}
 
 void bf_exit(int code) { exit(code); }
 
@@ -300,6 +312,42 @@ raw2real_case(const char *name, int bytes, int isfloat, int spacing, int swap)
                    0, -1, NULL);
 }
 
+/* ---- integer delay engine (delay.c:228-407) ----
+ * Streams float32 fragments through delay_update with a per-fragment
+ * delay schedule, capturing the reference's exact runtime-change
+ * semantics (change_delay's history zeroing on increase and
+ * stale-buffer replay on decrease). */
+static void
+delay_case(const char *name, int frag, int initdelay, int maxdelay,
+           const int *sched, int nsched, const float *base)
+{
+    delaybuffer_t *db;
+    float *stream;
+    int total = nsched * frag;
+    int b, n;
+
+    db = delay_allocate_buffer(frag, initdelay, maxdelay, sizeof(float));
+    stream = emalloc((size_t)total * sizeof(float));
+    for (n = 0; n < total; n++)
+        stream[n] = base[n % NTOT];
+    {
+        char iname[128];
+        snprintf(iname, sizeof iname, "%s_in", name);
+        dump(iname, stream, (size_t)total * sizeof(float));
+    }
+    for (b = 0; b < nsched; b++)
+        delay_update(db, &stream[(size_t)b * frag], sizeof(float), 1,
+                     sched[b], NULL);
+    dump(name, stream, (size_t)total * sizeof(float));
+    fprintf(manifest, ",\n  \"%s\": {\"kind\": \"delay\", \"frag\": %d, "
+            "\"initdelay\": %d, \"maxdelay\": %d, \"sched\": [",
+            name, frag, initdelay, maxdelay);
+    for (b = 0; b < nsched; b++)
+        fprintf(manifest, "%s%d", b ? ", " : "", sched[b]);
+    fprintf(manifest, "]}");
+    free(stream);
+}
+
 int
 main(int argc, char *argv[])
 {
@@ -432,6 +480,31 @@ main(int argc, char *argv[])
             free(td);
         }
         fprintf(manifest, "]");
+    }
+
+    /* integer delay goldens */
+    {
+        /* fixed delays (maxdelay -1: not runtime-changeable) */
+        static const int s10[8] = {10, 10, 10, 10, 10, 10, 10, 10};
+        static const int s100[8] = {100, 100, 100, 100, 100, 100, 100, 100};
+        static const int s64[8] = {64, 64, 64, 64, 64, 64, 64, 64};
+        /* runtime schedule: short->long increase, long->long decrease,
+           long->short decrease, short->0, 0->long, and the frag-size
+           boundary (64 = short path, 65 = long path) */
+        static const int sch[25] = {
+            10, 10, 10, 130, 130, 130, 130, 70, 70, 70, 3, 3, 3,
+            0, 0, 95, 95, 95, 95, 64, 64, 65, 65, 63, 63};
+        /* all-short schedule with changes at odd fragment counts, to
+           exercise the shortbuf curbuf parity at change time */
+        static const int sshort[10] = {5, 5, 2, 2, 2, 7, 1, 1, 0, 5};
+        delay_case("delay_fixed10", 64, 10, -1, s10, 8, base);
+        delay_case("delay_fixed100", 64, 100, -1, s100, 8, base);
+        delay_case("delay_fixed64", 64, 64, -1, s64, 8, base);
+        delay_case("delay_sched", 64, 10, 300, sch, 25, base);
+        delay_case("delay_sched_short", 64, 5, 60, sshort, 10, base);
+        /* init 0 with headroom: buffers exist, delay engaged later */
+        static const int sgrow[6] = {0, 0, 40, 40, 150, 150};
+        delay_case("delay_grow_from0", 64, 0, 200, sgrow, 6, base);
     }
 
     fprintf(manifest, "\n}\n");
