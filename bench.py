@@ -340,9 +340,13 @@ def main():
         scale = _scale_ceiling(budget)
         if scale and os.environ.get("BENCH_EXTRAS", "1") != "0":
             scale["bf16_knobs"] = _scale_bf16(budget)
+    xfade_scale = None
+    curve = None
     if (device_step_ms and jax.default_backend() != "cpu"
             and os.environ.get("BENCH_EXTRAS", "1") != "0"):
         xfade = _xfade_stage(budget)
+        xfade_scale = _xfade_stage(budget, channels=256)
+        curve = _latency_curve(sink)
     print(json.dumps({
         "metric": "massive_config_realtime_factor",
         "value": round(xrt, 2),
@@ -379,8 +383,10 @@ def main():
                      if eng.mesh is not None else None),
             "rti": round(1.0 / xrt, 5),
             "low_latency": latency,
+            "latency_curve": curve,
             "scale_ceiling": scale,
             "crossfade": xfade,
+            "crossfade_scale": xfade_scale,
         },
     }))
 
@@ -480,12 +486,19 @@ def _scale_bf16(budget_s: float):
                     "not the bit-parity contract)"}
 
 
-def _xfade_stage(budget_s: float):
-    """bench5-style crossfade-every-block step at the flagship shape:
-    the dual-MAC fusion vs two kernel passes (tools/xfade_ab.py).
+def _xfade_stage(budget_s: float, channels: int = 0):
+    """bench5-style crossfade-every-block step: the dual-MAC fusion vs
+    two kernel passes (tools/xfade_ab.py). Default is the flagship shape;
+    ``channels`` > 0 measures the scale shape (256ch alldistinct), where
+    the MAC is HBM-bound -- the dual fusion's claimed win region.
     Watched subprocess; None on any failure."""
     import re
-    stdout = _stage_run("xfade_ab.py", ["uniform"], {},
+    if channels:
+        argv, env = ["alldistinct"], {"BENCH_C": str(channels),
+                                      "BENCH_M": "40"}
+    else:
+        argv, env = ["uniform"], {}
+    stdout = _stage_run("xfade_ab.py", argv, env,
                         "BENCH_EXTRA_TIMEOUT", "300")
     if stdout is None:
         return None
@@ -498,8 +511,29 @@ def _xfade_stage(budget_s: float):
         return None
     out["xrt"] = round(budget_s * 1e3 / out["dual_step_ms"], 2)
     out["note"] = ("crossfade every block (bench5 analog); dual = "
-                   "one ring pass for both coefficient sets")
+                   "one ring pass for both coefficient sets"
+                   + (f"; {channels}ch x {channels} distinct coeff sets"
+                      if channels else ""))
     return out
+
+
+def _latency_curve(sink: bool):
+    """The reference's latency/load table (brutefir.html:842-958):
+    5 partition shapes from 64x128 to 1024x8 through the real engine
+    (tools/latency_curve.py), under the same sink decision as the main
+    run. Watched subprocess; None on any failure."""
+    stdout = _stage_run("latency_curve.py", [],
+                        {"CURVE_SINK": "1" if sink else "0"},
+                        "BENCH_CURVE_TIMEOUT", "900")
+    if stdout is None:
+        return None
+    for line in stdout.splitlines():
+        if line.startswith("CURVE "):
+            try:
+                return json.loads(line[6:])
+            except ValueError:
+                return None
+    return None
 
 
 def _main_with_retries(attempts: int = 3):
@@ -509,7 +543,9 @@ def _main_with_retries(attempts: int = 3):
     last resort forces the CPU backend so the driver always gets a JSON
     line (clearly labeled by its "backend" field)."""
     import subprocess
-    budget = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
+    # must cover every watched stage: headline (~6 min) + scale 420 +
+    # bf16 300 + xfade 2x300 + latency curve 900, plus compile slack
+    budget = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "3300"))
     for i in range(attempts - 1):
         try:
             r = subprocess.run([sys.executable, __file__, "--once"],

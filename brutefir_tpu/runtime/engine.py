@@ -390,6 +390,7 @@ class Engine:
         self.dio = DeviceIO(self) if _dio_eligible(conf) else None
         self._gain_version = -1
         self._in_gain = self._out_gain = None
+        self._host_ctrl = self._host_ctrl_src = None  # staged StepCtrl
 
         self._v2p_in = np.asarray(conf.virt2phys[IN], dtype=np.int64)
         self._out_is_permutation = all(n == 1 for n in conf.n_virtperphys[OUT])
@@ -1450,8 +1451,16 @@ class Engine:
                         self.state, y_dev = self._sharded.step(
                             self.state, self._placed_ctrl, self.bank, sx)
                     else:
+                        # pre-stage the control pytree on device (reused
+                        # while the snapshot object is unchanged): a
+                        # numpy ctrl costs ~11 small uploads per block
+                        if ctrl is not self._host_ctrl_src:
+                            self._host_ctrl = jax.tree_util.tree_map(
+                                jnp.asarray, ctrl)
+                            self._host_ctrl_src = ctrl
                         self.state, y_dev = self.cg.step(
-                            self.state, ctrl, self.bank, x, uniform=uni)
+                            self.state, self._host_ctrl, self.bank, x,
+                            uniform=uni)
                     pending_item = ("host", y_dev, frames, out_snap)
                 self._dbg("filter", "ret", self.blockcounter)
                 self.blockcounter += 1
