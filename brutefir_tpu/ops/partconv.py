@@ -189,6 +189,12 @@ def irfft_planes_valid(p: jnp.ndarray) -> jnp.ndarray:
     if _pallas_glue_ok(p.shape[-1], p.dtype):
         from .pallas_glue import irfft_planes_valid_pallas
         return irfft_planes_valid_pallas(p)
+    if os.environ.get("BRUTEFIR_TPU_IRFFT", "") == "full":
+        # A/B knob (tools/fft_scale_ab.py): XLA's full-size irfft +
+        # slice instead of the half-size untangle; isolated probes at
+        # 256 rows are too noisy to pick a winner, in-situ the untangle
+        # path holds (see docstring measurements)
+        return irfft_packed(p2c(p))[..., :p.shape[-1]]
     Xp = p2c(p)
     M = Xp.shape[-1]
     if M < 2:

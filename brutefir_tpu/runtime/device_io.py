@@ -132,12 +132,23 @@ class DeviceIO:
             for i in range(dev.used_channels):
                 phys = dev.phys_base + i
                 rows.append(np.asarray(conf.phys2virt[OUT][phys], np.int64))
-            mix = np.zeros((dev.used_channels, conf.n_channels[OUT]),
-                           engine.rd)
-            for i, virts in enumerate(rows):
-                mix[i, virts] = 1.0
+            if (all(len(v) == 1 for v in rows)
+                    and os.environ.get("BRUTEFIR_TPU_PERM_OMIX",
+                                       "1") != "0"):
+                # every physical row is exactly one virtual channel (no
+                # fan-in): a row gather replaces the [used, C] x [C, N]
+                # matmul -- bit-identical (a one-hot HIGHEST matmul row
+                # reduces to the single element) and one less HBM pass
+                # at scale shapes (256x256 x 256x8192 per block)
+                mix = ("perm", np.asarray([v[0] for v in rows], np.int32))
+            else:
+                mix = np.zeros((dev.used_channels, conf.n_channels[OUT]),
+                               engine.rd)
+                for i, virts in enumerate(rows):
+                    mix[i, virts] = 1.0
             out_devs.append((sel, mix, dev.open_channels,
                              dev.sample_format))
+        self._out_devs_dbg = out_devs     # introspection (tests)
 
         # --- device-resident integer delay lines ---
         # per-virtual-channel windows of the last W pre-delay samples;
@@ -363,10 +374,13 @@ class DeviceIO:
             meters = []
             for di, ((sel, mixm, open_ch, fmt), wdt) in enumerate(
                     zip(out_devs, self.out_words)):
-                # HIGHEST: the MXU's default f32 matmul is bf16-based,
-                # far below 24-bit audio precision (see partconv)
-                phys = jnp.matmul(mixm, y,
-                                  precision=jax.lax.Precision.HIGHEST)
+                if isinstance(mixm, tuple):           # ("perm", rows)
+                    phys = y[mixm[1]]
+                else:
+                    # HIGHEST: the MXU's default f32 matmul is bf16-based,
+                    # far below 24-bit audio precision (see partconv)
+                    phys = jnp.matmul(mixm, y,
+                                      precision=jax.lax.Precision.HIGHEST)
                 peak = jnp.max(jnp.abs(phys), axis=1)
                 if dev_dither[di]:
                     rows = dith_rows[di]

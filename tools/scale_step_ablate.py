@@ -57,12 +57,15 @@ import jax                                            # noqa: E402
 import jax.numpy as jnp                               # noqa: E402
 from brutefir_tpu.ops import partconv                 # noqa: E402
 from brutefir_tpu.graph import compile as gcompile    # noqa: E402
+from brutefir_tpu.runtime import device_io as dio_mod  # noqa: E402
 
 _ORIG = dict(
     rfft=partconv.rfft_planes,
     irfft=partconv.irfft_planes_valid,
     mix=partconv.complex_mix,
     mac=gcompile.pallas_spectral_mac,
+    dec=dio_mod.decode_words,
+    enc=dio_mod.encode_words,
 )
 
 
@@ -87,6 +90,21 @@ def _patch(ablate):
                    + t.astype(one.dtype) * 0)
             return one * 0.9999 + dep * 1e-12
         gcompile.pallas_spectral_mac = cheap_mac
+    if "dec" in ablate:
+        def cheap_dec(words, selection, virt_map, rd):
+            dep = words.reshape(-1)[0].astype(rd) * 1e-12
+            return jnp.full((len(virt_map), words.shape[0]), 0.001,
+                            rd) + dep
+        dio_mod.decode_words = cheap_dec
+    if "enc" in ablate:
+        def cheap_enc(y, fmt, selection, open_channels, word_dtype):
+            P, Nn = y.shape
+            dep = (y.reshape(-1)[0] * 1e-12).astype(word_dtype)
+            words = jnp.zeros((Nn, open_channels), word_dtype) + dep
+            meters = jnp.zeros((P, 3), jnp.float32) \
+                + y.reshape(-1)[1].astype(jnp.float32) * 1e-12
+            return words, meters
+        dio_mod.encode_words = cheap_enc
 
 
 def _unpatch():
@@ -94,6 +112,8 @@ def _unpatch():
     partconv.irfft_planes_valid = _ORIG["irfft"]
     partconv.complex_mix = _ORIG["mix"]
     gcompile.pallas_spectral_mac = _ORIG["mac"]
+    dio_mod.decode_words = _ORIG["dec"]
+    dio_mod.encode_words = _ORIG["enc"]
 
 
 def measure(ablate=()):
@@ -141,7 +161,9 @@ def measure(ablate=()):
 if __name__ == "__main__":
     base = measure(())
     print(f"{'full step':22s} {base:8.4f} ms/block")
-    for name in ("fft", "mix", "mac", "fft+mix+mac"):
+    names = os.environ.get(
+        "ABLATE", "fft,mix,mac,fft+mix+mac,dec,enc,dec+enc").split(",")
+    for name in names:
         s = measure(tuple(name.split("+")))
         print(f"no {name:19s} {s:8.4f} ms/block   "
-              f"(in-situ cost {base - s:+8.4f})")
+              f"(in-situ cost {base - s:+8.4f})", flush=True)
