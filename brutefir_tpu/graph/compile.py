@@ -93,21 +93,24 @@ class CompiledGraph:
             self.ring_dtype = jnp.bfloat16
         else:
             self.ring_dtype = spec.real_dtype
-        self._step = jax.jit(functools.partial(_step_impl, spec, mac,
-                                               taps=taps, tiled=self.tiled),
-                             donate_argnums=(0,))
-        # uniform-coefficient fast-path program (all filters share one
-        # coeff row + mask row, chosen per block by the host from its
-        # control snapshot); only the MAC differs: the dense path gathers
-        # one row and broadcasts, the Pallas path keeps the shared bank
-        # row VMEM-resident across the filter grid
-        if mac == "jnp" or mac.startswith("pallas"):
-            self._step_u = jax.jit(
-                functools.partial(_step_impl, spec, mac, taps=taps,
-                                  uniform=True, tiled=self.tiled),
+        # Host-selected program variants, compiled lazily per key:
+        # ``uniform`` (all filters share one coeff/mask row) and
+        # ``xfade`` (None = legacy dynamic lax.cond; True/False = the
+        # host asserts whether this block crossfades -- see _step_impl).
+        self._programs = {}
+        self._uniform_ok = mac == "jnp" or mac.startswith("pallas")
+        self._step = self._program(False, None)    # eager: the base program
+        self._step_u = self._program(self._uniform_ok, None)
+
+    def _program(self, uniform: bool, xfade):
+        key = (uniform, xfade)
+        if key not in self._programs:
+            self._programs[key] = jax.jit(
+                functools.partial(_step_impl, self.spec, self.mac,
+                                  taps=self.taps, uniform=uniform,
+                                  tiled=self.tiled, xfade_now=xfade),
                 donate_argnums=(0,))
-        else:
-            self._step_u = self._step
+        return self._programs[key]
 
     def init_state(self) -> StepState:
         s = self.spec
@@ -120,20 +123,37 @@ class CompiledGraph:
         )
 
     def step(self, state: StepState, ctrl: StepCtrl, bank: jax.Array,
-             x: jax.Array, uniform: bool = False):
-        """One block: x [C_in, N] -> (state', y [C_out, N])."""
-        return (self._step_u if uniform else self._step)(state, ctrl, bank, x)
+             x: jax.Array, uniform: bool = False, xfade=None):
+        """One block: x [C_in, N] -> (state', y [C_out, N]).
+
+        ``xfade``: host-selected crossfade variant (True/False when the
+        caller knows whether ctrl carries a crossfade this block --
+        Control.snapshot_xfade; None keeps the legacy in-graph cond)."""
+        return self._program(uniform and self._uniform_ok, xfade)(
+            state, ctrl, bank, x)
 
 
 def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
                bank: jax.Array, x: jax.Array, constrain=None, mesh=None,
                taps=None, uniform=False, tiled=False, pre_X=None,
-               uniform_delay=False):
+               uniform_delay=False, xfade_now=None):
     """One block step. ``pre_X``: precomputed input spectra [C_in, 2, N]
     (planes) -- the offline batched path hoists decode+framing+rfft of a
     whole batch out of its scan (they depend only on the input stream,
     not the ring) and feeds each block's spectra here; ``x`` then only
     carries the block's time samples for the prev_in state.
+
+    ``xfade_now``: host-selected crossfade program variant (like
+    ``uniform``; the host knows at dispatch time whether any filter
+    crossfades this block, Control.snapshot_xfade). ``None`` keeps the
+    legacy dynamic program -- a ``lax.cond`` on ctrl.any_xfade inside
+    the step, correct for any control stream. ``False`` compiles the
+    plain program with no crossfade branch at all (the caller guarantees
+    ctrl.xfade is all-zero). ``True`` compiles the always-crossfading
+    program; on single-full-stage graphs this takes the fused
+    time-domain crossfade path below. The cond boundary itself measures
+    ~2 ms/block at the 256ch scale shape (layout pinning around the
+    268 MB ring operand), which is why the host-selected split exists.
 
     ``uniform_delay``: host-selected program variant (like ``uniform``)
     for the case where every filter shares one pre-delay -- the spectra
@@ -328,6 +348,71 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
         return StepState(prev_in=x, ring=ring, eval_prev=eval_prev,
                          t=t + 1), y_time
 
+    # Fused time-domain crossfade (round 4): crossfade_spectra pays two
+    # full-size inverse transforms plus a full-size forward re-transform
+    # across all F filter rows, only for the result to be output-mixed
+    # and inverse-transformed again. The output mix is linear and acts
+    # per spectral bin, so it commutes with the transforms:
+    #   irfft_valid(mix(rfft([ramped, tail]))) == mix_time(ramped)
+    # For a single full stage with no cascades or spectral taps (the
+    # crossfaded spectra feed nothing but the output mix), the whole
+    # crossfade collapses to: dual MAC -> THREE mixed spectra
+    # (old*sel, new*sel, new*(1-sel), batched into two matmuls) -> ONE
+    # batched valid-half inverse transform -> the linear ramp applied in
+    # the time domain. Per crossfade block this removes ~3 full-size
+    # F-row transforms; measured at the shapes in docs/PERFORMANCE.md.
+    # Matches convolver_crossfade_inplace (fftw_convolver.c:330-368)
+    # up to the removed transform round-trip's rounding. Only compiled
+    # into the host-selected xfade_now=True program -- no lax.cond.
+    fused_xf = (xfade_now is True and not taps and len(spec.stages) == 1
+                and spec.stages[0].casc_local.size == 0
+                and spec.stages[0].any_crossfade
+                and np.array_equal(spec.stages[0].idx, np.arange(F))
+                and os.environ.get("BRUTEFIR_TPU_TD_XFADE", "1") != "0")
+    if fused_xf:
+        idx = spec.stages[0].idx
+        mixed = in_mix_stage(idx, X)
+        mixed = tap("pre_convolve", mixed, idx)  # taps is empty; keep parity
+        blk = mixed.reshape(F, 2, K // 128, 128) if tiled else mixed
+        ring = write_ring(ring, blk, idx)
+        interp = mac == "pallas-interpret"
+        cst = constrain if constrain is not None else (lambda a: a)
+        C_out = ctrl.out_mix.shape[0]
+
+        if (mac.startswith("pallas")
+                and os.environ.get("BRUTEFIR_TPU_DUAL_XFADE", "1") != "0"):
+            from ..ops.pallas_mac import (pallas_spectral_mac_dual,
+                                          pallas_spectral_mac_dual_shmap)
+            if mesh is not None:
+                y_new, y_old = pallas_spectral_mac_dual_shmap(
+                    mesh, ring, bank, ctrl.coeff_idx, ctrl.mask,
+                    ctrl.prev_idx, ctrl.prev_mask, t,
+                    uniform=uniform, interpret=interp)
+            else:
+                y_new, y_old = pallas_spectral_mac_dual(
+                    ring, bank, ctrl.coeff_idx, ctrl.mask,
+                    ctrl.prev_idx, ctrl.prev_mask, t,
+                    uniform=uniform, interpret=interp)
+        else:
+            y_new = run_mac(ring, idx, ctrl.coeff_idx, ctrl.mask, t)
+            y_old = run_mac(ring, idx, ctrl.prev_idx, ctrl.prev_mask, t)
+
+        # three mixed spectra in two matmuls, one batched valid-half
+        # inverse transform, ramp in time: sel-scaled columns express
+        # the per-filter crossfade selection through the linear mix
+        sel = (ctrl.xfade > 0).astype(y_new.dtype)           # [F]
+        w_sel = ctrl.out_mix * sel[None, :]
+        w_rest = ctrl.out_mix - w_sel
+        o_old = partconv.complex_mix(w_sel, y_old)           # [C, 2, N]
+        o_new = partconv.complex_mix(
+            jnp.concatenate([w_sel, w_rest], axis=0), y_new)
+        tv = irfft_fn(cst(jnp.concatenate([o_old, o_new], axis=0)))
+        a, b, c = tv[:C_out], tv[C_out:2 * C_out], tv[2 * C_out:]
+        r = jnp.arange(N, dtype=rd) / (N - 1)        # crossfade_spectra ramp
+        y_time = a * (1.0 - r) + b * r + c
+        return StepState(prev_in=x, ring=ring, eval_prev=eval_prev,
+                         t=t + 1), y_time
+
     # Per-stage filter-output spectra, concatenated once at the end instead
     # of scattered into a preallocated array (fewer copies, friendlier
     # layouts under sharding). stage_idx/stage_ys run in stage order; the
@@ -371,7 +456,10 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
         # (pallas_spectral_mac_dual) instead of two kernel calls -- the
         # ring traffic, which dominates the MAC, is paid once. The mesh
         # path fuses only full stages (like run_mac's shmap gate).
-        dual = (stage.any_crossfade and mac.startswith("pallas")
+        # xfade_now=False (host-selected no-crossfade program) drops the
+        # whole branch: the caller guarantees ctrl.xfade is all-zero.
+        stage_xf = stage.any_crossfade and xfade_now is not False
+        dual = (stage_xf and mac.startswith("pallas")
                 and (mesh is None or full)
                 and os.environ.get("BRUTEFIR_TPU_DUAL_XFADE", "1") != "0")
         if dual:
@@ -404,7 +492,7 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
         else:
             y = run_mac(ring_s, idx, ctrl.coeff_idx[idx], ctrl.mask[idx], t)
 
-        if stage.any_crossfade and not dual:
+        if stage_xf and not dual:
             def do_xfade(y, _idx=idx, _ring_s=ring_s):
                 y_old = run_mac(_ring_s, _idx, ctrl.prev_idx[_idx],
                                 ctrl.prev_mask[_idx], t)

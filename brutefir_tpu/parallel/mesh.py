@@ -239,14 +239,25 @@ class ShardedGraph:
             return jax.lax.with_sharding_constraint(
                 a, NamedSharding(mesh, P(*([None] * a.ndim))))
 
-        self._step = jax.jit(
-            functools.partial(_step_impl, cg.spec, mac,
-                              constrain=replicate, mesh=mesh,
-                              tiled=self.tiled),
-            in_shardings=(st_s, ct_s, bank_s, x_s),
-            out_shardings=(st_s, y_s),
-            donate_argnums=(0,),
-        )
+        self._replicate = replicate
+        self._programs = {}
+        self._step = self._program(None)
+
+    def _program(self, xfade):
+        """Host-selected crossfade program variant (see _step_impl)."""
+        if xfade not in self._programs:
+            from ..graph.compile import _step_impl
+            import functools
+            st_s, ct_s, bank_s, x_s, y_s = self.shardings
+            self._programs[xfade] = jax.jit(
+                functools.partial(_step_impl, self.cg.spec, self.mac,
+                                  constrain=self._replicate, mesh=self.mesh,
+                                  tiled=self.tiled, xfade_now=xfade),
+                in_shardings=(st_s, ct_s, bank_s, x_s),
+                out_shardings=(st_s, y_s),
+                donate_argnums=(0,),
+            )
+        return self._programs[xfade]
 
     def init_state(self) -> StepState:
         import jax.numpy as jnp
@@ -276,5 +287,5 @@ class ShardedGraph:
                 jax.device_put(bank, bank_s),
                 jax.device_put(x, x_s))
 
-    def step(self, state, ctrl, bank, x):
-        return self._step(state, ctrl, bank, x)
+    def step(self, state, ctrl, bank, x, xfade=None):
+        return self._program(xfade)(state, ctrl, bank, x)

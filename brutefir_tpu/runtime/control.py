@@ -85,6 +85,10 @@ class RuntimeControl:
         # at a scalar slot instead of a per-filter scatter
         # (graph/compile.py `uniform_delay`)
         self.snapshot_uniform_delay = False
+        # True when the latest snapshot carries a crossfade this block:
+        # the engine dispatches the cond-free crossfade program variant
+        # (graph/compile.py `xfade_now`)
+        self.snapshot_xfade = False
 
     # --- mutation API (used by CLI/EQ modules) ---------------------------
     def mark_dirty(self):
@@ -241,6 +245,10 @@ class RuntimeControl:
                                  coeff_idx, mask, prev_idx, prev_mask, xfade,
                                  ps_thresh)
         self._cached_has_xfade = any(xfade_now)
+        # host-selected crossfade program variant (graph/compile.py
+        # _step_impl xfade_now): True exactly when this snapshot carries
+        # a crossfade, so the engine can dispatch the cond-free program
+        self.snapshot_xfade = self._cached_has_xfade
         self.snapshot_uniform = bool(
             F > 0
             and np.all(coeff_idx == coeff_idx[0])

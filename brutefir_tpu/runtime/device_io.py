@@ -411,7 +411,7 @@ class DeviceIO:
                       dstate, dvec_in=None, dvec_out=None,
                       sdrows_in=None, sdbyp_in=None,
                       sdrows_out=None, sdbyp_out=None, uniform=False,
-                      uniform_delay=False):
+                      uniform_delay=False, xfade_now=None):
             new_dstate = dict(dstate)
             x = input_half(in_words, dstate, new_dstate, in_gain, dvec_in,
                            sdrows_in, sdbyp_in)
@@ -423,7 +423,8 @@ class DeviceIO:
             state, y = _step_impl(spec_, mac, state, ctrl, bank, x,
                                   uniform=uniform, tiled=tiled,
                                   mesh=mesh_, constrain=constrain_,
-                                  uniform_delay=uniform_delay)
+                                  uniform_delay=uniform_delay,
+                                  xfade_now=xfade_now)
             if constrain_ is not None:
                 y = constrain_(y)
             outs, meters, nan_ok, new_dstate = output_half(
@@ -432,6 +433,7 @@ class DeviceIO:
             return state, tuple(outs), tuple(meters), nan_ok, new_dstate
 
         self._full_step = full_step
+        self._uniform_ok = mac == "jnp" or mac.startswith("pallas")
         if mesh_ is not None:
             # pin the persistent state/ctrl/bank shardings; everything
             # else (wire words, meters, dither/delay state) is replicated
@@ -443,21 +445,25 @@ class DeviceIO:
             self._in_sh = (st_s, ct_s, repl, repl, bank_s,
                            repl, repl, repl, repl, repl, repl, repl, repl)
             self._out_sh = (st_s, repl, repl, repl, repl)
-            jit_kw = dict(in_shardings=self._in_sh,
-                          out_shardings=self._out_sh,
-                          donate_argnums=(0, 6))
+            self._jit_kw = dict(in_shardings=self._in_sh,
+                                out_shardings=self._out_sh,
+                                donate_argnums=(0, 6))
         else:
             self._in_sh = self._out_sh = None
-            jit_kw = dict(donate_argnums=(0, 6))
-        self._step = jax.jit(full_step, **jit_kw)
-        # uniform-coefficient program variant (host-selected, see
-        # graph/compile.py); identical except the uniform MAC
-        if mac == "jnp" or mac.startswith("pallas"):
-            self._step_u = jax.jit(
-                functools.partial(full_step, uniform=True), **jit_kw)
-        else:
-            self._step_u = self._step
+            self._jit_kw = dict(donate_argnums=(0, 6))
+        # host-selected program variants, compiled lazily per
+        # (uniform, xfade) key -- see graph/compile._step_impl
+        self._steps = {}
+        self._step = self._program(False, None)
         self._multi = {}
+
+    def _program(self, uniform: bool, xfade):
+        key = (uniform and self._uniform_ok, xfade)
+        if key not in self._steps:
+            self._steps[key] = jax.jit(
+                functools.partial(self._full_step, uniform=key[0],
+                                  xfade_now=key[1]), **self._jit_kw)
+        return self._steps[key]
 
     def _dvecs(self):
         return (self._dly[IN]["arr"] if self._dly[IN] else None,
@@ -543,8 +549,8 @@ class DeviceIO:
         return self._staged
 
     def step(self, state, ctrl, in_gain, out_gain, bank, in_words,
-             uniform=False):
-        fn = self._step_u if uniform else self._step
+             uniform=False, xfade=None):
+        fn = self._program(uniform, xfade)
         di, do = self._dvecs()
         sri, sbi, sro, sbo = self._sdvecs()
         state, outs, meters, nan_ok, self.dstate = fn(
@@ -553,7 +559,7 @@ class DeviceIO:
         return state, outs, meters, nan_ok
 
     def multi_step(self, m: int, uniform: bool = False,
-                   udelay: bool = False):
+                   udelay: bool = False, xfade=None):
         """A scan over m blocks per dispatch (offline throughput mode).
 
         Controls are frozen across the m blocks; the host amortizes the
@@ -578,7 +584,7 @@ class DeviceIO:
         passes over the ~136 MB frames/spectra batch. Kept as an opt-in
         experiment; the scanned path is the default.
         """
-        key = (m, uniform and self._step_u is not self._step, bool(udelay))
+        key = (m, uniform and self._uniform_ok, bool(udelay), xfade)
         if key not in self._multi:
             if os.environ.get("BRUTEFIR_TPU_PREFFT", "0") != "1":
                 return self._multi_step_scanned(m, key)
@@ -628,7 +634,8 @@ class DeviceIO:
                     st, y = _step_impl(ps_spec, mac, st, ctrl, bank, xk,
                                        uniform=key[1], tiled=tiled,
                                        mesh=mesh_, constrain=constrain_,
-                                       pre_X=Xk, uniform_delay=key[2])
+                                       pre_X=Xk, uniform_delay=key[2],
+                                       xfade_now=key[3])
                     if constrain_ is not None:
                         y = constrain_(y)
                     nd = dict(ds)
@@ -673,7 +680,7 @@ class DeviceIO:
         decode and forward rfft) inside the scan body -- the measured
         winner on TPU v5e (see multi_step docstring)."""
         fs = functools.partial(self._full_step, uniform=key[1],
-                               uniform_delay=key[2])
+                               uniform_delay=key[2], xfade_now=key[3])
 
         def multi(state, ctrl, in_gain, out_gain, bank, in_words,
                   dstate, dvec_in, dvec_out, sri, sbi, sro, sbo):

@@ -743,20 +743,34 @@ class Engine:
                 # bit-exact sequence contract, ops/device_dither.py);
                 # deep-copy: the step donates dstate buffers
                 dstate0 = jax.tree.map(jnp.copy, self.dio.dstate)
+                # the runtime dispatches host-selected xfade variants
+                # (False every quiet block; True only when some filter
+                # can crossfade) -- warm exactly those, so a crossfade
+                # mid-audio never hits a lazy compile
+                xfs = ((False, True)
+                       if any(f.crossfade for f in self.conf.filters)
+                       else (False,))
                 try:
                     for uni in (False, True):
-                        st = self.cg.init_state()
-                        r = self.dio.step(st, ctrl, g0, g1, self.bank,
-                                          list(words), uniform=uni)
-                        jax.block_until_ready(r[1])
+                        for xf in xfs:
+                            st = self.cg.init_state()
+                            r = self.dio.step(st, ctrl, g0, g1, self.bank,
+                                              list(words), uniform=uni,
+                                              xfade=xf)
+                            jax.block_until_ready(r[1])
                 finally:
                     self.dio.dstate = dstate0
             else:
                 x = np.zeros((self.conf.n_channels[IN], self.N), self.rd)
+                xfs = ((False, True)
+                       if any(f.crossfade for f in self.conf.filters)
+                       else (False,))
                 for uni in (False, True):
-                    st = self.cg.init_state()
-                    _, y = self.cg.step(st, ctrl, self.bank, x, uniform=uni)
-                    jax.block_until_ready(y)
+                    for xf in xfs:
+                        st = self.cg.init_state()
+                        _, y = self.cg.step(st, ctrl, self.bank, x,
+                                            uniform=uni, xfade=xf)
+                        jax.block_until_ready(y)
         except Exception as e:
             # warmup is best-effort (the lazy path still works), but a
             # failure here almost always means the same compile will fail
@@ -1418,6 +1432,7 @@ class Engine:
                     ctrl = self.control.snapshot()
                     gains = self._mute_gains()
                     uni = self.control.snapshot_uniform
+                    xf = self.control.snapshot_xfade
                     if self.dio is not None:
                         dly_snap = (list(self.control.delay[IN]),
                                     list(self.control.delay[OUT]))
@@ -1438,7 +1453,7 @@ class Engine:
                     # synchronous per-block device_put (upload_probe.py)
                     self.state, outs, meters, nan_ok = self.dio.step(
                         self.state, ctrl, gains[0], gains[1], self.bank,
-                        list(xw), uniform=uni)
+                        list(xw), uniform=uni, xfade=xf)
                     pending_item = ("dio", outs, meters, nan_ok, frames)
                 else:
                     if self.mesh is not None:
@@ -1449,7 +1464,8 @@ class Engine:
                         _, _, bank_s, x_s, _ = self._sharded.shardings
                         sx = jax.device_put(jnp.asarray(x), x_s)
                         self.state, y_dev = self._sharded.step(
-                            self.state, self._placed_ctrl, self.bank, sx)
+                            self.state, self._placed_ctrl, self.bank, sx,
+                            xfade=xf)
                     else:
                         # pre-stage the control pytree on device (reused
                         # while the snapshot object is unchanged): a
@@ -1460,7 +1476,7 @@ class Engine:
                             self._host_ctrl_src = ctrl
                         self.state, y_dev = self.cg.step(
                             self.state, self._host_ctrl, self.bank, x,
-                            uniform=uni)
+                            uniform=uni, xfade=xf)
                     pending_item = ("host", y_dev, frames, out_snap)
                 self._dbg("filter", "ret", self.blockcounter)
                 self.blockcounter += 1
@@ -1748,6 +1764,7 @@ class Engine:
                     ctrl = self.control.snapshot()
                     gains = self._mute_gains()
                     uni = self.control.snapshot_uniform
+                    xf = self.control.snapshot_xfade
                     dly_snap = (list(self.control.delay[IN]),
                                 list(self.control.delay[OUT]))
                     sd_snap = (list(self.control.subdelay[IN]),
@@ -1761,7 +1778,7 @@ class Engine:
                         break
                     self.state, outs1, meters1, nan1 = self.dio.step(
                         self.state, ctrl, gains[0], gains[1], self.bank,
-                        [st[b] for st in dstacks], uniform=uni)
+                        [st[b] for st in dstacks], uniform=uni, xfade=xf)
                     sync_first(nan1)
                     self.blockcounter += 1
                     while wstats["err"] is None:
@@ -1777,13 +1794,14 @@ class Engine:
                 gains = self._mute_gains()
                 uni = self.control.snapshot_uniform
                 udl = self.control.snapshot_uniform_delay
+                xf = self.control.snapshot_xfade
                 dly_snap = (list(self.control.delay[IN]),
                             list(self.control.delay[OUT]))
                 sd_snap = (list(self.control.subdelay[IN]),
                            list(self.control.subdelay[OUT]))
             self.dio.update_delays(*dly_snap)
             self.dio.update_subdelays(*sd_snap)
-            mstep = self.dio.multi_step(M, uniform=uni, udelay=udl)
+            mstep = self.dio.multi_step(M, uniform=uni, udelay=udl, xfade=xf)
             self.state, outs, meters, nan_ok = mstep(
                 self.state, ctrl, gains[0], gains[1], self.bank, dstacks)
             sync_first(nan_ok)

@@ -55,7 +55,7 @@ def test_run_offline_error_joins_threads_and_tears_down(tmp_path, rng):
     eng = Engine(_conf(tmp_path, inp, outp))
     assert eng.dio is not None
 
-    def broken_multi_step(M, uniform=None, udelay=None):
+    def broken_multi_step(M, uniform=None, udelay=None, xfade=None):
         def mstep(*a, **k):
             raise RuntimeError("boom")
         return mstep

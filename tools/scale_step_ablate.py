@@ -90,6 +90,20 @@ def _patch(ablate):
                    + t.astype(one.dtype) * 0)
             return one * 0.9999 + dep * 1e-12
         gcompile.pallas_spectral_mac = cheap_mac
+    if "inmix" in ablate or "omix" in ablate:
+        # complex_mix is called twice per trace at this single-stage
+        # config: first the input mix, then the output mix -- a
+        # trace-time counter lets each be ablated separately
+        calls = {"n": 0}
+
+        def counted_mix(m, X, _orig=_ORIG["mix"]):
+            calls["n"] += 1
+            is_in = calls["n"] % 2 == 1
+            if ("inmix" in ablate and is_in) or \
+                    ("omix" in ablate and not is_in):
+                return X[: m.shape[0]] * (1.0 + jnp.sum(m) * 1e-12)
+            return _orig(m, X)
+        partconv.complex_mix = counted_mix
     if "dec" in ablate:
         def cheap_dec(words, selection, virt_map, rd):
             dep = words.reshape(-1)[0].astype(rd) * 1e-12

@@ -81,25 +81,24 @@ def main():
         os.environ["BRUTEFIR_TPU_DUAL_XFADE"] = env
         dio = DeviceIO(eng)          # fresh trace under this env
         dio.dstate = eng.dio.dstate
-        variants[name] = dio.multi_step(M, uniform=uni, udelay=udl)
+        # host-selected programs, like the engine dispatches them:
+        # xfade=True for the swap blocks, False for the noswap blocks
+        variants[name] = (dio.multi_step(M, uniform=uni, udelay=udl,
+                                         xfade=True),
+                          dio.multi_step(M, uniform=uni, udelay=udl,
+                                         xfade=False))
 
-    for name, fn in variants.items():    # compile both
-        st, outs, meters, nan = fn(eng.state, c0, g0[0], g0[1],
-                                   eng.bank, dstacks)
-        eng.state = st
-        float(np.asarray(jnp.sum(jax.tree.leaves(meters)[0]
-                                 ).astype(jnp.float32)))
+    for fns in variants.values():        # compile all
+        for fn, ctrl in zip(fns, (c0, c_off)):
+            st, outs, meters, nan = fn(eng.state, ctrl, g0[0], g0[1],
+                                       eng.bank, dstacks)
+            eng.state = st
+            float(np.asarray(jnp.sum(jax.tree.leaves(meters)[0]
+                                     ).astype(jnp.float32)))
 
-    cases = [(name, fn, ctrl, tag)
-             for name, fn in variants.items()
+    cases = [(name, fns[0 if tag == "" else 1], ctrl, tag)
+             for name, fns in variants.items()
              for ctrl, tag in ((c0, ""), (c_off, " noswap"))]
-    for _, fn, ctrl, _ in cases:       # compile the cond-false programs too
-        st, outs, meters, nan = fn(eng.state, ctrl, g0[0], g0[1],
-                                   eng.bank, dstacks)
-        eng.state = st
-        float(np.asarray(jnp.sum(jax.tree.leaves(meters)[0]
-                                 ).astype(jnp.float32)))
-
     results = {name + tag: [] for name, _, _, tag in cases}
     for round_i in range(3):
         for name, fn, ctrl, tag in cases:
