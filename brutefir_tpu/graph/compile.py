@@ -311,20 +311,22 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
     # the single-device pallas path, the output-mix contraction runs
     # INSIDE the MAC kernel's grid with the [C_out, 2, N] output block
     # VMEM-resident, so the per-filter spectra Y never reach HBM.
-    # VMEM budget: the fused kernel keeps the [C_out, 2, K_local] output
-    # block resident alongside the double-buffered ring+bank rows; beyond
-    # ~12 MB (e.g. 256 outputs x 8k bins = 16.8 MB) it cannot fit -- fall
-    # back. Under a mesh the per-device shard sizes apply ('sp' divides
-    # the bins, guaranteed by pallas_shardable when mac is pallas).
+    # VMEM budget: small shapes keep the [C_out, 2, K_local] output
+    # block resident alongside the double-buffered ring+bank rows; big
+    # shapes (256 outputs x 8k bins = 16.8 MB > ~16 MB/core) take the
+    # bin-tiled MXU variant instead (pallas_mac.mix_fusable decides).
+    # Under a mesh the per-device shard sizes apply ('sp' divides the
+    # bins, guaranteed by pallas_shardable when mac is pallas).
+    from ..ops.pallas_mac import mix_fusable
     _sp = mesh.shape.get("sp", 1) if mesh is not None else 1
-    _out_block = spec.n_outputs * 2 * (K // _sp) * 4
-    _row_bytes = B * 2 * (K // _sp) * 4
+    _Fl = F // (mesh.shape.get("f", 1) if mesh is not None else 1)
     fused_mix = (mac.startswith("pallas") and not taps
                  and len(spec.stages) == 1
                  and spec.stages[0].casc_local.size == 0
-                 and not spec.stages[0].any_crossfade
+                 and not (spec.stages[0].any_crossfade
+                          and xfade_now is not False)
                  and np.array_equal(spec.stages[0].idx, np.arange(F))
-                 and _out_block + 4 * _row_bytes <= 12 * 2**20
+                 and mix_fusable(_Fl, B, K // _sp, spec.n_outputs)
                  and os.environ.get("BRUTEFIR_TPU_FUSED_MIX", "1") != "0")
     if fused_mix:
         from ..ops.pallas_mac import (pallas_spectral_mac_mix,

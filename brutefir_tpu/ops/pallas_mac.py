@@ -641,6 +641,118 @@ def _mac_mix_kernel_uniform(rpos_ref, mask_ref, w_ref, ring_ref, bank_ref,
             out_ref[c, 1] += w_ref[f, c] * acci
 
 
+def mix_fusable(F: int, B: int, K: int, C_out: int) -> bool:
+    """Can the fused MAC+mix run at this shape? Small shapes keep the
+    whole [C_out, 2, K] output VMEM-resident (grid (F,)); big shapes
+    need the bin-tiled MXU variant, which requires 8-row bin chunks and
+    fits its chunks + scratch in the VMEM budget."""
+    R = K // 128
+    out_bytes = C_out * 2 * R * 128 * 4
+    row_bytes = B * 2 * R * 128 * 4
+    if out_bytes + 4 * row_bytes <= 12 * 2**20:
+        return True
+    if R % 16 != 0:
+        return False
+    Rc = 16
+    Fc = 128 if F % 128 == 0 else F
+    chunk = (C_out * 2 * Rc * 128 * 4          # resident output chunk
+             + Fc * 2 * Rc * 128 * 4           # Y scratch
+             + 4 * B * 2 * Rc * 128 * 4)       # double-buffered ring+bank
+    return chunk <= 12 * 2**20
+
+
+def _mac_mix_kernel_tiled(idx_ref, rpos_ref, mask_ref, ring_ref, bank_ref,
+                          w_ref, out_ref, y_scr, *, n_part, n_fc):
+    # Big-shape fused MAC+mix (grid (R/Rc, F/Fc, Fc), innermost fl):
+    # the [C_out, 2, R, 128] output cannot sit in VMEM at 256 outputs
+    # (16.8 MB > ~16 MB/core), so the output block is BIN-TILED (index
+    # map depends only on r) and the mix contraction runs on the MXU:
+    # each fl step MACs one filter's ring row chunk into a [Fc, 2, Rc,
+    # 128] VMEM scratch; on the tile's last filter, w[C, Fc] contracts
+    # the scratch in 2*Rc [C, Fc] x [Fc, 128] dots accumulated into the
+    # resident output chunk. Ring/bank HBM traffic is identical to the
+    # unfused chunked MAC; the per-filter Y spectra never reach HBM.
+    r, ft, fl = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    f = ft * n_fc + fl
+    Rc = out_ref.shape[2]
+    accr = jnp.zeros_like(out_ref[0, 0])
+    acci = jnp.zeros_like(out_ref[0, 1])
+    for b in range(n_part):
+        m = mask_ref[f, b]
+        rb = rpos_ref[b]
+        rr = ring_ref[0, rb, 0].astype(out_ref.dtype)
+        ri = ring_ref[0, rb, 1].astype(out_ref.dtype)
+        hr = bank_ref[0, b, 0].astype(rr.dtype) * m
+        hi = bank_ref[0, b, 1].astype(rr.dtype) * m
+        accr += rr * hr - ri * hi
+        acci += rr * hi + ri * hr
+    y_scr[fl, 0] = accr
+    y_scr[fl, 1] = acci
+
+    @pl.when(fl == n_fc - 1)
+    def _():
+        wt = w_ref[...]                                  # [C_out, Fc]
+        parts = []
+        for p in (0, 1):
+            rows = [jax.lax.dot(wt, y_scr[:, p, i],
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=out_ref.dtype)
+                    for i in range(Rc)]                  # [C_out, 128] each
+            parts.append(jnp.stack(rows, axis=1))        # [C_out, Rc, 128]
+        contrib = jnp.stack(parts, axis=1)               # [C_out, 2, Rc, 128]
+
+        @pl.when(ft == 0)
+        def _():
+            out_ref[...] = contrib
+
+        @pl.when(ft > 0)
+        def _():
+            out_ref[...] += contrib
+
+
+def _tiled_mix_call(ring5, bank5, coeff_idx, rpos, maskf, wf_t, interpret,
+                    chunk_rows: int = None, chunk_f: int = None):
+    """Dispatch the bin-tiled fused MAC+mix. ``wf_t``: [C_out, F] f32."""
+    # Rc=16 / Fc=128: the measured winner at 256ch x 8k bins (1.796 vs
+    # 1.820 ms unfused; Rc=8 1.97, Fc=256 1.94). Some off-default
+    # combinations (Fc=64, Rc=4) trip a jax-internal tracing KeyError
+    # ('closed_call') on jax 0.8 -- keep the knobs for re-sweeps but
+    # treat non-default values as experimental.
+    import os
+    if chunk_rows is None:
+        chunk_rows = int(os.environ.get("BRUTEFIR_TPU_MIXTILE_RC", "16"))
+    if chunk_f is None:
+        chunk_f = int(os.environ.get("BRUTEFIR_TPU_MIXTILE_FC", "128"))
+    F, B, _, R, _ = ring5.shape
+    C_out = wf_t.shape[0]
+    Rc = chunk_rows if R % chunk_rows == 0 else R
+    Fc = chunk_f if F % chunk_f == 0 else F
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(R // Rc, F // Fc, Fc),
+        in_specs=[
+            pl.BlockSpec((1, B, 2, Rc, 128),
+                         lambda r, ft, fl, idx, rp, mk, _fc=Fc:
+                         (ft * _fc + fl, 0, 0, r, 0)),
+            pl.BlockSpec((1, B, 2, Rc, 128),
+                         lambda r, ft, fl, idx, rp, mk, _fc=Fc:
+                         (idx[ft * _fc + fl], 0, 0, r, 0)),
+            pl.BlockSpec((C_out, Fc),
+                         lambda r, ft, fl, idx, rp, mk: (0, ft)),
+        ],
+        out_specs=pl.BlockSpec((C_out, 2, Rc, 128),
+                               lambda r, ft, fl, idx, rp, mk: (0, 0, r, 0)),
+        scratch_shapes=[pltpu.VMEM((Fc, 2, Rc, 128), _odt(ring5.dtype))],
+    )
+    return pl.pallas_call(
+        functools.partial(_mac_mix_kernel_tiled, n_part=B, n_fc=Fc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C_out, 2, R, 128),
+                                       _odt(ring5.dtype)),
+        interpret=interpret,
+    )(coeff_idx.astype(jnp.int32), rpos, maskf, ring5, bank5, wf_t)
+
+
 def pallas_spectral_mac_mix(ring, bank, coeff_idx, mask, t, w,
                             uniform: bool = False,
                             interpret: bool = False,
@@ -668,6 +780,27 @@ def pallas_spectral_mac_mix(ring, bank, coeff_idx, mask, t, w,
     rpos = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B).astype(jnp.int32)
     maskf = mask.astype(_odt(ring.dtype))
     wf = jnp.transpose(w).astype(_odt(ring.dtype))          # [F, C_out] (SMEM)
+
+    # big-shape route: when the [C_out, 2, R, 128] output block cannot
+    # stay VMEM-resident next to the ring/bank rows (256 outputs x 8k
+    # bins = 16.8 MB vs ~16 MB/core), bin-tile the output and run the
+    # mix contraction on the MXU (_mac_mix_kernel_tiled). The uniform
+    # case routes here too: its constant coeff index makes consecutive
+    # bank blocks identical, which Mosaic fetches once per tile.
+    out_bytes = C_out * 2 * R * 128 * 4
+    row_bytes = B * 2 * R * 128 * 4
+    if out_bytes + 4 * row_bytes > 12 * 2**20:
+        out5 = _tiled_mix_call(ring5, bank5, coeff_idx, rpos, maskf,
+                               w.astype(_odt(ring.dtype)), interpret)
+        out = out5.reshape(C_out, 2, N)
+        y0r, y0i = _bin0(ring, bank, coeff_idx, mask, rpos)
+        o0r = jnp.einsum("cf,f->c", w.astype(_odt(ring.dtype)), y0r,
+                         precision=jax.lax.Precision.HIGHEST)
+        o0i = jnp.einsum("cf,f->c", w.astype(_odt(ring.dtype)), y0i,
+                         precision=jax.lax.Precision.HIGHEST)
+        if patch_bin0:
+            return out.at[:, 0, 0].set(o0r).at[:, 1, 0].set(o0i)
+        return out, o0r, o0i
 
     if uniform:
         bank_row = bank5[coeff_idx[0]]

@@ -194,6 +194,39 @@ def test_fused_mac_mix_matches_dense(rng):
                                    rtol=0, atol=1e-4)
 
 
+def test_fused_mac_mix_tiled_matches_dense(rng):
+    """The bin-tiled MXU fused MAC+mix (big-shape route) == dense,
+    called directly at a small shape (R divisible by the 8-row chunk)."""
+    from brutefir_tpu.ops.pallas_mac import (_tiled_mix_call, _bin0,
+                                             pallas_spectral_mac)
+    F, B, N, E, C = 6, 4, 1024, 3, 5       # R = 8 -> one bin chunk
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    idx = np.array([0, 1, 2, 0, 1, 2], np.int32)
+    mask = (rng.uniform(size=(F, B)) > 0.3).astype(np.float32)
+    w = rng.standard_normal((C, F)).astype(np.float32)
+    R = N // 128
+    ring5 = jnp.asarray(ring.reshape(F, B, 2, R, 128))
+    bank5 = jnp.asarray(bank.reshape(E, B, 2, R, 128))
+    for t in (0, 3):
+        y = pallas_spectral_mac(jnp.asarray(ring), jnp.asarray(bank),
+                                jnp.asarray(idx), jnp.asarray(mask),
+                                jnp.int32(t), interpret=True)
+        ref = partconv.complex_mix(jnp.asarray(w), y)
+        rpos = jnp.mod(jnp.int32(t) - jnp.arange(B, dtype=jnp.int32),
+                       B).astype(jnp.int32)
+        out5 = _tiled_mix_call(ring5, bank5, jnp.asarray(idx), rpos,
+                               jnp.asarray(mask), jnp.asarray(w),
+                               interpret=True)
+        out = out5.reshape(C, 2, N)
+        y0r, y0i = _bin0(jnp.asarray(ring), jnp.asarray(bank),
+                         jnp.asarray(idx), jnp.asarray(mask), rpos)
+        out = out.at[:, 0, 0].set(w @ np.asarray(y0r)) \
+                 .at[:, 1, 0].set(w @ np.asarray(y0i))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=1e-4)
+
+
 def test_fused_mac_mix_uniform_matches_dense(rng):
     from brutefir_tpu.ops.pallas_mac import (pallas_spectral_mac_mix,
                                              pallas_spectral_mac_uniform)
