@@ -85,9 +85,15 @@ def transport_floor(probe, probe_cost):
 
 
 def measure_point(n, b, sink):
+    import gc
     import jax.numpy as jnp
     from brutefir_tpu.config import parse_config
     from brutefir_tpu.runtime import Engine
+    if os.environ.get("CURVE_GC", "1") == "0":
+        # p95 diagnosis: CPython gen-2 collections pause the block loop
+        # for milliseconds at 64-sample budgets; CURVE_GC=0 isolates
+        # that share of the tail
+        gc.disable()
     conf = parse_config(CONFIG_TPL.format(n=n, b=b))
     eng = Engine(conf)
     eng.setup()
