@@ -604,13 +604,19 @@ class CliModule:
             self._peak_sessions.pop(stream, None)
 
     def _maybe_print_peaks(self):
+        # callable from both the engine's peak-push thread and the
+        # block_start poll: the overflow check-then-set must be atomic
+        # or a change can print twice (both callers pass the compare)
+        # or be swallowed (one assignment lands between the other's
+        # compare and assignment)
         with self._peak_lock:
             targets = list(self._peak_sessions.items())
-        if not targets:
-            return
-        cur = tuple(o.n_overflows for o in self.engine.overflow)
-        if cur != self._last_overflows:
+            if not targets:
+                return
+            cur = tuple(o.n_overflows for o in self.engine.overflow)
+            changed = cur != self._last_overflows
             self._last_overflows = cur
+        if changed:
             for stream, lock in targets:
                 try:
                     with lock:

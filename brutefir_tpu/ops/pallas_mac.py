@@ -727,6 +727,17 @@ def _tiled_mix_call(ring5, bank5, coeff_idx, rpos, maskf, wf_t, interpret,
     C_out = wf_t.shape[0]
     Rc = chunk_rows if R % chunk_rows == 0 else R
     Fc = chunk_f if F % chunk_f == 0 else F
+
+    def _chunk_bytes(rc, fc):
+        return ((C_out + fc + 4 * B) * 2 * rc * 128 * 4)
+
+    if _chunk_bytes(Rc, Fc) > 12 * 2**20:
+        # a knob override (or a non-dividing R falling back to Rc=R)
+        # produced chunks past the budget mix_fusable validated with the
+        # defaults -- use the defaults rather than a VMEM-overflow
+        # compile failure at first dispatch
+        Rc = 16 if R % 16 == 0 else R
+        Fc = 128 if F % 128 == 0 else F
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(R // Rc, F // Fc, Fc),

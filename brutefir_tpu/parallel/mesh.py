@@ -122,22 +122,8 @@ def auto_mesh(n_filters: int, n_bins: int, real_dtype,
     if n <= 1:
         return None
 
-    if f_pref > 0:
-        # manual placement: honor the process count on the 'f' axis as
-        # closely as the device count allows. Padding (engine side)
-        # guarantees filter-axis divisibility for any f, so only the
-        # bin axis constrains sp.
-        for total in range(n, 1, -1):
-            divs = [d for d in range(1, total + 1) if total % d == 0]
-            for f in sorted((d for d in divs if d <= f_pref),
-                            key=lambda d: -d):
-                sp = total // f
-                if n_bins % sp == 0:
-                    return make_mesh(devices[:total], f_axis=f, sp_axis=sp)
-        return None
-
-    def usable(f, sp):
-        if f > 1 and n_filters % f != 0:
+    def usable(f, sp, waive_filters=False):
+        if not waive_filters and f > 1 and n_filters % f != 0:
             return 0
         trial_mesh = type("M", (), {"shape": {"f": f, "sp": sp}})()
         if (pallas_available(n_bins, real_dtype)
@@ -147,6 +133,31 @@ def auto_mesh(n_filters: int, n_bins: int, real_dtype,
         if n_bins % sp == 0:
             return 1                              # dense path shards
         return 0
+
+    if f_pref > 0:
+        # manual placement: honor the process count on the 'f' axis as
+        # closely as the device count allows. Padding (engine side)
+        # guarantees filter-axis divisibility for any f, so only the
+        # bin axis constrains sp. Same kernel-survival scoring as the
+        # auto path: among f <= f_pref candidates, prefer shapes where
+        # the Pallas MAC shards (a dense-degraded mesh is a large
+        # silent cliff), then the largest f, then the most devices.
+        best = None
+        for total in range(n, 1, -1):
+            divs = [d for d in range(1, total + 1) if total % d == 0]
+            for f in sorted((d for d in divs if d <= f_pref),
+                            key=lambda d: -d):
+                sp = total // f
+                score = usable(f, sp, waive_filters=True)
+                if score and (best is None or (score, f) > best[:2]):
+                    best = (score, f, total)
+            if best is not None and best[0] == 2:
+                break            # kernel-surviving shape at max devices
+        if best is not None:
+            _, f, total = best
+            return make_mesh(devices[:total], f_axis=f, sp_axis=total // f)
+        # nothing honors the pins: fall back to the auto heuristic
+        # (the engine warns that placement has no effect on f=1 meshes)
 
     # candidate device counts, largest first; per count, prefer sp-pure
     # then growing f

@@ -183,6 +183,13 @@ class Engine:
                     f"Manual process placement: {n_proc} process group(s) "
                     f"onto the {f_n}-way 'f' mesh axis "
                     f"({len(rows)} filter rows incl. padding)\n")
+        elif manual and not getattr(conf, "quiet", False):
+            # the reference pins work onto CPUs regardless; here a
+            # single device (or an f=1 mesh) has nowhere to place --
+            # say so rather than silently ignoring the setting
+            sys.stderr.write(
+                "Warning: filter process: settings have no effect "
+                "(single device or no 'f' mesh axis to place onto)\n")
 
         self.spec = build_graph_spec(
             self.N, self.B, conf.n_channels[IN], conf.n_channels[OUT],
@@ -897,12 +904,17 @@ class Engine:
             return peak == 0.0
         if not x.size:
             return True
-        # match the compiled gate: scale * max|x| < analog per channel
-        # (ps_thresh = analog / virtscale, control.py snapshot)
+        # match the compiled gate EXACTLY, including its f32 rounding:
+        # the traced gate compares the f32 frame peak against
+        # ps_thresh = f32(analog / max(virtscale, 1e-30)) (control.py
+        # snapshot); an f64 comparison here could deem a block silent
+        # that the device gate never zeroed (rounding band around the
+        # threshold), breaking the dispatch-skip's byte-identity claim
         scales = np.maximum(
             np.asarray(self.control.virtscale[IN], np.float64), 1e-30)
-        peaks = np.asarray(np.abs(x).max(axis=-1), np.float64)
-        return bool(np.all(peaks < thr / scales[: peaks.shape[0]]))
+        thr32 = (thr / scales[: x.shape[0]]).astype(self.rd)
+        peaks = np.abs(np.asarray(x, self.rd)).max(axis=-1)
+        return bool(np.all(peaks < thr32))
 
     def _input_silent_words(self, xw) -> bool:
         """Silence test on raw input words (device-IO path): exact-zero
@@ -1329,6 +1341,10 @@ class Engine:
                     self._ps_drain += 1
         self._ps_skippable = (
             bool(self.conf.powersave) and (self.dio is None or dio_ok)
+            # freqd tap hooks are traced into the step and may mutate
+            # spectra (or simply expect to observe every block) -- a
+            # skipped dispatch would silently bypass them
+            and not getattr(self.cg, "taps", None)
             and os.environ.get("BRUTEFIR_TPU_PS_SKIP", "1") != "0")
 
         eof = False
@@ -1375,11 +1391,13 @@ class Engine:
             if skip:
                 with self.control_mutex:
                     # control bookkeeping must advance exactly as on a
-                    # dispatched block (prev_coeff, EQ coeff_final hooks)
+                    # dispatched block (prev_coeff, EQ coeff_final hooks);
+                    # out_snap only feeds the host path's write_block
                     self.control.snapshot()
-                    out_snap = (list(self.control.delay[OUT]),
-                                list(self.control.mute[OUT]),
-                                list(self.control.subdelay[OUT]))
+                    out_snap = (None if self.dio is not None else
+                                (list(self.control.delay[OUT]),
+                                 list(self.control.mute[OUT]),
+                                 list(self.control.subdelay[OUT])))
                 if self.dio is not None:
                     # zero wire words ARE the device's silent output: the
                     # drained delay/subdelay rings hold zeros, gains scale

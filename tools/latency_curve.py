@@ -105,19 +105,26 @@ def measure_point(n, b, sink):
     forced_mean = (time.perf_counter() - t0 - probe_cost) / BLOCKS
 
     # engine-side floor: re-dispatch the compiled step on device-staged
-    # words (execute RPC + device work; no host read/encode)
+    # words (execute RPC + device work; no host read/encode) -- the SAME
+    # program variant the realtime loop above dispatched (uniform fast
+    # path, host-selected no-crossfade), so the floor attributes the
+    # program whose p50/p95 it sits beside
     words_np, _ = eng.read_block_dio()
     words = [jnp.asarray(w) for w in words_np]
     with eng.control_mutex:
         ctrl = eng.control.snapshot()
         g0, g1 = eng._mute_gains()
+        uni = eng.control.snapshot_uniform
+        xf = eng.control.snapshot_xfade
     for _ in range(2):
         eng.state, o, m, nk = eng.dio.step(eng.state, ctrl, g0, g1,
-                                           eng.bank, words)
+                                           eng.bank, words,
+                                           uniform=uni, xfade=xf)
     t0 = time.perf_counter()
     for _ in range(200):
         eng.state, o, m, nk = eng.dio.step(eng.state, ctrl, g0, g1,
-                                           eng.bank, words)
+                                           eng.bank, words,
+                                           uniform=uni, xfade=xf)
     probe(2)
     step_floor = (time.perf_counter() - t0 - probe_cost) / 200
 
