@@ -352,6 +352,25 @@ def test_sharded_pallas_crossfade_parity(rng):
         sstate, y = sg.step(sstate, sctrl, sbank, sx)
         np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-4)
 
+    # the host-selected program variants (engine dispatch: xfade=True on
+    # the swap block, False elsewhere -- the fused time-domain crossfade
+    # under shard_map) must match the same reference
+    sstate2 = sg.init_state()
+    for xb, ct, ref in zip(xs, plans, single):
+        xf = bool(np.any(np.asarray(ct.xfade) > 0))
+        sctrl, sbank, sx = sg.place(ct, jnp.asarray(bank), jnp.asarray(xb))
+        sstate2, y = sg.step(sstate2, sctrl, sbank, sx, xfade=xf)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-4)
+
+    # and the single-device host-selected programs (CompiledGraph.step
+    # xfade flag; jnp MAC exercises the non-dual _mac_pair branch)
+    st2 = cg_ref.init_state()
+    for xb, ct, ref in zip(xs, plans, single):
+        xf = bool(np.any(np.asarray(ct.xfade) > 0))
+        st2, y = cg_ref.step(st2, ct, jnp.asarray(bank), jnp.asarray(xb),
+                             xfade=xf)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=1e-4)
+
 
 def test_sharded_fused_mix_matches_dense(rng, monkeypatch):
     """The fused MAC+mix kernel under shard_map (psum over 'f') matches
