@@ -284,6 +284,54 @@ filter 1 {{ from_inputs: 1; to_outputs: 1; coeff: 0; }};
     assert not np.array_equal(outs["1"][0], outs["1"][1])
 
 
+def test_engine_dispatches_xfade_program_only_on_swap_blocks(tmp_path, rng,
+                                                             monkeypatch):
+    """The host-selected crossfade program (graph/compile.py xfade_now)
+    must be dispatched exactly on blocks whose snapshot carries a
+    crossfade (CLI script coeff flips), the plain program elsewhere --
+    and a dirac<->dirac crossfade stays the identity."""
+    from brutefir_tpu.runtime.device_io import DeviceIO
+    N, B = 128, 4
+    x = (rng.integers(-(1 << 20), 1 << 20, (N * 8, 1))).astype("<i4")
+    inp = tmp_path / "in.raw"
+    x.tofile(inp)
+    outp = tmp_path / "out.raw"
+    # one NEWLINE-separated script line per block (bench5_config format;
+    # ';' only joins commands within a block): flip at blocks 2 and 5
+    script = "ppk\nppk\ncfc 0 1\nppk\nppk\ncfc 0 0\nppk\nppk"
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+logic: "cli" {{ script: "{script}"; }};
+coeff 0 {{ filename: "dirac pulse"; }};
+coeff 1 {{ filename: "dirac pulse"; }};
+input 0 {{ device: "file" {{ path: "{inp}"; }}; sample: "S32_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }}; sample: "S32_LE"; channels: 1; dither: false; }};
+filter 0 {{ from_inputs: 0; to_outputs: 0; coeff: 0; crossfade: true; }};
+""")
+    keys = []
+    orig = DeviceIO._program
+
+    def spy(self, uniform, xfade):
+        keys.append((bool(uniform), xfade))
+        return orig(self, uniform, xfade)
+
+    monkeypatch.setattr(DeviceIO, "_program", spy)
+    eng = Engine(conf)
+    assert eng.dio is not None
+    eng.run()
+    # drop warmup dispatches (engine setup warms both variants on a
+    # throwaway state); the run's own dispatches follow
+    run_keys = [k[1] for k in keys[-8:]]
+    assert True in run_keys and False in run_keys
+    # the flips land at blocks 2 and 5 (script line k runs at block k)
+    assert run_keys[2] is True and run_keys[5] is True
+    assert all(k is False for i, k in enumerate(run_keys)
+               if i not in (2, 5))
+    y = np.fromfile(outp, dtype="<i4")
+    np.testing.assert_allclose(y, x[:, 0], atol=1)
+
+
 def test_sink_mode_prefetch_and_amortized_drain(tmp_path):
     """Sink mode (no device->host samples) uses the input-prefetch
     producer thread and the amortized device drain; block/frame
