@@ -64,10 +64,10 @@ def main():
         g0 = eng._mute_gains()
         uni = eng.control.snapshot_uniform
         udl = eng.control.snapshot_uniform_delay
-    # force the crossfade branch every block (bench5: cfc flip per block);
-    # c_off keeps the cond false — it measures the non-swap blocks of a
-    # crossfade-enabled config (the dual restructure moved the primary
-    # MAC inside the lax.cond, so this case must not regress)
+    # force the crossfade controls every block (bench5: cfc flip per
+    # block); c_off measures the non-swap blocks of a crossfade-enabled
+    # config, dispatched on the host-selected xfade=False program --
+    # which must cost exactly the plain step
     c_off = c0
     c0 = c0._replace(xfade=jnp.ones_like(c0.xfade),
                      any_xfade=jnp.asarray(True))
