@@ -533,6 +533,102 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
     return new_state, y_time
 
 
+def pair_eligible(spec: GraphSpec, mac: str, taps, mesh) -> bool:
+    """Static gate for the two-blocks-per-scan-iteration program
+    (_pair_step_impl): the conditions of the fused MAC+mix fast path
+    (single full stage, no cascades, no spectral taps, single device,
+    lane-tiled state) plus the pair kernel's VMEM budget. Restricted to
+    the big shapes that take the bin-tiled route anyway -- at small
+    shapes the MAC is a few percent of the step and the resident
+    rowmajor kernel is the measured winner. BRUTEFIR_TPU_PAIR=0
+    disables; =force enables at any shape (tests)."""
+    env = os.environ.get("BRUTEFIR_TPU_PAIR", "1")
+    if env == "0":
+        return False
+    if not (mac.startswith("pallas") and not taps and mesh is None
+            and spec.tileable and len(spec.stages) == 1
+            and spec.stages[0].casc_local.size == 0
+            and np.array_equal(spec.stages[0].idx,
+                               np.arange(spec.n_filters))):
+        return False
+    B, K = spec.n_blocks, spec.n_bins
+    if env != "force":
+        R = K // 128
+        big = (spec.n_outputs + 4 * B) * 2 * R * 128 * 4 > 12 * 2**20
+        if not big:
+            return False
+    from ..ops.pallas_mac import pair_mix_fusable
+    return pair_mix_fusable(spec.n_filters, B, K, spec.n_outputs)
+
+
+def _pair_step_impl(spec: GraphSpec, mac: str, state: StepState,
+                    ctrl: StepCtrl, bank: jax.Array, x0: jax.Array,
+                    x1: jax.Array, uniform_delay: bool = False):
+    """Two consecutive blocks in one traced program with a SINGLE pass
+    over the spectra ring and the coefficient bank
+    (pallas_spectral_mac_mix_pair). At the 256ch scale shape the MAC
+    streams ring+bank at the HBM roofline (docs/PERFORMANCE.md), so
+    halving its bytes-per-block is the only lever left at full bit
+    parity -- the batched offline dispatch already freezes controls
+    across the batch, which is exactly the pair's contract.
+
+    Semantically identical to two _step_impl fused-mix steps: the same
+    per-block terms in the same per-block accumulation order (the
+    schedule-difference slot is masked or fed the fresh spectra -- see
+    the kernel docstring). Only reachable through pair_eligible.
+    Returns (state', y0_time, y1_time)."""
+    B = spec.n_blocks
+    K = spec.n_bins
+    F = spec.n_filters
+    C = spec.n_inputs
+    # pair_eligible requires spec.tileable + the pallas MAC: the ring is
+    # always in the lane-tiled [F, B, 2, K/128, 128] layout here
+
+    frame0 = jnp.concatenate([state.prev_in, x0], axis=-1)
+    frame1 = jnp.concatenate([x0, x1], axis=-1)
+    frames = jnp.concatenate([frame0, frame1], axis=0)     # [2C, 2N]
+    if spec.powersave:
+        thr = jnp.concatenate([ctrl.ps_thresh, ctrl.ps_thresh])[:, None]
+        peak = jnp.max(jnp.abs(frames), axis=1, keepdims=True)
+        frames = jnp.where((thr > 0) & (peak < thr),
+                           jnp.zeros_like(frames), frames)
+    X = partconv.rfft_planes(frames)                       # [2C, 2, N]
+    mixed0 = partconv.complex_mix(ctrl.in_mix, X[:C])      # [F, 2, N]
+    mixed1 = partconv.complex_mix(ctrl.in_mix, X[C:])
+
+    ring = state.ring
+    t = state.t
+    blk0 = mixed0.reshape(F, 2, K // 128, 128)
+    blk1 = mixed1.reshape(F, 2, K // 128, 128)
+
+    def write_ring(ring, blk, tw):
+        blk = blk.astype(ring.dtype)
+        if uniform_delay:
+            wpos0 = jnp.mod(tw + ctrl.delay[0], B)
+            return jax.lax.dynamic_update_slice(
+                ring, blk[:, None], (0, wpos0) + (0,) * (blk.ndim - 1))
+        wpos = jnp.mod(tw + ctrl.delay, B)
+        return ring.at[jnp.arange(F), wpos].set(blk)
+
+    ring = write_ring(ring, blk0, t)
+    # block t+1 reads the ring-rounded spectra either way (bf16 ring
+    # parity): cast the side-channel copy exactly like the write
+    xnew = blk1.astype(ring.dtype)
+    usenew = (ctrl.delay == 0).astype(jnp.int32)
+    from ..ops.pallas_mac import pallas_spectral_mac_mix_pair
+    out0, out1 = pallas_spectral_mac_mix_pair(
+        ring, xnew, bank, ctrl.coeff_idx, ctrl.mask, t, ctrl.out_mix,
+        usenew, interpret=mac == "pallas-interpret")
+    ring = write_ring(ring, blk1, t + 1)
+
+    C_out = spec.n_outputs
+    y2 = partconv.irfft_planes_valid(
+        jnp.concatenate([out0, out1], axis=0))             # [2*C_out, N]
+    new_state = StepState(prev_in=x1, ring=ring, eval_prev=state.eval_prev,
+                          t=t + 2)
+    return new_state, y2[:C_out], y2[C_out:]
+
+
 def make_ctrl(
     spec: GraphSpec,
     in_mix: np.ndarray,

@@ -764,6 +764,214 @@ def _tiled_mix_call(ring5, bank5, coeff_idx, rpos, maskf, wf_t, interpret,
     )(coeff_idx.astype(jnp.int32), rpos, maskf, ring5, bank5, wf_t)
 
 
+def _mac_mix_kernel_tiled_pair(idx_ref, rpos0_ref, rpos1_ref, usenew_ref,
+                               mask_ref, ring_ref, xnew_ref, bank_ref,
+                               w_ref, out0_ref, out1_ref, y0_scr, y1_scr,
+                               *, n_part, n_fc):
+    # TWO consecutive blocks' fused MAC+mix in ONE pass over the ring row
+    # and the coefficient bank row (grid (R/Rc, F/Fc, Fc), innermost fl).
+    # Controls are frozen across the pair (the batched-offline dispatch
+    # contract), so both blocks share the bank row and the mask. The ring
+    # operand is the state after block t's write and BEFORE block t+1's;
+    # the one slot whose content differs from the sequential schedule --
+    # the slot block t+1's own write would have filled -- is either
+    # partition 0 of a delay-0 filter, read from the fresh spectra passed
+    # separately as ``xnew``, or a partition >= B - delay, which the
+    # host's cblocks clamp (control._cblocks, mirroring bfrun.c:1585-1591)
+    # always masks to zero. Per-block HBM traffic: the bank row is read
+    # once per PAIR and the ring row once (+ one xnew slot) -- ~0.53x the
+    # two-dispatch traffic at B=16, on a MAC that is otherwise at the
+    # HBM roofline (docs/PERFORMANCE.md).
+    r, ft, fl = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    f = ft * n_fc + fl
+    Rc = out0_ref.shape[2]
+    un = usenew_ref[f]
+    acc0r = jnp.zeros_like(out0_ref[0, 0])
+    acc0i = jnp.zeros_like(out0_ref[0, 1])
+    acc1r = jnp.zeros_like(out0_ref[0, 0])
+    acc1i = jnp.zeros_like(out0_ref[0, 1])
+    for b in range(n_part):
+        m = mask_ref[f, b]
+        hr = bank_ref[0, b, 0].astype(acc0r.dtype) * m
+        hi = bank_ref[0, b, 1].astype(acc0r.dtype) * m
+        rb0 = rpos0_ref[b]
+        r0r = ring_ref[0, rb0, 0].astype(acc0r.dtype)
+        r0i = ring_ref[0, rb0, 1].astype(acc0r.dtype)
+        acc0r += r0r * hr - r0i * hi
+        acc0i += r0r * hi + r0i * hr
+        rb1 = rpos1_ref[b]
+        r1r = ring_ref[0, rb1, 0].astype(acc0r.dtype)
+        r1i = ring_ref[0, rb1, 1].astype(acc0r.dtype)
+        if b == 0:
+            sel = un != 0
+            r1r = jnp.where(sel, xnew_ref[0, 0].astype(acc0r.dtype), r1r)
+            r1i = jnp.where(sel, xnew_ref[0, 1].astype(acc0r.dtype), r1i)
+        acc1r += r1r * hr - r1i * hi
+        acc1i += r1r * hi + r1i * hr
+    y0_scr[fl, 0] = acc0r
+    y0_scr[fl, 1] = acc0i
+    y1_scr[fl, 0] = acc1r
+    y1_scr[fl, 1] = acc1i
+
+    @pl.when(fl == n_fc - 1)
+    def _():
+        wt = w_ref[...]                                  # [C_out, Fc]
+        for scr, oref in ((y0_scr, out0_ref), (y1_scr, out1_ref)):
+            parts = []
+            for p in (0, 1):
+                rows = [jax.lax.dot(wt, scr[:, p, i],
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=oref.dtype)
+                        for i in range(Rc)]              # [C_out, 128] each
+                parts.append(jnp.stack(rows, axis=1))    # [C_out, Rc, 128]
+            contrib = jnp.stack(parts, axis=1)           # [C_out, 2, Rc, 128]
+
+            @pl.when(ft == 0)
+            def _(oref=oref, contrib=contrib):
+                oref[...] = contrib
+
+            @pl.when(ft > 0)
+            def _(oref=oref, contrib=contrib):
+                oref[...] += contrib
+
+
+def _pair_tiles(F: int, B: int, R: int, C_out: int):
+    """Rc/Fc for the pair kernel (env-tunable); the VMEM estimate mirrors
+    _tiled_mix_call: 2 resident output chunks + 2 Y scratches +
+    double-buffered ring/bank/xnew blocks, in [2, Rc, 128] f32 units."""
+    import os
+    Rc = int(os.environ.get("BRUTEFIR_TPU_PAIRTILE_RC", "8"))
+    Fc = int(os.environ.get("BRUTEFIR_TPU_PAIRTILE_FC", "128"))
+    if Rc <= 0 or R % Rc != 0:
+        Rc = R
+    if Fc <= 0 or F % Fc != 0:
+        Fc = F
+    if (2 * C_out + 2 * Fc + 4 * B + 2) * 2 * Rc * 128 * 4 > 12 * 2**20:
+        Rc = 8 if R % 8 == 0 else R
+        Fc = 128 if F % 128 == 0 else F
+    return Rc, Fc
+
+
+def pair_mix_fusable(F: int, B: int, K: int, C_out: int) -> bool:
+    """Can the two-block fused MAC+mix run at this shape (VMEM budget)?"""
+    if K % 128 != 0:
+        return False
+    R = K // 128
+    Rc, Fc = _pair_tiles(F, B, R, C_out)
+    return (2 * C_out + 2 * Fc + 4 * B + 2) * 2 * Rc * 128 * 4 <= 12 * 2**20
+
+
+def _tiled_mix_pair_call(ring5, xnew5, bank5, coeff_idx, rpos0, rpos1,
+                         usenew, maskf, wf_t, interpret):
+    F, B, _, R, _ = ring5.shape
+    C_out = wf_t.shape[0]
+    Rc, Fc = _pair_tiles(F, B, R, C_out)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(R // Rc, F // Fc, Fc),
+        in_specs=[
+            pl.BlockSpec((1, B, 2, Rc, 128),
+                         lambda r, ft, fl, idx, r0, r1, un, mk, _fc=Fc:
+                         (ft * _fc + fl, 0, 0, r, 0)),
+            pl.BlockSpec((1, 2, Rc, 128),
+                         lambda r, ft, fl, idx, r0, r1, un, mk, _fc=Fc:
+                         (ft * _fc + fl, 0, r, 0)),
+            pl.BlockSpec((1, B, 2, Rc, 128),
+                         lambda r, ft, fl, idx, r0, r1, un, mk, _fc=Fc:
+                         (idx[ft * _fc + fl], 0, 0, r, 0)),
+            pl.BlockSpec((C_out, Fc),
+                         lambda r, ft, fl, idx, r0, r1, un, mk: (0, ft)),
+        ],
+        out_specs=[
+            pl.BlockSpec((C_out, 2, Rc, 128),
+                         lambda r, ft, fl, idx, r0, r1, un, mk:
+                         (0, 0, r, 0)),
+            pl.BlockSpec((C_out, 2, Rc, 128),
+                         lambda r, ft, fl, idx, r0, r1, un, mk:
+                         (0, 0, r, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((Fc, 2, Rc, 128), _odt(ring5.dtype)),
+                        pltpu.VMEM((Fc, 2, Rc, 128), _odt(ring5.dtype))],
+    )
+    odt = _odt(ring5.dtype)
+    return pl.pallas_call(
+        functools.partial(_mac_mix_kernel_tiled_pair, n_part=B, n_fc=Fc),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((C_out, 2, R, 128), odt),
+                   jax.ShapeDtypeStruct((C_out, 2, R, 128), odt)],
+        interpret=interpret,
+    )(coeff_idx.astype(jnp.int32), rpos0, rpos1, usenew.astype(jnp.int32),
+      maskf, ring5, xnew5, bank5, wf_t)
+
+
+def pallas_spectral_mac_mix_pair(ring, xnew, bank, coeff_idx, mask, t, w,
+                                 usenew, interpret: bool = False):
+    """Fused MAC + output mix for TWO consecutive blocks (t and t+1).
+
+    ``ring``: the spectra ring AFTER block t's write, BEFORE block t+1's.
+    ``xnew``: block t+1's in-mixed spectra [F, 2, N] (or tiled
+    [F, 2, N/128, 128]), already cast to the ring dtype by the caller so
+    a bf16 ring reads the same rounded values the sequential write would
+    have stored. ``usenew``: [F] nonzero where delay[f] == 0 (block t+1's
+    partition 0 then reads xnew; every other schedule difference is
+    masked by the cblocks clamp -- see _mac_mix_kernel_tiled_pair).
+
+    Returns (out0, out1): both blocks' mixed output spectra [C_out, 2, N].
+    Identical terms and per-block accumulation order as two
+    pallas_spectral_mac_mix calls; the bank and ring rows are streamed
+    from HBM once for the pair.
+    """
+    if ring.ndim == 5:
+        F, B, _, R, _ = ring.shape
+        N = R * 128
+        ring5 = ring
+        bank5 = (bank if bank.ndim == 5
+                 else bank.reshape(bank.shape[0], B, 2, R, 128))
+        xnew5 = (xnew if xnew.ndim == 4
+                 else xnew.reshape(F, 2, R, 128))
+    else:
+        F, B, _, N = ring.shape
+        R = N // 128
+        ring5 = ring.reshape(F, B, 2, R, 128)
+        bank5 = bank.reshape(bank.shape[0], B, 2, R, 128)
+        xnew5 = xnew.reshape(F, 2, R, 128)
+    C_out = w.shape[0]
+    odt = _odt(ring.dtype)
+    rpos0 = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B).astype(jnp.int32)
+    rpos1 = jnp.mod(t + 1 - jnp.arange(B, dtype=jnp.int32),
+                    B).astype(jnp.int32)
+    maskf = mask.astype(odt)
+    out0_5, out1_5 = _tiled_mix_pair_call(
+        ring5, xnew5, bank5, coeff_idx, rpos0, rpos1, usenew, maskf,
+        w.astype(odt), interpret)
+    out0 = out0_5.reshape(C_out, 2, N)
+    out1 = out1_5.reshape(C_out, 2, N)
+
+    # bin-0 patches (packed DC/Nyquist -- independent real products),
+    # contracted through the mix like pallas_spectral_mac_mix
+    wod = w.astype(odt)
+    y0r, y0i = _bin0(ring, bank, coeff_idx, mask, rpos0)
+    r0p = ring5[:, :, :, 0, 0]                                 # [F, B, 2]
+    b0p = bank5[:, :, :, 0, 0]                                 # [E, B, 2]
+    rot1 = jnp.take(r0p, rpos1, axis=1)                        # [F, B, 2]
+    xn0 = xnew5[:, :, 0, 0]                                    # [F, 2]
+    sel = (usenew != 0)[:, None]
+    rot1 = rot1.at[:, 0, :].set(jnp.where(sel, xn0, rot1[:, 0, :]))
+    h0 = jnp.take(b0p, coeff_idx, axis=0) * mask[:, :, None]
+    y1r = jnp.sum(rot1[:, :, 0] * h0[:, :, 0], axis=1)
+    y1i = jnp.sum(rot1[:, :, 1] * h0[:, :, 1], axis=1)
+    hp = jax.lax.Precision.HIGHEST
+    out0 = (out0.at[:, 0, 0].set(jnp.einsum("cf,f->c", wod, y0r,
+                                            precision=hp))
+                .at[:, 1, 0].set(jnp.einsum("cf,f->c", wod, y0i,
+                                            precision=hp)))
+    out1 = (out1.at[:, 0, 0].set(jnp.einsum("cf,f->c", wod, y1r,
+                                            precision=hp))
+                .at[:, 1, 0].set(jnp.einsum("cf,f->c", wod, y1i,
+                                            precision=hp)))
+    return out0, out1
+
+
 def pallas_spectral_mac_mix(ring, bank, coeff_idx, mask, t, w,
                             uniform: bool = False,
                             interpret: bool = False,

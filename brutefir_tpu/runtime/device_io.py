@@ -586,6 +586,20 @@ class DeviceIO:
         """
         key = (m, uniform and self._uniform_ok, bool(udelay), xfade)
         if key not in self._multi:
+            # Two-blocks-per-scan-iteration dispatch: when the host
+            # asserts no crossfade for the batch (xfade=False, the common
+            # offline case) and the graph takes the fused MAC+mix fast
+            # path at a big shape, each scan iteration runs BOTH blocks'
+            # step with ONE pass over the spectra ring and coefficient
+            # bank (graph/compile._pair_step_impl) -- the MAC is at the
+            # HBM roofline there, so this halves its per-block cost at
+            # full bit parity. Identical per-block semantics; m must be
+            # even (run_offline batch sizes are).
+            from ..graph.compile import pair_eligible
+            mac_, _, mesh_, _, ps_spec = self._core_refs
+            if (xfade is False and m % 2 == 0 and m >= 2
+                    and pair_eligible(ps_spec, mac_, None, mesh_)):
+                return self._multi_step_paired(m, key)
             if os.environ.get("BRUTEFIR_TPU_PREFFT", "0") != "1":
                 return self._multi_step_scanned(m, key)
             N = self.N
@@ -695,6 +709,56 @@ class DeviceIO:
 
             (state, dstate), (outs, meters, nans) = jax.lax.scan(
                 body, (state, dstate), tuple(in_words))
+            return state, outs, _agg_meters(meters), jnp.all(nans), dstate
+
+        return self._register_multi(key, multi)
+
+    def _multi_step_paired(self, m: int, key):
+        """Batched dispatch at two blocks per scan iteration (see
+        multi_step): the IO halves run per block in order (the dither /
+        delay-window state chains exactly like the per-block scan), the
+        graph step runs as _pair_step_impl with the single-pass dual-block
+        MAC. Output stacks and meters are reshaped back to per-block
+        [m, ...] so the dispatch contract matches _multi_step_scanned."""
+        input_half = self._input_half
+        output_half = self._output_half
+        mac, tiled, mesh_, constrain_, ps_spec = self._core_refs
+        from ..graph.compile import _pair_step_impl
+        pair_fn = functools.partial(_pair_step_impl, ps_spec, mac,
+                                    uniform_delay=key[2])
+
+        def multi(state, ctrl, in_gain, out_gain, bank, in_words,
+                  dstate, dvec_in, dvec_out, sri, sbi, sro, sbo):
+            pairs = tuple(
+                w.reshape((m // 2, 2) + w.shape[1:]) for w in in_words)
+
+            def body(carry, words2):
+                st, ds = carry
+                nd1 = dict(ds)
+                x0 = input_half([w[0] for w in words2], ds, nd1,
+                                in_gain, dvec_in, sri, sbi)
+                nd2 = dict(nd1)
+                x1 = input_half([w[1] for w in words2], nd1, nd2,
+                                in_gain, dvec_in, sri, sbi)
+                st, y0, y1 = pair_fn(st, ctrl, bank, x0, x1)
+                nd3 = dict(nd2)
+                outs0, met0, nan0, nd3 = output_half(
+                    y0, nd2, nd3, out_gain, dvec_out, sro, sbo)
+                nd4 = dict(nd3)
+                outs1, met1, nan1, nd4 = output_half(
+                    y1, nd3, nd4, out_gain, dvec_out, sro, sbo)
+                outs = tuple(jnp.stack([a, b])
+                             for a, b in zip(outs0, outs1))
+                mets = tuple(jnp.stack([a, b])
+                             for a, b in zip(met0, met1))
+                return (st, nd4), (outs, mets, nan0 & nan1)
+
+            (state, dstate), (outs, meters, nans) = jax.lax.scan(
+                body, (state, dstate), pairs)
+            outs = tuple(
+                o.reshape((m,) + o.shape[2:]) for o in outs)
+            meters = tuple(
+                md.reshape((m,) + md.shape[2:]) for md in meters)
             return state, outs, _agg_meters(meters), jnp.all(nans), dstate
 
         return self._register_multi(key, multi)

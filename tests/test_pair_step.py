@@ -1,0 +1,267 @@
+"""Two-blocks-per-dispatch pair program (graph/compile._pair_step_impl +
+ops/pallas_mac.pallas_spectral_mac_mix_pair).
+
+The batched offline dispatch freezes controls across each batch, so two
+consecutive blocks can share ONE pass over the spectra ring and the
+coefficient bank -- at the 256ch scale shape the MAC streams ring+bank at
+the HBM roofline, making bytes-per-block the only bit-parity lever left
+(docs/PERFORMANCE.md). Semantics must be identical to the per-block scan:
+the one ring slot whose content differs between the pair and sequential
+schedules is either partition 0 of a delay-0 filter (fed the fresh
+spectra via ``xnew``) or masked by the cblocks <= B - delayblocks clamp
+(control._cblocks, mirroring /root/reference/bfrun.c:1585-1591).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from brutefir_tpu.config import parse_config  # noqa: E402
+from brutefir_tpu.ops import partconv  # noqa: E402
+from brutefir_tpu.ops.pallas_mac import (  # noqa: E402
+    pallas_spectral_mac_mix_pair, pair_mix_fusable)
+
+
+# ---------------------------------------------------------------- kernel
+
+
+def _dense_block(ring_flat, bank_flat, coeff_idx, mask, t, w):
+    """Oracle: dense MAC + output mix for one block (flat layouts)."""
+    y = partconv.spectral_mac_rollh(ring_flat, bank_flat, coeff_idx,
+                                    mask, jnp.int32(t))
+    return partconv.complex_mix(w, y)
+
+
+@pytest.mark.parametrize("B,delays", [
+    (4, [0, 0, 0, 0, 0]),          # all delay-0: block 1 reads xnew at b=0
+    (4, [0, 1, 3, 2, 0]),          # mixed: masked-slot path per filter
+    (1, [0, 0, 0, 0, 0]),          # single partition edge
+])
+def test_pair_kernel_matches_sequential(B, delays):
+    F, E, N, C_out = 5, 3, 256, 4
+    R = N // 128
+    t0 = 7
+    rng = np.random.default_rng(42 + B)
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    blk0 = rng.standard_normal((F, 2, N)).astype(np.float32)
+    blk1 = rng.standard_normal((F, 2, N)).astype(np.float32)
+    w = rng.standard_normal((C_out, F)).astype(np.float32)
+    coeff_idx = jnp.asarray(rng.integers(0, E, F), jnp.int32)
+    delays = np.asarray(delays[:F]) % B
+    # the cblocks clamp: partitions >= B - delay are always masked
+    mask = np.zeros((F, B), np.float32)
+    for f in range(F):
+        mask[f, : B - delays[f]] = 1.0
+    mask[0, max(0, B - delays[0] - 1):] = 0.0   # a shorter coeff too
+    mask = jnp.asarray(mask)
+    dly = jnp.asarray(delays, jnp.int32)
+
+    def wr(ring, blk, tw):
+        wpos = jnp.mod(tw + dly, B)
+        return ring.at[jnp.arange(F), wpos].set(blk)
+
+    # sequential schedule (the per-block scan)
+    ring0 = wr(jnp.asarray(ring), jnp.asarray(blk0), t0)
+    out0_ref = _dense_block(ring0, jnp.asarray(bank), coeff_idx, mask,
+                            t0, jnp.asarray(w))
+    ring1 = wr(ring0, jnp.asarray(blk1), t0 + 1)
+    out1_ref = _dense_block(ring1, jnp.asarray(bank), coeff_idx, mask,
+                            t0 + 1, jnp.asarray(w))
+
+    # pair schedule: one ring pass, xnew side channel
+    ring5 = ring0.reshape(F, B, 2, R, 128)
+    bank5 = jnp.asarray(bank).reshape(E, B, 2, R, 128)
+    xnew = jnp.asarray(blk1).reshape(F, 2, R, 128)
+    usenew = (dly == 0).astype(jnp.int32)
+    out0, out1 = pallas_spectral_mac_mix_pair(
+        ring5, xnew, bank5, coeff_idx, mask, jnp.int32(t0),
+        jnp.asarray(w), usenew, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out0_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out1_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pair_mix_fusable_budget():
+    assert pair_mix_fusable(256, 16, 8192, 256)        # the scale shape
+    assert not pair_mix_fusable(256, 16, 8191, 256)    # lane misalignment
+
+
+# ------------------------------------------------------------- eligibility
+
+
+def _mk_engine(tmp_path, delays, tag, C=3, N=256, B=4, fmt="FLOAT_LE",
+               dither="false"):
+    # N >= 256: pallas_available's bin floor -- smaller blocks resolve
+    # the MAC to "jnp", which silently disqualifies the pair path and
+    # would turn the parity tests below into scan-vs-scan no-ops
+    coeffs = "\n".join(
+        f'coeff {i} {{ filename: "{tmp_path}/c{i}_{tag}.txt"; '
+        f'format: "text"; }};'
+        for i in range(C))
+    rng = np.random.default_rng(hash(tag) % 2**31)
+    for i in range(C):
+        t = (rng.standard_normal(N * 2) * 0.2).astype(np.float64)
+        np.savetxt(tmp_path / f"c{i}_{tag}.txt", t)
+    chans = ",".join(str(i) for i in range(C))
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+{coeffs}
+input {chans} {{ device: "file" {{ path: "/dev/zero"; }}; sample: "{fmt}"; channels: {C}; }};
+output {chans} {{ device: "file" {{ path: "/dev/null"; }}; sample: "{fmt}"; channels: {C}; dither: {dither}; }};
+""" + "\n".join(
+        f"filter {i} {{ from_inputs: {i}; to_outputs: {i}; coeff: {i}; "
+        f"delay: {delays[i]}; }};"
+        for i in range(C)))
+    conf.quiet = True
+    from brutefir_tpu.runtime import Engine
+    eng = Engine(conf)
+    eng.setup()
+    return eng
+
+
+def test_pair_eligible_gates(tmp_path, monkeypatch):
+    from brutefir_tpu.graph.compile import pair_eligible
+    monkeypatch.setenv("BRUTEFIR_TPU_MAC", "pallas")
+    eng = _mk_engine(tmp_path, [0, 0, 0], "gate")
+    spec = eng.spec
+    # small shape: only with force
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "1")
+    assert not pair_eligible(spec, "pallas-interpret", None, None)
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "force")
+    assert pair_eligible(spec, "pallas-interpret", None, None)
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "0")
+    assert not pair_eligible(spec, "pallas-interpret", None, None)
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "force")
+    # dense MAC / taps / mesh all disqualify
+    assert not pair_eligible(spec, "jnp", None, None)
+    assert not pair_eligible(spec, "pallas-interpret", {"x": 1}, None)
+
+
+# ------------------------------------------------------- engine batch parity
+
+
+def _spy_pair(monkeypatch):
+    """Instrument _pair_step_impl; returns the list that records calls."""
+    import brutefir_tpu.graph.compile as C
+    taken = []
+    orig = C._pair_step_impl
+
+    def spy(*a, **k):
+        taken.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(C, "_pair_step_impl", spy)
+    return taken
+
+
+def _run_batch(eng, m, udelay=False, xfade=False, seed=11):
+    N = eng.N
+    # the program cache key ignores env knobs (BRUTEFIR_TPU_PAIR flips
+    # between A/B runs here): rebuild per run so the knob is honored
+    eng.dio._multi.clear()
+    rng = np.random.default_rng(seed)
+    with eng.control_mutex:
+        ctrl = eng.control.snapshot()
+        g0, g1 = eng._mute_gains()
+        uni = eng.control.snapshot_uniform
+    mstep = eng.dio.multi_step(m, uniform=uni, udelay=udelay, xfade=xfade)
+    stacks = []
+    for i in range(len(eng.dio.in_wire_shape)):
+        shp = (m, N) + eng.dio.in_wire_shape[i]
+        dt = eng.dio.in_wire_dtype[i]
+        if np.issubdtype(dt, np.floating):
+            words = (rng.standard_normal(shp) * 0.5).astype(dt)
+        else:
+            info = np.iinfo(dt)
+            words = rng.integers(info.min, info.max + 1, shp).astype(dt)
+        stacks.append(jnp.asarray(words))
+    st = eng.cg.init_state()
+    dstate = jax.tree.map(jnp.copy, eng.dio.dstate)
+    try:
+        st, outs, meters, nan = mstep(st, ctrl, g0, g1, eng.bank, stacks)
+        return ([np.asarray(o) for o in outs],
+                [np.asarray(md) for md in meters],
+                np.asarray(st.ring), bool(nan))
+    finally:
+        eng.dio.dstate = dstate
+
+
+@pytest.mark.parametrize("delays,udelay", [
+    ([0, 0, 0], False),
+    ([0, 0, 0], True),      # scalar-slot ring write variant
+    ([0, 1, 2], False),     # mixed pre-delays: usenew + masked slots
+])
+def test_pair_batch_matches_scanned(tmp_path, monkeypatch, delays, udelay):
+    """The paired dispatch must reproduce the per-block scan through the
+    full device program (decode -> FFT -> MAC+mix -> iFFT -> encode ->
+    meters), including the chained per-block meter/delay state."""
+    monkeypatch.setenv("BRUTEFIR_TPU_MAC", "pallas")
+    tag = f"pb{''.join(map(str, delays))}{int(udelay)}"
+    eng = _mk_engine(tmp_path, delays, tag)
+
+    assert eng.cg.mac == "pallas-interpret"
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "0")
+    outs_a, met_a, ring_a, nan_a = _run_batch(eng, 6, udelay=udelay)
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "force")
+    taken = _spy_pair(monkeypatch)
+    outs_b, met_b, ring_b, nan_b = _run_batch(eng, 6, udelay=udelay)
+    assert taken, "the paired dispatch was not routed through"
+
+    assert nan_a and nan_b
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    for a, b in zip(met_a, met_b):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(ring_a, ring_b, rtol=2e-5, atol=2e-6)
+
+
+def test_pair_batch_int_dither_matches(tmp_path, monkeypatch):
+    """Integer output with dither: the dither state advances per block in
+    the pair body exactly like the scan (bit-exact Tausworthe windows),
+    so words agree within one LSB of the f32 mix-order difference."""
+    monkeypatch.setenv("BRUTEFIR_TPU_MAC", "pallas")
+    eng = _mk_engine(tmp_path, [0, 1, 0], "pdith", fmt="S24_4LE",
+                     dither="true")
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "0")
+    outs_a, met_a, _, _ = _run_batch(eng, 4)
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "force")
+    taken = _spy_pair(monkeypatch)
+    outs_b, met_b, _, _ = _run_batch(eng, 4)
+    assert taken
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_array_less(
+            np.abs(a.astype(np.int64) - b.astype(np.int64)), 2)
+
+
+def test_pair_single_partition(tmp_path, monkeypatch):
+    """B=1 edge: every filter is delay-0; block t+1's only partition is
+    the xnew side channel."""
+    monkeypatch.setenv("BRUTEFIR_TPU_MAC", "pallas")
+    eng = _mk_engine(tmp_path, [0, 0], "pb1", C=2, B=1)
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "0")
+    outs_a, _, ring_a, _ = _run_batch(eng, 4)
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "force")
+    taken = _spy_pair(monkeypatch)
+    outs_b, _, ring_b, _ = _run_batch(eng, 4)
+    assert taken
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(ring_a, ring_b, rtol=2e-5, atol=2e-6)
+
+
+def test_pair_not_taken_when_xfade_unknown(tmp_path, monkeypatch):
+    """xfade=None (the legacy dynamic-cond program) must not route to the
+    pair dispatch -- it cannot represent a crossfading block."""
+    monkeypatch.setenv("BRUTEFIR_TPU_MAC", "pallas")
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "force")
+    eng = _mk_engine(tmp_path, [0, 0, 0], "pxf")
+    eng.dio.multi_step(4, xfade=None)
+    eng.dio.multi_step(3, xfade=False)   # odd m keeps the per-block scan
+    assert (4, False, False, None) in eng.dio._multi
+    assert (3, False, False, False) in eng.dio._multi

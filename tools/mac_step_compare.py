@@ -61,8 +61,13 @@ def measure(mac: str) -> float:
         g0 = eng._mute_gains()
         uni = eng.control.snapshot_uniform
         udl = eng.control.snapshot_uniform_delay
+        xf = eng.control.snapshot_xfade
     M = int(os.environ.get("BENCH_M", "80"))
-    mstep = eng.dio.multi_step(M, uniform=uni, udelay=udl)
+    # xfade=False mirrors run_offline's dispatch (the host asserts no
+    # crossfade for the batch), which also makes the batch eligible for
+    # the two-blocks-per-iteration pair program (BRUTEFIR_TPU_PAIR=0
+    # restores per-block scanning for A/Bs).
+    mstep = eng.dio.multi_step(M, uniform=uni, udelay=udl, xfade=xf)
     dstacks = [jnp.zeros((M, N) + eng.dio.in_wire_shape[i],
                          eng.dio.in_wire_dtype[i])
                for i in range(1)]
