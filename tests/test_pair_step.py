@@ -255,6 +255,72 @@ def test_pair_single_partition(tmp_path, monkeypatch):
     np.testing.assert_allclose(ring_a, ring_b, rtol=2e-5, atol=2e-6)
 
 
+def test_pair_powersave_gate_matches(tmp_path, monkeypatch):
+    """analog powersave (test_silent, bfrun.c:722-772): the pair program
+    gates each of its two overlap-save frames independently, exactly like
+    the per-block scan."""
+    monkeypatch.setenv("BRUTEFIR_TPU_MAC", "pallas")
+    N, B, C = 256, 4, 3
+    coeffs = "\n".join(
+        f'coeff {i} {{ filename: "{tmp_path}/ps{i}.txt"; format: "text"; }};'
+        for i in range(C))
+    rng = np.random.default_rng(9)
+    for i in range(C):
+        np.savetxt(tmp_path / f"ps{i}.txt",
+                   (rng.standard_normal(N) * 0.2).astype(np.float64))
+    chans = ",".join(str(i) for i in range(C))
+    conf = parse_config(f"""
+sampling_rate: 44100;
+filter_length: {N},{B};
+powersave: -40;
+{coeffs}
+input {chans} {{ device: "file" {{ path: "/dev/zero"; }}; sample: "FLOAT_LE"; channels: {C}; }};
+output {chans} {{ device: "file" {{ path: "/dev/null"; }}; sample: "FLOAT_LE"; channels: {C}; dither: false; }};
+""" + "\n".join(
+        f"filter {i} {{ from_inputs: {i}; to_outputs: {i}; coeff: {i}; }};"
+        for i in range(C)))
+    conf.quiet = True
+    from brutefir_tpu.runtime import Engine
+    eng = Engine(conf)
+    eng.setup()
+    assert eng.spec.powersave
+
+    # channel 0 loud, channel 1 sub-threshold noise, channel 2 silent
+    m = 4
+    rng = np.random.default_rng(13)
+    words = np.zeros((m, N, C), np.float32)
+    words[:, :, 0] = rng.standard_normal((m, N)) * 0.5
+    words[:, :, 1] = rng.standard_normal((m, N)) * 1e-5
+
+    def run_ps():
+        eng.dio._multi.clear()
+        with eng.control_mutex:
+            ctrl = eng.control.snapshot()
+            g0, g1 = eng._mute_gains()
+        mstep = eng.dio.multi_step(m, xfade=False)
+        st = eng.cg.init_state()
+        dstate = jax.tree.map(jnp.copy, eng.dio.dstate)
+        try:
+            st, outs, meters, nan = mstep(st, ctrl, g0, g1, eng.bank,
+                                          [jnp.asarray(words)])
+            return [np.asarray(o) for o in outs]
+        finally:
+            eng.dio.dstate = dstate
+
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "0")
+    outs_a = run_ps()
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "force")
+    taken = _spy_pair(monkeypatch)
+    outs_b = run_ps()
+    assert taken
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    # the gated channel really is gated: silent + sub-threshold inputs
+    # produce exact zeros
+    assert np.all(outs_b[0][:, :, 1] == 0.0)
+    assert np.all(outs_b[0][:, :, 2] == 0.0)
+
+
 def test_pair_not_taken_when_xfade_unknown(tmp_path, monkeypatch):
     """xfade=None (the legacy dynamic-cond program) must not route to the
     pair dispatch -- it cannot represent a crossfading block."""
