@@ -533,73 +533,105 @@ def _step_impl(spec: GraphSpec, mac: str, state: StepState, ctrl: StepCtrl,
     return new_state, y_time
 
 
-def pair_eligible(spec: GraphSpec, mac: str, taps, mesh) -> bool:
-    """Static gate for the two-blocks-per-scan-iteration program
-    (_pair_step_impl): the conditions of the fused MAC+mix fast path
+def group_size(spec: GraphSpec, mac: str, taps, mesh, m: int) -> int:
+    """Blocks per scan iteration for the batched offline dispatch
+    (_group_step_impl): the conditions of the fused MAC+mix fast path
     (single full stage, no cascades, no spectral taps, single device,
-    lane-tiled state) plus the pair kernel's VMEM budget. Restricted to
-    the big shapes that take the bin-tiled route anyway -- at small
-    shapes the MAC is a few percent of the step and the resident
-    rowmajor kernel is the measured winner. BRUTEFIR_TPU_PAIR=0
-    disables; =force enables at any shape (tests)."""
-    env = os.environ.get("BRUTEFIR_TPU_PAIR", "1")
-    if env == "0":
-        return False
+    lane-tiled state) plus the group kernel's VMEM budget. Returns 1
+    when the per-block scan must be kept. Restricted to the big shapes
+    that take the bin-tiled route anyway -- at small shapes the MAC is
+    a few percent of the step and the resident rowmajor kernel is the
+    measured winner. BRUTEFIR_TPU_PAIR sets the group size (default 2,
+    the measured winner; 0 disables; "force"[:N] enables at any shape
+    for tests)."""
+    env = os.environ.get("BRUTEFIR_TPU_PAIR", "2")
+    force = env.startswith("force")
+    try:
+        G = int(env.split(":", 1)[1]) if force and ":" in env else (
+            2 if force else int(env))
+    except ValueError:
+        G = 2
+    if G in (0, 1):
+        return 1
     if not (mac.startswith("pallas") and not taps and mesh is None
             and spec.tileable and len(spec.stages) == 1
             and spec.stages[0].casc_local.size == 0
             and np.array_equal(spec.stages[0].idx,
                                np.arange(spec.n_filters))):
-        return False
+        return 1
     B, K = spec.n_blocks, spec.n_bins
-    if env != "force":
+    if not force:
         R = K // 128
         big = (spec.n_outputs + 4 * B) * 2 * R * 128 * 4 > 12 * 2**20
         if not big:
-            return False
-    from ..ops.pallas_mac import pair_mix_fusable
-    return pair_mix_fusable(spec.n_filters, B, K, spec.n_outputs)
+            return 1
+    from ..ops.pallas_mac import group_mix_fusable
+    while G >= 2:
+        if m % G == 0 and group_mix_fusable(G, spec.n_filters, B, K,
+                                            spec.n_outputs):
+            return G
+        G -= 1
+    return 1
 
 
-def _pair_step_impl(spec: GraphSpec, mac: str, state: StepState,
-                    ctrl: StepCtrl, bank: jax.Array, x0: jax.Array,
-                    x1: jax.Array, uniform_delay: bool = False):
-    """Two consecutive blocks in one traced program with a SINGLE pass
+def pair_eligible(spec: GraphSpec, mac: str, taps, mesh) -> bool:
+    """Back-compat gate: any group size >= 2 admissible for even m."""
+    return group_size(spec, mac, taps, mesh, 2) >= 2
+
+
+def _group_step_impl(spec: GraphSpec, mac: str, state: StepState,
+                     ctrl: StepCtrl, bank: jax.Array, xs,
+                     uniform_delay: bool = False):
+    """G consecutive blocks in one traced program with a SINGLE pass
     over the spectra ring and the coefficient bank
-    (pallas_spectral_mac_mix_pair). At the 256ch scale shape the MAC
+    (pallas_spectral_mac_mix_group). At the 256ch scale shape the MAC
     streams ring+bank at the HBM roofline (docs/PERFORMANCE.md), so
-    halving its bytes-per-block is the only lever left at full bit
+    cutting its bytes-per-block is the only lever left at full bit
     parity -- the batched offline dispatch already freezes controls
-    across the batch, which is exactly the pair's contract.
+    across the batch, which is exactly the group's contract.
 
-    Semantically identical to two _step_impl fused-mix steps: the same
-    per-block terms in the same per-block accumulation order (the
-    schedule-difference slot is masked or fed the fresh spectra -- see
-    the kernel docstring). Only reachable through pair_eligible.
-    Returns (state', y0_time, y1_time)."""
+    Semantically identical to G _step_impl fused-mix steps: the same
+    per-block terms in the same per-block accumulation order (every
+    schedule-difference slot is masked or fed the group's own fresh
+    spectra -- see the kernel docstring). Only reachable through
+    group_size. ``xs``: list of G input blocks [C, N].
+    Returns (state', [y_0 .. y_{G-1}])."""
     B = spec.n_blocks
     K = spec.n_bins
     F = spec.n_filters
-    C = spec.n_inputs
-    # pair_eligible requires spec.tileable + the pallas MAC: the ring is
+    G = len(xs)
+    # group_size requires spec.tileable + the pallas MAC: the ring is
     # always in the lane-tiled [F, B, 2, K/128, 128] layout here
 
-    frame0 = jnp.concatenate([state.prev_in, x0], axis=-1)
-    frame1 = jnp.concatenate([x0, x1], axis=-1)
-    frames = jnp.concatenate([frame0, frame1], axis=0)     # [2C, 2N]
-    if spec.powersave:
-        thr = jnp.concatenate([ctrl.ps_thresh, ctrl.ps_thresh])[:, None]
-        peak = jnp.max(jnp.abs(frames), axis=1, keepdims=True)
-        frames = jnp.where((thr > 0) & (peak < thr),
-                           jnp.zeros_like(frames), frames)
-    X = partconv.rfft_planes(frames)                       # [2C, 2, N]
-    mixed0 = partconv.complex_mix(ctrl.in_mix, X[:C])      # [F, 2, N]
-    mixed1 = partconv.complex_mix(ctrl.in_mix, X[C:])
+    def gate(frame):
+        if not spec.powersave:
+            return frame
+        thr = jnp.tile(ctrl.ps_thresh, frame.shape[0]
+                       // ctrl.ps_thresh.shape[0])[:, None]
+        peak = jnp.max(jnp.abs(frame), axis=1, keepdims=True)
+        return jnp.where((thr > 0) & (peak < thr),
+                         jnp.zeros_like(frame), frame)
+
+    frames = [jnp.concatenate([p, x], axis=-1)             # [C, 2N] each
+              for p, x in zip([state.prev_in] + list(xs[:-1]), xs)]
+    if os.environ.get("BRUTEFIR_TPU_PAIR_FFT", "split") == "batch":
+        # A/B: one G*C-row batched transform -- measured 0.10 ms/block
+        # SLOWER at the 256ch scale shape (1.597 vs 1.497 composed,
+        # G=2): XLA's batched fft is again slower per row, like the
+        # rejected pre-FFT hoist (device_io.multi_step docstring).
+        Xb = partconv.rfft_planes(gate(jnp.concatenate(frames, axis=0)))
+        C = spec.n_inputs
+        blks = [partconv.complex_mix(ctrl.in_mix, Xb[g * C:(g + 1) * C])
+                .reshape(F, 2, K // 128, 128) for g in range(G)]
+    else:
+        # default: one C-row transform per block, exactly the per-block
+        # scan's row count
+        blks = [partconv.complex_mix(
+                    ctrl.in_mix, partconv.rfft_planes(gate(f)))
+                .reshape(F, 2, K // 128, 128) for f in frames]
 
     ring = state.ring
     t = state.t
-    blk0 = mixed0.reshape(F, 2, K // 128, 128)
-    blk1 = mixed1.reshape(F, 2, K // 128, 128)
 
     def write_ring(ring, blk, tw):
         blk = blk.astype(ring.dtype)
@@ -610,23 +642,36 @@ def _pair_step_impl(spec: GraphSpec, mac: str, state: StepState,
         wpos = jnp.mod(tw + ctrl.delay, B)
         return ring.at[jnp.arange(F), wpos].set(blk)
 
-    ring = write_ring(ring, blk0, t)
-    # block t+1 reads the ring-rounded spectra either way (bf16 ring
-    # parity): cast the side-channel copy exactly like the write
-    xnew = blk1.astype(ring.dtype)
-    usenew = (ctrl.delay == 0).astype(jnp.int32)
-    from ..ops.pallas_mac import pallas_spectral_mac_mix_pair
-    out0, out1 = pallas_spectral_mac_mix_pair(
-        ring, xnew, bank, ctrl.coeff_idx, ctrl.mask, t, ctrl.out_mix,
-        usenew, interpret=mac == "pallas-interpret")
-    ring = write_ring(ring, blk1, t + 1)
+    ring = write_ring(ring, blks[0], t)
+    # later blocks read the ring-rounded spectra either way (bf16 ring
+    # parity): cast the side-channel copies exactly like the writes
+    xnews = jnp.stack([b.astype(ring.dtype) for b in blks[1:]],
+                      axis=1)                      # [F, G-1, 2, R, 128]
+    from ..ops.pallas_mac import pallas_spectral_mac_mix_group
+    outs = pallas_spectral_mac_mix_group(
+        ring, xnews, bank, ctrl.coeff_idx, ctrl.mask, t, ctrl.out_mix,
+        ctrl.delay, interpret=mac == "pallas-interpret")
+    for g in range(1, G):
+        ring = write_ring(ring, blks[g], t + g)
 
-    C_out = spec.n_outputs
-    y2 = partconv.irfft_planes_valid(
-        jnp.concatenate([out0, out1], axis=0))             # [2*C_out, N]
-    new_state = StepState(prev_in=x1, ring=ring, eval_prev=state.eval_prev,
-                          t=t + 2)
-    return new_state, y2[:C_out], y2[C_out:]
+    if os.environ.get("BRUTEFIR_TPU_PAIR_FFT", "split") == "batch":
+        C_out = spec.n_outputs
+        yb = partconv.irfft_planes_valid(jnp.concatenate(outs, axis=0))
+        ys = [yb[g * C_out:(g + 1) * C_out] for g in range(G)]
+    else:
+        ys = [partconv.irfft_planes_valid(o) for o in outs]
+    new_state = StepState(prev_in=xs[-1], ring=ring,
+                          eval_prev=state.eval_prev, t=t + G)
+    return new_state, ys
+
+
+def _pair_step_impl(spec: GraphSpec, mac: str, state: StepState,
+                    ctrl: StepCtrl, bank: jax.Array, x0: jax.Array,
+                    x1: jax.Array, uniform_delay: bool = False):
+    """Back-compat G=2 wrapper over _group_step_impl."""
+    state, ys = _group_step_impl(spec, mac, state, ctrl, bank, [x0, x1],
+                                 uniform_delay=uniform_delay)
+    return state, ys[0], ys[1]
 
 
 def make_ctrl(

@@ -764,65 +764,84 @@ def _tiled_mix_call(ring5, bank5, coeff_idx, rpos, maskf, wf_t, interpret,
     )(coeff_idx.astype(jnp.int32), rpos, maskf, ring5, bank5, wf_t)
 
 
-def _mac_mix_kernel_tiled_pair(idx_ref, rpos0_ref, rpos1_ref, usenew_ref,
-                               mask_ref, ring_ref, xnew_ref, bank_ref,
-                               w_ref, out0_ref, out1_ref, y0_scr, y1_scr,
-                               *, n_part, n_fc):
-    # TWO consecutive blocks' fused MAC+mix in ONE pass over the ring row
+def _mac_mix_kernel_tiled_group(idx_ref, rposg_ref, dly_ref, mask_ref,
+                                ring_ref, xnew_ref, bank_ref, w_ref,
+                                *refs, n_part, n_fc, n_grp, w_trans):
+    # G consecutive blocks' fused MAC+mix in ONE pass over the ring row
     # and the coefficient bank row (grid (R/Rc, F/Fc, Fc), innermost fl).
-    # Controls are frozen across the pair (the batched-offline dispatch
-    # contract), so both blocks share the bank row and the mask. The ring
-    # operand is the state after block t's write and BEFORE block t+1's;
-    # the one slot whose content differs from the sequential schedule --
-    # the slot block t+1's own write would have filled -- is either
-    # partition 0 of a delay-0 filter, read from the fresh spectra passed
-    # separately as ``xnew``, or a partition >= B - delay, which the
-    # host's cblocks clamp (control._cblocks, mirroring bfrun.c:1585-1591)
-    # always masks to zero. Per-block HBM traffic: the bank row is read
-    # once per PAIR and the ring row once (+ one xnew slot) -- ~0.53x the
-    # two-dispatch traffic at B=16, on a MAC that is otherwise at the
-    # HBM roofline (docs/PERFORMANCE.md).
+    # Controls are frozen across the group (the batched-offline dispatch
+    # contract), so all G blocks share the bank row and the mask. The
+    # ring operand is the state after block t's write and BEFORE any
+    # later block's; block t+g's partition b reads the write of time
+    # t+g-b-delay[f], which is either already in the ring (g-b-delay <=
+    # 0), one of the group's own later spectra passed separately as
+    # ``xnew[g-b-delay-1]`` (g-b-delay >= 1), or a partition
+    # >= B - delay that the host's cblocks clamp (control._cblocks,
+    # mirroring bfrun.c:1585-1591) always masks to zero. Per-block HBM
+    # traffic: the bank row is read once per GROUP and the ring row once
+    # plus G-1 xnew slots -- ~0.53x (G=2) / ~0.27x (G=4) the
+    # per-block-dispatch traffic at B=16, on a MAC that is otherwise at
+    # the HBM roofline (docs/PERFORMANCE.md).
+    outs = refs[:n_grp]
+    scrs = refs[n_grp:]
     r, ft, fl = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     f = ft * n_fc + fl
-    Rc = out0_ref.shape[2]
-    un = usenew_ref[f]
-    acc0r = jnp.zeros_like(out0_ref[0, 0])
-    acc0i = jnp.zeros_like(out0_ref[0, 1])
-    acc1r = jnp.zeros_like(out0_ref[0, 0])
-    acc1i = jnp.zeros_like(out0_ref[0, 1])
+    Rc = outs[0].shape[2]
+    dly = dly_ref[f]
+    odt = outs[0].dtype
+    accs = [[jnp.zeros_like(outs[0][0, 0]), jnp.zeros_like(outs[0][0, 1])]
+            for _ in range(n_grp)]
     for b in range(n_part):
         m = mask_ref[f, b]
-        hr = bank_ref[0, b, 0].astype(acc0r.dtype) * m
-        hi = bank_ref[0, b, 1].astype(acc0r.dtype) * m
-        rb0 = rpos0_ref[b]
-        r0r = ring_ref[0, rb0, 0].astype(acc0r.dtype)
-        r0i = ring_ref[0, rb0, 1].astype(acc0r.dtype)
-        acc0r += r0r * hr - r0i * hi
-        acc0i += r0r * hi + r0i * hr
-        rb1 = rpos1_ref[b]
-        r1r = ring_ref[0, rb1, 0].astype(acc0r.dtype)
-        r1i = ring_ref[0, rb1, 1].astype(acc0r.dtype)
-        if b == 0:
-            sel = un != 0
-            r1r = jnp.where(sel, xnew_ref[0, 0].astype(acc0r.dtype), r1r)
-            r1i = jnp.where(sel, xnew_ref[0, 1].astype(acc0r.dtype), r1i)
-        acc1r += r1r * hr - r1i * hi
-        acc1i += r1r * hi + r1i * hr
-    y0_scr[fl, 0] = acc0r
-    y0_scr[fl, 1] = acc0i
-    y1_scr[fl, 0] = acc1r
-    y1_scr[fl, 1] = acc1i
+        hr = bank_ref[0, b, 0].astype(odt) * m
+        hi = bank_ref[0, b, 1].astype(odt) * m
+        for g in range(n_grp):
+            rb = rposg_ref[g, b]
+            rr = ring_ref[0, rb, 0].astype(odt)
+            ri = ring_ref[0, rb, 1].astype(odt)
+            if b < g:   # only then can g - b - dly - 1 reach >= 0
+                # block t+g partition b needs write time t+g-b-dly; for
+                # dly in [0, g-b-1] that is the group's own spectra
+                # xnew[g-b-1-dly]. Unrolled with STATIC xnew indices --
+                # a traced sublane index here measured +0.7 ms/block at
+                # the 256ch scale shape (Mosaic lowers the dynamic load
+                # far worse than a select chain).
+                for jj in range(g - b):
+                    sel = dly == (g - b - 1 - jj)
+                    rr = jnp.where(sel, xnew_ref[0, jj, 0].astype(odt),
+                                   rr)
+                    ri = jnp.where(sel, xnew_ref[0, jj, 1].astype(odt),
+                                   ri)
+            accs[g][0] += rr * hr - ri * hi
+            accs[g][1] += rr * hi + ri * hr
+    for g in range(n_grp):
+        scrs[g][fl, 0] = accs[g][0]
+        scrs[g][fl, 1] = accs[g][1]
 
     @pl.when(fl == n_fc - 1)
     def _():
-        wt = w_ref[...]                                  # [C_out, Fc]
-        for scr, oref in ((y0_scr, out0_ref), (y1_scr, out1_ref)):
+        # w arrives [C_out, Fc] when Fc % 128 == 0 (Mosaic lane
+        # legality; the measured-fast lax.dot path) and TRANSPOSED
+        # [Fc, C_out] otherwise (small-Fc groups), contracted over the
+        # leading axis via dot_general -- same MXU product, same
+        # HIGHEST precision either way.
+        wt = w_ref[...]
+        dn = (((0,), (0,)), ((), ()))
+        for scr, oref in zip(scrs, outs):
             parts = []
             for p in (0, 1):
-                rows = [jax.lax.dot(wt, scr[:, p, i],
-                                    precision=jax.lax.Precision.HIGHEST,
-                                    preferred_element_type=oref.dtype)
-                        for i in range(Rc)]              # [C_out, 128] each
+                if w_trans:
+                    rows = [jax.lax.dot_general(
+                                wt, scr[:, p, i], dn,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=oref.dtype)
+                            for i in range(Rc)]          # [C_out, 128] each
+                else:
+                    rows = [jax.lax.dot(
+                                wt, scr[:, p, i],
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=oref.dtype)
+                            for i in range(Rc)]          # [C_out, 128] each
                 parts.append(jnp.stack(rows, axis=1))    # [C_out, Rc, 128]
             contrib = jnp.stack(parts, axis=1)           # [C_out, 2, Rc, 128]
 
@@ -835,91 +854,119 @@ def _mac_mix_kernel_tiled_pair(idx_ref, rpos0_ref, rpos1_ref, usenew_ref,
                 oref[...] += contrib
 
 
-def _pair_tiles(F: int, B: int, R: int, C_out: int):
-    """Rc/Fc for the pair kernel (env-tunable); the VMEM estimate mirrors
-    _tiled_mix_call: 2 resident output chunks + 2 Y scratches +
+def _group_vmem_units(G: int, B: int, Rc: int, Fc: int, C_out: int) -> int:
+    """VMEM estimate in bytes: G DOUBLE-BUFFERED output chunks (Mosaic
+    double-buffers output windows across the r axis -- measured on
+    hardware: the G=4/C_out=256 variant compiles to an 18.55M scoped
+    allocation, 16M of it the 2*G*C_out output windows, and is rejected
+    by the backend's 16M scoped-vmem limit) + G single Y scratches +
     double-buffered ring/bank/xnew blocks, in [2, Rc, 128] f32 units."""
+    return ((2 * G * C_out + G * Fc + 4 * B + 4 * (G - 1))
+            * 2 * Rc * 128 * 4)
+
+
+def _group_tiles(G: int, F: int, B: int, R: int, C_out: int):
+    """Rc/Fc for the group kernel (env-tunable). Mosaic requires the
+    block sublane dim (Rc) to be a multiple of 8 or equal to R, and the
+    double-buffered output windows cost 2*G*C_out units regardless of
+    Fc, so G shrinks Fc only until that floor hits the budget: at the
+    256-output scale shape G=2 fits (Rc=8/Fc=128, the measured winner)
+    and G>=3 is structurally over budget -- group_size falls back to 2."""
     import os
-    Rc = int(os.environ.get("BRUTEFIR_TPU_PAIRTILE_RC", "8"))
-    Fc = int(os.environ.get("BRUTEFIR_TPU_PAIRTILE_FC", "128"))
-    if Rc <= 0 or R % Rc != 0:
-        Rc = R
-    if Fc <= 0 or F % Fc != 0:
-        Fc = F
-    if (2 * C_out + 2 * Fc + 4 * B + 2) * 2 * Rc * 128 * 4 > 12 * 2**20:
-        Rc = 8 if R % 8 == 0 else R
-        Fc = 128 if F % 128 == 0 else F
-    return Rc, Fc
+
+    def legal(rc, fc):
+        return (R % rc == 0 and (rc % 8 == 0 or rc == R)
+                and F % fc == 0)
+
+    def fits(rc, fc):
+        return _group_vmem_units(G, B, rc, fc, C_out) <= 12 * 2**20
+
+    Rc = int(os.environ.get("BRUTEFIR_TPU_PAIRTILE_RC", "0"))
+    Fc = int(os.environ.get("BRUTEFIR_TPU_PAIRTILE_FC", "0"))
+    if Rc > 0 and Fc > 0 and legal(Rc, Fc) and fits(Rc, Fc):
+        return Rc, Fc
+    for rc in (8, R):
+        for fc in (128, 64, 32, 16, 8):
+            if legal(rc, fc) and fits(rc, fc):
+                return rc, fc
+    return R, F   # group_mix_fusable rejects when this overflows
+
+
+def group_mix_fusable(G: int, F: int, B: int, K: int, C_out: int) -> bool:
+    """Can the G-block fused MAC+mix run at this shape (VMEM budget)?"""
+    if K % 128 != 0 or G < 2:
+        return False
+    R = K // 128
+    Rc, Fc = _group_tiles(G, F, B, R, C_out)
+    return _group_vmem_units(G, B, Rc, Fc, C_out) <= 12 * 2**20
 
 
 def pair_mix_fusable(F: int, B: int, K: int, C_out: int) -> bool:
-    """Can the two-block fused MAC+mix run at this shape (VMEM budget)?"""
-    if K % 128 != 0:
-        return False
-    R = K // 128
-    Rc, Fc = _pair_tiles(F, B, R, C_out)
-    return (2 * C_out + 2 * Fc + 4 * B + 2) * 2 * Rc * 128 * 4 <= 12 * 2**20
+    return group_mix_fusable(2, F, B, K, C_out)
 
 
-def _tiled_mix_pair_call(ring5, xnew5, bank5, coeff_idx, rpos0, rpos1,
-                         usenew, maskf, wf_t, interpret):
+def _tiled_mix_group_call(ring5, xnew6, bank5, coeff_idx, rposg, dly,
+                          maskf, w, interpret):
+    """``w``: the output mix [C_out, F]; passed to the kernel untransposed
+    when Fc % 128 == 0 (Mosaic lane legality, the measured-fast layout)
+    and transposed otherwise (see the kernel's lane-legality note)."""
     F, B, _, R, _ = ring5.shape
-    C_out = wf_t.shape[0]
-    Rc, Fc = _pair_tiles(F, B, R, C_out)
+    G = xnew6.shape[1] + 1
+    C_out = w.shape[0]
+    Rc, Fc = _group_tiles(G, F, B, R, C_out)
+    odt = _odt(ring5.dtype)
+    w_trans = Fc % 128 != 0
+    w_arg = jnp.transpose(w) if w_trans else w
+    w_spec = (pl.BlockSpec((Fc, C_out),
+                           lambda r, ft, fl, idx, rp, dl, mk: (ft, 0))
+              if w_trans else
+              pl.BlockSpec((C_out, Fc),
+                           lambda r, ft, fl, idx, rp, dl, mk: (0, ft)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(R // Rc, F // Fc, Fc),
         in_specs=[
             pl.BlockSpec((1, B, 2, Rc, 128),
-                         lambda r, ft, fl, idx, r0, r1, un, mk, _fc=Fc:
+                         lambda r, ft, fl, idx, rp, dl, mk, _fc=Fc:
                          (ft * _fc + fl, 0, 0, r, 0)),
-            pl.BlockSpec((1, 2, Rc, 128),
-                         lambda r, ft, fl, idx, r0, r1, un, mk, _fc=Fc:
-                         (ft * _fc + fl, 0, r, 0)),
+            pl.BlockSpec((1, G - 1, 2, Rc, 128),
+                         lambda r, ft, fl, idx, rp, dl, mk, _fc=Fc:
+                         (ft * _fc + fl, 0, 0, r, 0)),
             pl.BlockSpec((1, B, 2, Rc, 128),
-                         lambda r, ft, fl, idx, r0, r1, un, mk, _fc=Fc:
+                         lambda r, ft, fl, idx, rp, dl, mk, _fc=Fc:
                          (idx[ft * _fc + fl], 0, 0, r, 0)),
-            pl.BlockSpec((C_out, Fc),
-                         lambda r, ft, fl, idx, r0, r1, un, mk: (0, ft)),
+            w_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((C_out, 2, Rc, 128),
-                         lambda r, ft, fl, idx, r0, r1, un, mk:
-                         (0, 0, r, 0)),
-            pl.BlockSpec((C_out, 2, Rc, 128),
-                         lambda r, ft, fl, idx, r0, r1, un, mk:
-                         (0, 0, r, 0)),
-        ],
-        scratch_shapes=[pltpu.VMEM((Fc, 2, Rc, 128), _odt(ring5.dtype)),
-                        pltpu.VMEM((Fc, 2, Rc, 128), _odt(ring5.dtype))],
+        out_specs=[pl.BlockSpec((C_out, 2, Rc, 128),
+                                lambda r, ft, fl, idx, rp, dl, mk:
+                                (0, 0, r, 0))] * G,
+        scratch_shapes=[pltpu.VMEM((Fc, 2, Rc, 128), odt)] * G,
     )
-    odt = _odt(ring5.dtype)
     return pl.pallas_call(
-        functools.partial(_mac_mix_kernel_tiled_pair, n_part=B, n_fc=Fc),
+        functools.partial(_mac_mix_kernel_tiled_group, n_part=B, n_fc=Fc,
+                          n_grp=G, w_trans=w_trans),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((C_out, 2, R, 128), odt),
-                   jax.ShapeDtypeStruct((C_out, 2, R, 128), odt)],
+        out_shape=[jax.ShapeDtypeStruct((C_out, 2, R, 128), odt)] * G,
         interpret=interpret,
-    )(coeff_idx.astype(jnp.int32), rpos0, rpos1, usenew.astype(jnp.int32),
-      maskf, ring5, xnew5, bank5, wf_t)
+    )(coeff_idx.astype(jnp.int32), rposg, dly.astype(jnp.int32),
+      maskf, ring5, xnew6, bank5, w_arg)
 
 
-def pallas_spectral_mac_mix_pair(ring, xnew, bank, coeff_idx, mask, t, w,
-                                 usenew, interpret: bool = False):
-    """Fused MAC + output mix for TWO consecutive blocks (t and t+1).
+def pallas_spectral_mac_mix_group(ring, xnews, bank, coeff_idx, mask, t, w,
+                                  delay, interpret: bool = False):
+    """Fused MAC + output mix for G consecutive blocks (t .. t+G-1).
 
-    ``ring``: the spectra ring AFTER block t's write, BEFORE block t+1's.
-    ``xnew``: block t+1's in-mixed spectra [F, 2, N] (or tiled
-    [F, 2, N/128, 128]), already cast to the ring dtype by the caller so
-    a bf16 ring reads the same rounded values the sequential write would
-    have stored. ``usenew``: [F] nonzero where delay[f] == 0 (block t+1's
-    partition 0 then reads xnew; every other schedule difference is
-    masked by the cblocks clamp -- see _mac_mix_kernel_tiled_pair).
+    ``ring``: the spectra ring AFTER block t's write, BEFORE any later
+    block's. ``xnews``: blocks t+1..t+G-1's in-mixed spectra
+    [G-1, F, 2, N] (or tiled [F, G-1, 2, N/128, 128]), already cast to
+    the ring dtype by the caller so a bf16 ring reads the same rounded
+    values the sequential writes would have stored. ``delay``: [F] i32
+    per-filter pre-delay in blocks (selects which xnew -- if any -- each
+    later block's low partitions read; see _mac_mix_kernel_tiled_group).
 
-    Returns (out0, out1): both blocks' mixed output spectra [C_out, 2, N].
-    Identical terms and per-block accumulation order as two
-    pallas_spectral_mac_mix calls; the bank and ring rows are streamed
-    from HBM once for the pair.
+    Returns a list of G mixed output spectra [C_out, 2, N]. Identical
+    terms and per-block accumulation order as G pallas_spectral_mac_mix
+    calls; the bank and ring rows are streamed from HBM once per group.
     """
     if ring.ndim == 5:
         F, B, _, R, _ = ring.shape
@@ -927,48 +974,73 @@ def pallas_spectral_mac_mix_pair(ring, xnew, bank, coeff_idx, mask, t, w,
         ring5 = ring
         bank5 = (bank if bank.ndim == 5
                  else bank.reshape(bank.shape[0], B, 2, R, 128))
-        xnew5 = (xnew if xnew.ndim == 4
-                 else xnew.reshape(F, 2, R, 128))
+        xnew6 = (xnews if xnews.ndim == 5
+                 else jnp.moveaxis(xnews, 0, 1).reshape(
+                     F, xnews.shape[0], 2, R, 128))
     else:
         F, B, _, N = ring.shape
         R = N // 128
         ring5 = ring.reshape(F, B, 2, R, 128)
         bank5 = bank.reshape(bank.shape[0], B, 2, R, 128)
-        xnew5 = xnew.reshape(F, 2, R, 128)
+        xnew6 = jnp.moveaxis(xnews, 0, 1).reshape(
+            F, xnews.shape[0], 2, R, 128)
+    G = xnew6.shape[1] + 1
     C_out = w.shape[0]
     odt = _odt(ring.dtype)
-    rpos0 = jnp.mod(t - jnp.arange(B, dtype=jnp.int32), B).astype(jnp.int32)
-    rpos1 = jnp.mod(t + 1 - jnp.arange(B, dtype=jnp.int32),
-                    B).astype(jnp.int32)
+    barange = jnp.arange(B, dtype=jnp.int32)
+    rposg = jnp.stack([jnp.mod(t + g - barange, B).astype(jnp.int32)
+                       for g in range(G)])                       # [G, B]
     maskf = mask.astype(odt)
-    out0_5, out1_5 = _tiled_mix_pair_call(
-        ring5, xnew5, bank5, coeff_idx, rpos0, rpos1, usenew, maskf,
-        w.astype(odt), interpret)
-    out0 = out0_5.reshape(C_out, 2, N)
-    out1 = out1_5.reshape(C_out, 2, N)
+    dly = delay.astype(jnp.int32)
+    outs5 = _tiled_mix_group_call(ring5, xnew6, bank5, coeff_idx, rposg,
+                                  dly, maskf, w.astype(odt), interpret)
 
     # bin-0 patches (packed DC/Nyquist -- independent real products),
     # contracted through the mix like pallas_spectral_mac_mix
     wod = w.astype(odt)
-    y0r, y0i = _bin0(ring, bank, coeff_idx, mask, rpos0)
     r0p = ring5[:, :, :, 0, 0]                                 # [F, B, 2]
     b0p = bank5[:, :, :, 0, 0]                                 # [E, B, 2]
-    rot1 = jnp.take(r0p, rpos1, axis=1)                        # [F, B, 2]
-    xn0 = xnew5[:, :, 0, 0]                                    # [F, 2]
-    sel = (usenew != 0)[:, None]
-    rot1 = rot1.at[:, 0, :].set(jnp.where(sel, xn0, rot1[:, 0, :]))
+    xn0 = xnew6[:, :, :, 0, 0]                                 # [F, G-1, 2]
     h0 = jnp.take(b0p, coeff_idx, axis=0) * mask[:, :, None]
-    y1r = jnp.sum(rot1[:, :, 0] * h0[:, :, 0], axis=1)
-    y1i = jnp.sum(rot1[:, :, 1] * h0[:, :, 1], axis=1)
     hp = jax.lax.Precision.HIGHEST
-    out0 = (out0.at[:, 0, 0].set(jnp.einsum("cf,f->c", wod, y0r,
-                                            precision=hp))
-                .at[:, 1, 0].set(jnp.einsum("cf,f->c", wod, y0i,
-                                            precision=hp)))
-    out1 = (out1.at[:, 0, 0].set(jnp.einsum("cf,f->c", wod, y1r,
-                                            precision=hp))
-                .at[:, 1, 0].set(jnp.einsum("cf,f->c", wod, y1i,
-                                            precision=hp)))
+    farange = jnp.arange(F)
+    outs = []
+    for g in range(G):
+        rot = jnp.take(r0p, rposg[g], axis=1)                  # [F, B, 2]
+        for b in range(g):
+            j = g - b - 1 - dly                                # [F]
+            xsel = xn0[farange, jnp.clip(j, 0, G - 2)]         # [F, 2]
+            rot = rot.at[:, b, :].set(
+                jnp.where((j >= 0)[:, None], xsel, rot[:, b, :]))
+        ygr = jnp.sum(rot[:, :, 0] * h0[:, :, 0], axis=1)
+        ygi = jnp.sum(rot[:, :, 1] * h0[:, :, 1], axis=1)
+        out = outs5[g].reshape(C_out, 2, N)
+        out = (out.at[:, 0, 0].set(jnp.einsum("cf,f->c", wod, ygr,
+                                              precision=hp))
+                  .at[:, 1, 0].set(jnp.einsum("cf,f->c", wod, ygi,
+                                              precision=hp)))
+        outs.append(out)
+    return outs
+
+
+def pallas_spectral_mac_mix_pair(ring, xnew, bank, coeff_idx, mask, t, w,
+                                 usenew, interpret: bool = False,
+                                 delay=None):
+    """The G=2 group (kept as the original pair API; ``usenew`` is
+    accepted for compatibility but the group kernel derives the xnew
+    selection from ``delay`` -- pass it when filters have pre-delays)."""
+    if delay is None:
+        # usenew nonzero <=> delay == 0; any positive stand-in keeps the
+        # group kernel's j = -delay < 0 for the delayed filters
+        delay = jnp.where(usenew != 0, 0, 1).astype(jnp.int32)
+    if xnew.ndim == 4:   # tiled [F, 2, R, 128] -> [F, 1, 2, R, 128]
+        F, _, R, _ = xnew.shape
+        xnews = xnew.reshape(F, 1, 2, R, 128)
+    else:                # flat [F, 2, N] -> [1, F, 2, N]
+        xnews = xnew[None]
+    out0, out1 = pallas_spectral_mac_mix_group(
+        ring, xnews, bank, coeff_idx, mask, t, w, delay,
+        interpret=interpret)
     return out0, out1
 
 

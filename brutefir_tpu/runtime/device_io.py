@@ -586,20 +586,23 @@ class DeviceIO:
         """
         key = (m, uniform and self._uniform_ok, bool(udelay), xfade)
         if key not in self._multi:
-            # Two-blocks-per-scan-iteration dispatch: when the host
-            # asserts no crossfade for the batch (xfade=False, the common
-            # offline case) and the graph takes the fused MAC+mix fast
-            # path at a big shape, each scan iteration runs BOTH blocks'
-            # step with ONE pass over the spectra ring and coefficient
-            # bank (graph/compile._pair_step_impl) -- the MAC is at the
-            # HBM roofline there, so this halves its per-block cost at
-            # full bit parity. Identical per-block semantics; m must be
-            # even (run_offline batch sizes are).
-            from ..graph.compile import pair_eligible
+            # Grouped dispatch (G blocks per scan iteration): when the
+            # host asserts no crossfade for the batch (xfade=False, the
+            # common offline case) and the graph takes the fused MAC+mix
+            # fast path at a big shape, each scan iteration runs G
+            # blocks' step with ONE pass over the spectra ring and
+            # coefficient bank (graph/compile._group_step_impl) -- the
+            # MAC is at the HBM roofline there, so this divides its
+            # per-block bandwidth cost by ~G at full bit parity.
+            # Identical per-block semantics; G must divide m
+            # (run_offline batch sizes are even, matching the default
+            # G=2; BRUTEFIR_TPU_PAIR sets G).
             mac_, _, mesh_, _, ps_spec = self._core_refs
-            if (xfade is False and m % 2 == 0 and m >= 2
-                    and pair_eligible(ps_spec, mac_, None, mesh_)):
-                return self._multi_step_paired(m, key)
+            if xfade is False:
+                from ..graph.compile import group_size
+                G = group_size(ps_spec, mac_, None, mesh_, m)
+                if G >= 2:
+                    return self._multi_step_grouped(m, G, key)
             if os.environ.get("BRUTEFIR_TPU_PREFFT", "0") != "1":
                 return self._multi_step_scanned(m, key)
             N = self.N
@@ -713,48 +716,54 @@ class DeviceIO:
 
         return self._register_multi(key, multi)
 
-    def _multi_step_paired(self, m: int, key):
-        """Batched dispatch at two blocks per scan iteration (see
+    def _multi_step_grouped(self, m: int, G: int, key):
+        """Batched dispatch at G blocks per scan iteration (see
         multi_step): the IO halves run per block in order (the dither /
         delay-window state chains exactly like the per-block scan), the
-        graph step runs as _pair_step_impl with the single-pass dual-block
+        graph step runs as _group_step_impl with the single-pass G-block
         MAC. Output stacks and meters are reshaped back to per-block
         [m, ...] so the dispatch contract matches _multi_step_scanned."""
         input_half = self._input_half
         output_half = self._output_half
         mac, tiled, mesh_, constrain_, ps_spec = self._core_refs
-        from ..graph.compile import _pair_step_impl
-        pair_fn = functools.partial(_pair_step_impl, ps_spec, mac,
-                                    uniform_delay=key[2])
+        from ..graph.compile import _group_step_impl
+        group_fn = functools.partial(_group_step_impl, ps_spec, mac,
+                                     uniform_delay=key[2])
 
         def multi(state, ctrl, in_gain, out_gain, bank, in_words,
                   dstate, dvec_in, dvec_out, sri, sbi, sro, sbo):
-            pairs = tuple(
-                w.reshape((m // 2, 2) + w.shape[1:]) for w in in_words)
+            groups = tuple(
+                w.reshape((m // G, G) + w.shape[1:]) for w in in_words)
 
-            def body(carry, words2):
+            def body(carry, wordsg):
                 st, ds = carry
-                nd1 = dict(ds)
-                x0 = input_half([w[0] for w in words2], ds, nd1,
-                                in_gain, dvec_in, sri, sbi)
-                nd2 = dict(nd1)
-                x1 = input_half([w[1] for w in words2], nd1, nd2,
-                                in_gain, dvec_in, sri, sbi)
-                st, y0, y1 = pair_fn(st, ctrl, bank, x0, x1)
-                nd3 = dict(nd2)
-                outs0, met0, nan0, nd3 = output_half(
-                    y0, nd2, nd3, out_gain, dvec_out, sro, sbo)
-                nd4 = dict(nd3)
-                outs1, met1, nan1, nd4 = output_half(
-                    y1, nd3, nd4, out_gain, dvec_out, sro, sbo)
-                outs = tuple(jnp.stack([a, b])
-                             for a, b in zip(outs0, outs1))
-                mets = tuple(jnp.stack([a, b])
-                             for a, b in zip(met0, met1))
-                return (st, nd4), (outs, mets, nan0 & nan1)
+                xs = []
+                for g in range(G):
+                    nd = dict(ds)
+                    xs.append(input_half([w[g] for w in wordsg], ds, nd,
+                                         in_gain, dvec_in, sri, sbi))
+                    ds = nd
+                st, ys = group_fn(st, ctrl, bank, xs)
+                outsg, metsg, nans = [], [], []
+                for y in ys:
+                    nd = dict(ds)
+                    o, mt, nan, nd = output_half(
+                        y, ds, nd, out_gain, dvec_out, sro, sbo)
+                    ds = nd
+                    outsg.append(o)
+                    metsg.append(mt)
+                    nans.append(nan)
+                outs = tuple(jnp.stack(per_dev)
+                             for per_dev in zip(*outsg))
+                mets = tuple(jnp.stack(per_dev)
+                             for per_dev in zip(*metsg))
+                nan_ok = nans[0]
+                for nan in nans[1:]:
+                    nan_ok = nan_ok & nan
+                return (st, ds), (outs, mets, nan_ok)
 
             (state, dstate), (outs, meters, nans) = jax.lax.scan(
-                body, (state, dstate), pairs)
+                body, (state, dstate), groups)
             outs = tuple(
                 o.reshape((m,) + o.shape[2:]) for o in outs)
             meters = tuple(

@@ -126,12 +126,12 @@ output {chans} {{ device: "file" {{ path: "/dev/null"; }}; sample: "{fmt}"; chan
 
 
 def test_pair_eligible_gates(tmp_path, monkeypatch):
-    from brutefir_tpu.graph.compile import pair_eligible
+    from brutefir_tpu.graph.compile import pair_eligible, group_size
     monkeypatch.setenv("BRUTEFIR_TPU_MAC", "pallas")
     eng = _mk_engine(tmp_path, [0, 0, 0], "gate")
     spec = eng.spec
     # small shape: only with force
-    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "1")
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "2")
     assert not pair_eligible(spec, "pallas-interpret", None, None)
     monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "force")
     assert pair_eligible(spec, "pallas-interpret", None, None)
@@ -141,22 +141,28 @@ def test_pair_eligible_gates(tmp_path, monkeypatch):
     # dense MAC / taps / mesh all disqualify
     assert not pair_eligible(spec, "jnp", None, None)
     assert not pair_eligible(spec, "pallas-interpret", {"x": 1}, None)
+    # group size: honors divisibility (m=6 cannot group by 4 -> falls to 3)
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "force:4")
+    assert group_size(spec, "pallas-interpret", None, None, 8) == 4
+    assert group_size(spec, "pallas-interpret", None, None, 6) == 3
+    assert group_size(spec, "pallas-interpret", None, None, 5) == 1
 
 
 # ------------------------------------------------------- engine batch parity
 
 
 def _spy_pair(monkeypatch):
-    """Instrument _pair_step_impl; returns the list that records calls."""
+    """Instrument _group_step_impl (the grouped dispatch's graph step);
+    returns a list that records the group size of each call."""
     import brutefir_tpu.graph.compile as C
     taken = []
-    orig = C._pair_step_impl
+    orig = C._group_step_impl
 
-    def spy(*a, **k):
-        taken.append(1)
-        return orig(*a, **k)
+    def spy(spec, mac, state, ctrl, bank, xs, **k):
+        taken.append(len(xs))
+        return orig(spec, mac, state, ctrl, bank, xs, **k)
 
-    monkeypatch.setattr(C, "_pair_step_impl", spy)
+    monkeypatch.setattr(C, "_group_step_impl", spy)
     return taken
 
 
@@ -192,26 +198,31 @@ def _run_batch(eng, m, udelay=False, xfade=False, seed=11):
         eng.dio.dstate = dstate
 
 
-@pytest.mark.parametrize("delays,udelay", [
-    ([0, 0, 0], False),
-    ([0, 0, 0], True),      # scalar-slot ring write variant
-    ([0, 1, 2], False),     # mixed pre-delays: usenew + masked slots
+@pytest.mark.parametrize("delays,udelay,group", [
+    ([0, 0, 0], False, 2),
+    ([0, 0, 0], True, 2),   # scalar-slot ring write variant
+    ([0, 1, 2], False, 2),  # mixed pre-delays: usenew + masked slots
+    ([0, 0, 0], False, 3),  # odd group size
+    ([0, 1, 2], False, 4),  # G=4: multi-xnew selection per filter
+    ([0, 0, 0], True, 4),
 ])
-def test_pair_batch_matches_scanned(tmp_path, monkeypatch, delays, udelay):
-    """The paired dispatch must reproduce the per-block scan through the
+def test_pair_batch_matches_scanned(tmp_path, monkeypatch, delays, udelay,
+                                    group):
+    """The grouped dispatch must reproduce the per-block scan through the
     full device program (decode -> FFT -> MAC+mix -> iFFT -> encode ->
     meters), including the chained per-block meter/delay state."""
     monkeypatch.setenv("BRUTEFIR_TPU_MAC", "pallas")
-    tag = f"pb{''.join(map(str, delays))}{int(udelay)}"
+    tag = f"pb{''.join(map(str, delays))}{int(udelay)}{group}"
     eng = _mk_engine(tmp_path, delays, tag)
 
     assert eng.cg.mac == "pallas-interpret"
     monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "0")
-    outs_a, met_a, ring_a, nan_a = _run_batch(eng, 6, udelay=udelay)
-    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "force")
+    outs_a, met_a, ring_a, nan_a = _run_batch(eng, 12, udelay=udelay)
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", f"force:{group}")
     taken = _spy_pair(monkeypatch)
-    outs_b, met_b, ring_b, nan_b = _run_batch(eng, 6, udelay=udelay)
-    assert taken, "the paired dispatch was not routed through"
+    outs_b, met_b, ring_b, nan_b = _run_batch(eng, 12, udelay=udelay)
+    assert taken and taken[0] == group, \
+        "the grouped dispatch was not routed through"
 
     assert nan_a and nan_b
     for a, b in zip(outs_a, outs_b):
@@ -239,17 +250,19 @@ def test_pair_batch_int_dither_matches(tmp_path, monkeypatch):
             np.abs(a.astype(np.int64) - b.astype(np.int64)), 2)
 
 
-def test_pair_single_partition(tmp_path, monkeypatch):
-    """B=1 edge: every filter is delay-0; block t+1's only partition is
-    the xnew side channel."""
+@pytest.mark.parametrize("group", [2, 4])
+def test_pair_single_partition(tmp_path, monkeypatch, group):
+    """B=1 edge: every filter is delay-0; all of a later block's history
+    comes from the group's own xnew side channel (B < G exercises the
+    in-group chain)."""
     monkeypatch.setenv("BRUTEFIR_TPU_MAC", "pallas")
-    eng = _mk_engine(tmp_path, [0, 0], "pb1", C=2, B=1)
+    eng = _mk_engine(tmp_path, [0, 0], f"pb1g{group}", C=2, B=1)
     monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "0")
     outs_a, _, ring_a, _ = _run_batch(eng, 4)
-    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "force")
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", f"force:{group}")
     taken = _spy_pair(monkeypatch)
     outs_b, _, ring_b, _ = _run_batch(eng, 4)
-    assert taken
+    assert taken and taken[0] == group
     for a, b in zip(outs_a, outs_b):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(ring_a, ring_b, rtol=2e-5, atol=2e-6)
