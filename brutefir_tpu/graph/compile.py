@@ -553,6 +553,12 @@ def group_size(spec: GraphSpec, mac: str, taps, mesh, m: int) -> int:
         G = 2
     if G in (0, 1):
         return 1
+    if os.environ.get("BRUTEFIR_TPU_FUSED_MIX", "1") == "0":
+        # the group kernel is the fused MAC+mix form; with the fused-mix
+        # A/B knob off the per-block scan takes the unfused path, so the
+        # grouped dispatch must stand down too or the knob would no
+        # longer isolate the fused-mix variable
+        return 1
     if not (mac.startswith("pallas") and not taps and mesh is None
             and spec.tileable and len(spec.stages) == 1
             and spec.stages[0].casc_local.size == 0

@@ -1028,10 +1028,18 @@ def pallas_spectral_mac_mix_pair(ring, xnew, bank, coeff_idx, mask, t, w,
                                  delay=None):
     """The G=2 group (kept as the original pair API; ``usenew`` is
     accepted for compatibility but the group kernel derives the xnew
-    selection from ``delay`` -- pass it when filters have pre-delays)."""
+    selection from ``delay`` -- pass it when filters have pre-delays).
+
+    The ``usenew`` -> stand-in-delay shim below is valid ONLY at G=2:
+    in-group substitution needs delay == 0 and any delay >= 1 behaves
+    identically there, so mapping every usenew==0 filter to delay=1 is
+    exact. A G>2 extension must pass ``delay`` explicitly -- delays in
+    [1, G-2] select different xnew rows and the shim would pick wrong
+    ones."""
     if delay is None:
         # usenew nonzero <=> delay == 0; any positive stand-in keeps the
-        # group kernel's j = -delay < 0 for the delayed filters
+        # group kernel's j = -delay < 0 for the delayed filters (G=2
+        # only -- see docstring)
         delay = jnp.where(usenew != 0, 0, 1).astype(jnp.int32)
     if xnew.ndim == 4:   # tiled [F, 2, R, 128] -> [F, 1, 2, R, 128]
         F, _, R, _ = xnew.shape

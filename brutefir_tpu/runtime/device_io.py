@@ -600,6 +600,11 @@ class DeviceIO:
             mac_, _, mesh_, _, ps_spec = self._core_refs
             if xfade is False:
                 from ..graph.compile import group_size
+                # taps is hard-coded None: the batched dispatch never
+                # carries module spectral taps (full_step likewise passes
+                # none into _step_impl) -- if taps ever reach this path,
+                # group_size must see them or the grouped program would
+                # silently skip them
                 G = group_size(ps_spec, mac_, None, mesh_, m)
                 if G >= 2:
                     return self._multi_step_grouped(m, G, key)
