@@ -68,6 +68,15 @@ def measure(mac: str) -> float:
     # the two-blocks-per-iteration pair program (BRUTEFIR_TPU_PAIR=0
     # restores per-block scanning for A/Bs).
     mstep = eng.dio.multi_step(M, uniform=uni, udelay=udl, xfade=xf)
+    # report the engaged group size (bench.py records it): replicate
+    # multi_step's own dispatch condition so the print can't diverge
+    # from what actually ran
+    G = 1
+    if xf is False:
+        from brutefir_tpu.graph.compile import group_size
+        mac_, _, mesh_, _, ps_spec = eng.dio._core_refs
+        G = group_size(ps_spec, mac_, None, mesh_, M)
+    print(f"dispatch grouped G={G}", flush=True)
     dstacks = [jnp.zeros((M, N) + eng.dio.in_wire_shape[i],
                          eng.dio.in_wire_dtype[i])
                for i in range(1)]

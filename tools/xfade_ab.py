@@ -56,6 +56,12 @@ def main():
     from brutefir_tpu.runtime.engine import Engine
     from brutefir_tpu.runtime.device_io import DeviceIO
 
+    # stage budget (bench.py exports the watchdog timeout it granted):
+    # compiles dominate the cold path, so after compiling decide how
+    # many measurement rounds fit instead of dying at the watchdog
+    t_start = time.time()
+    budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "0")) or None
+
     conf = parse_config(CONFIG)
     eng = Engine(conf)
     eng.setup()
@@ -100,7 +106,25 @@ def main():
              for name, fns in variants.items()
              for ctrl, tag in ((c0, ""), (c_off, " noswap"))]
     results = {name + tag: [] for name, _, _, tag in cases}
-    for round_i in range(3):
+    rounds = 3
+    if budget:
+        # one measurement round ~ 4 cases x 14 dispatches x M blocks;
+        # estimate from one timed dispatch and trim rounds to fit the
+        # remaining budget with a 30 s safety margin
+        t0 = time.perf_counter()
+        st, outs, meters, nan = cases[0][1](eng.state, cases[0][2], g0[0],
+                                            g0[1], eng.bank, dstacks)
+        eng.state = st
+        float(np.asarray(jnp.sum(jax.tree.leaves(meters)[0]
+                                 ).astype(jnp.float32)))
+        per_round = (time.perf_counter() - t0) * 14 * len(cases) * 1.3
+        left = budget - (time.time() - t_start) - 30
+        rounds = max(1, min(3, int(left / max(per_round, 1e-3))))
+        if rounds < 3:
+            sys.stderr.write(f"xfade_ab: trimmed to {rounds} round(s) "
+                             f"({left:.0f} s left, ~{per_round:.0f} s "
+                             "per round)\n")
+    for round_i in range(rounds):
         for name, fn, ctrl, tag in cases:
             times = {}
             for n in (2, 12):
