@@ -183,6 +183,90 @@ def test_bench1_fullshape_cascade_random_taps(tmp_path, rng):
     check_golden("bench1_8192x8_cascade_random", open(outp, "rb").read())
 
 
+def test_bench4_fullshape_kitchen_sink_random_taps(tmp_path, rng):
+    """bench4 at the shipped 4096x13: mixed input formats (S24_4LE with
+    channel selection 4/0,3 + many-to-one mapping, S8), per-edge gains
+    and polarity, a one-block pre-delay, a shared cascade node, a
+    `blocks: 1` coefficient truncation, and the DITHERED S16 output --
+    with two DISTINCT random coefficient sets, against a float64 numpy
+    oracle (/root/reference/bench4_config:1, real2raw.h:44-59).
+
+    Both output byte streams are pinned by committed goldens: the
+    dither generator is seeded with the reference's fixed seed
+    (dither.c:105 analog, core/dither.py tausrand_table seed 0->1), so
+    the dithered S16 stream is run-to-run reproducible."""
+    N, B = 4096, 13
+    n = N * 20
+    # coeff 0: 13 blocks; coeff 1: a 13-block FILE truncated by the
+    # config's `blocks: 1;` -- the truncation semantics at full shape
+    h0 = make_taps(rng, N * B, 0.003)
+    h1_file = make_taps(rng, N * B, 0.003)
+    h1 = h1_file[:N].astype(np.float64)
+    x4 = rng.integers(-(1 << 16), 1 << 16, (4, n)).astype(np.int32)
+    x8 = rng.integers(-32, 32, (2, n)).astype(np.int32)
+
+    text = open(f"{REF}/bench4_config").read()
+    f0p, f1p = tmp_path / "h0.raw", tmp_path / "h1.raw"
+    h0.tofile(f0p)
+    h1_file.tofile(f1p)
+    text = text.replace(
+        'coeff 0 { filename: "dirac pulse"; };',
+        f'coeff 0 {{ filename: "{f0p}"; format: "FLOAT_LE"; }};')
+    text = text.replace(
+        'coeff 1 { filename: "dirac pulse"; blocks: 1; };',
+        f'coeff 1 {{ filename: "{f1p}"; format: "FLOAT_LE"; '
+        f'blocks: 1; }};')
+    in1, in2 = tmp_path / "in1.raw", tmp_path / "in2.raw"
+    out1, out2 = tmp_path / "out1.raw", tmp_path / "out2.raw"
+    write_s24_4le(in1, x4)
+    np.ascontiguousarray(x8.T.astype(np.int8)).tofile(in2)
+    reps = iter([f'device: "file" {{ path: "{p}"; }}'
+                 for p in (in1, in2, out1, out2)])
+    text = re.sub(r'device:\s*"file"\s*{[^}]*}', lambda m: next(reps),
+                  text)
+    text = text.replace('modules_path: ".";', '')
+    text = text.replace('convolver_config: ".fftw3wisdom";', '')
+    conf = parse_config(text, "bench4_full")
+    eng = Engine(conf)
+    eng.run()
+
+    # oracle: virtual inputs in the normalized float domain
+    s = 1.0 / (1 << 23)
+    v = {0: x4[0] * s, 1: x4[3] * s, 2: x4[0] * s, 3: x4[3] * s,
+         4: x4[0] * s, 5: x4[3] * s,
+         6: x8[0] / 128.0, 7: x8[1] / 128.0}
+    v = {k: np.asarray(a, np.float64) for k, a in v.items()}
+    g = lambda db: 10 ** (-db / 20.0)
+
+    def delay_blocks(a, blocks):
+        d = blocks * N
+        return np.concatenate([np.zeros(d), a[: len(a) - d]])
+
+    # filter 0: inputs 0//-1, 1//2, one-block pre-delay, coeff 0. The
+    # pre-delay rides the ring offsets, and partitions >= B - delay are
+    # clamped to zero exactly like the reference (bfrun.c:1585-1591):
+    # the delayed filter's effective response is h0's first B-1 blocks.
+    f0 = conv64(delay_blocks(-v[0] + 2.0 * v[1], 1), h0[: N * (B - 1)])
+    # filter 1: inputs 6, 2 + filter 0 at -3 dB, coeff 1 (truncated)
+    f1 = conv64(v[6] + v[2] + g(3.0) * f0, h1)
+    # filter 2: filters 0, 1 + inputs 3,4,5,7, coeff 0
+    f2 = conv64(f0 + f1 + v[3] + v[4] + v[5] + v[7], h0)
+    y0_f = (g(3.0) * f0 + f2) * (1 << 15)   # S16 integer domain
+    y1_f = g(5.32) * f1 + f2                 # FLOAT_NE
+
+    y0 = np.fromfile(out1, "<i2").astype(np.float64)
+    y1 = np.fromfile(out2, "<f4").astype(np.float64)
+    assert len(y0) == n and len(y1) == n
+    tol1 = 1e-7 + 2e-5 * np.abs(y1_f).max()
+    np.testing.assert_allclose(y1, y1_f, rtol=0, atol=tol1)
+    # dithered S16: HP-TPDF + {1,-1} error feedback bounds the deviation
+    # from the ideal value to a few LSB on top of the engine float error
+    tol0 = 5.0 + 2e-5 * np.abs(y0_f).max()
+    assert np.abs(y0 - y0_f).max() < tol0
+    check_golden("bench4_4096x13_dithered_s16", open(out1, "rb").read())
+    check_golden("bench4_4096x13_float", open(out2, "rb").read())
+
+
 def test_bench5_fullshape_crossfade_random_taps(tmp_path, rng):
     """bench5 at the shipped 8192x8 with TWO DISTINCT random coefficient
     sets flipped by the CLI script every block, against an explicit
