@@ -1777,23 +1777,26 @@ class Engine:
                 frames = min(frames, rem * N)
             if eof or got_blocks < M or frames < M * N:
                 # EOF inside the batch: finish the already-read blocks
-                # one at a time so no samples are dropped
-                with self.control_mutex:
-                    ctrl = self.control.snapshot()
-                    gains = self._mute_gains()
-                    uni = self.control.snapshot_uniform
-                    xf = self.control.snapshot_xfade
-                    dly_snap = (list(self.control.delay[IN]),
-                                list(self.control.delay[OUT]))
-                    sd_snap = (list(self.control.subdelay[IN]),
-                               list(self.control.subdelay[OUT]))
-                self.dio.update_delays(*dly_snap)
-                self.dio.update_subdelays(*sd_snap)
+                # one at a time so no samples are dropped. Snapshot PER
+                # BLOCK like run(): a pending coeff swap must crossfade
+                # only its first block (snapshot() clears the xfade mask
+                # on the next call, bfrun.c:1695-1777 + prevcoeff update)
                 left = frames if frames < M * N else got_blocks * N
                 for b in range(got_blocks):
                     f = min(N, left - b * N)
                     if f <= 0:
                         break
+                    with self.control_mutex:
+                        ctrl = self.control.snapshot()
+                        gains = self._mute_gains()
+                        uni = self.control.snapshot_uniform
+                        xf = self.control.snapshot_xfade
+                        dly_snap = (list(self.control.delay[IN]),
+                                    list(self.control.delay[OUT]))
+                        sd_snap = (list(self.control.subdelay[IN]),
+                                   list(self.control.subdelay[OUT]))
+                    self.dio.update_delays(*dly_snap)
+                    self.dio.update_subdelays(*sd_snap)
                     self.state, outs1, meters1, nan1 = self.dio.step(
                         self.state, ctrl, gains[0], gains[1], self.bank,
                         [st[b] for st in dstacks], uniform=uni, xfade=xf)
@@ -1819,14 +1822,43 @@ class Engine:
                            list(self.control.subdelay[OUT]))
             self.dio.update_delays(*dly_snap)
             self.dio.update_subdelays(*sd_snap)
-            mstep = self.dio.multi_step(M, uniform=uni, udelay=udl, xfade=xf)
+            m_left = M
+            if xf:
+                # A coeff swap landed between batches: the crossfade
+                # applies to the batch's FIRST block only (the reference
+                # crossfades on the snapshot where prevcoeff != coeff,
+                # bfrun.c:1695-1777; the next snapshot clears it).
+                # Dispatch block 0 through the per-block xfade program,
+                # re-snapshot (now crossfade-free), and batch the rest.
+                self.state, outs1, meters1, nan1 = self.dio.step(
+                    self.state, ctrl, gains[0], gains[1], self.bank,
+                    [st[0] for st in dstacks], uniform=uni, xfade=True)
+                sync_first(nan1)
+                self.blockcounter += 1
+                while wstats["err"] is None:
+                    try:
+                        wq.put((tuple(o[None] for o in outs1), meters1,
+                                nan1, N), timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+                with self.control_mutex:
+                    ctrl = self.control.snapshot()
+                    gains = self._mute_gains()
+                    uni = self.control.snapshot_uniform
+                    udl = self.control.snapshot_uniform_delay
+                    assert not self.control.snapshot_xfade
+                dstacks = [st[1:] for st in dstacks]
+                m_left = M - 1
+            mstep = self.dio.multi_step(m_left, uniform=uni, udelay=udl,
+                                        xfade=False)
             self.state, outs, meters, nan_ok = mstep(
                 self.state, ctrl, gains[0], gains[1], self.bank, dstacks)
             sync_first(nan_ok)
-            self.blockcounter += M
+            self.blockcounter += m_left
             while wstats["err"] is None:
                 try:
-                    wq.put((outs, meters, nan_ok, min(frames, M * N)),
+                    wq.put((outs, meters, nan_ok, m_left * N),
                            timeout=1.0)
                     break
                 except queue.Full:
