@@ -53,6 +53,54 @@ def _expand_p24(raw: np.ndarray) -> np.ndarray:
     return w - ((w & 0x800000) << 1)
 
 
+_hcb_capable = None  # cached host-callback probe result (per process)
+
+
+def _host_callbacks_work(timeout_s: float = 90.0) -> bool:
+    """Whether the current jax backend executes host callbacks
+    (jax.experimental.io_callback). A remote relay-attached TPU hangs
+    forever on them (docs/PARITY.md #14), so the probe runs one tiny
+    tapped program in a daemon thread under a watchdog: a hang proves
+    incapability without wedging the caller. CPU always qualifies.
+    BRUTEFIR_TPU_FREQD_PROBE=0/1 forces the verdict (0 also models the
+    relay in CI)."""
+    global _hcb_capable
+    env = os.environ.get("BRUTEFIR_TPU_FREQD_PROBE", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    if _hcb_capable is not None:
+        return _hcb_capable
+    import jax
+    try:
+        if jax.default_backend() == "cpu":
+            _hcb_capable = True
+            return True
+    except RuntimeError:
+        return True  # backend init failure surfaces on first real use
+    from jax.experimental import io_callback
+    done = []
+
+    def probe():
+        try:
+            def cb(a):
+                return np.asarray(a) + 1.0
+
+            fn = jax.jit(lambda a: io_callback(
+                cb, jax.ShapeDtypeStruct(a.shape, a.dtype), a))
+            y = fn(jnp.ones((8,), jnp.float32))
+            done.append(bool(np.asarray(y)[0] == 2.0))
+        except Exception:
+            done.append(False)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    _hcb_capable = bool(done and done[0])
+    return _hcb_capable
+
+
 class Engine:
     """Runs a parsed config. ``mesh``: an optional jax.sharding.Mesh with
     ('f', 'sp') axes -- the block step then shards the filter and
@@ -456,6 +504,20 @@ class Engine:
                             else None)
                 taps[kind] = self._make_freqd_tap(hooks, row2conf)
         if taps:
+            if not _host_callbacks_work():
+                # fail fast with a diagnosis instead of deadlocking the
+                # first tapped block (docs/PARITY.md #14: a remote
+                # relay-attached TPU hangs forever on host callbacks)
+                raise EngineError(
+                    "frequency-domain module hooks ("
+                    + ", ".join(sorted(taps)) +
+                    ") registered, but this backend does not execute "
+                    "host callbacks -- a remote relay-attached TPU "
+                    "deadlocks on them (docs/PARITY.md #14). Run on the "
+                    "CPU backend instead (jax.config.update("
+                    "'jax_platforms', 'cpu') before building the "
+                    "engine), or remove the hook. "
+                    "BRUTEFIR_TPU_FREQD_PROBE=1 overrides the probe.")
             if self.mesh is not None:
                 if not self._mesh_auto:
                     raise EngineError(

@@ -79,6 +79,30 @@ def test_hook_dispatch_order(tmp_path, rng):
     np.testing.assert_allclose(y, x, atol=1e-5)
 
 
+def test_freqd_hooks_fail_fast_on_callback_incapable_backend(
+        tmp_path, rng, monkeypatch):
+    """A backend that cannot execute host callbacks (the remote
+    relay-attached TPU of docs/PARITY.md #14, modeled here by
+    BRUTEFIR_TPU_FREQD_PROBE=0) must raise a configuration error at
+    hook registration naming the CPU fallback -- not hang the first
+    tapped block."""
+    from brutefir_tpu.runtime.engine import EngineError
+
+    N = 64
+    x = rng.standard_normal(N).astype(np.float32) * 0.25
+    conf, _ = simple_conf(tmp_path, x, N)
+
+    class Tap:
+        def pre_convolve(self, buf, f):
+            pass
+
+    monkeypatch.setenv("BRUTEFIR_TPU_FREQD_PROBE", "0")
+    eng = Engine(conf)
+    eng.logic.append(Tap())
+    with pytest.raises(EngineError, match="host callbacks"):
+        eng.run()
+
+
 def test_freqd_hook_mutation_flows_back(tmp_path, rng):
     """A hook that scales the output spectrum by 2 doubles the output
     (the reference's buffers are mutable in place)."""
