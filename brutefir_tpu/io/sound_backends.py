@@ -6,10 +6,11 @@ compute path is identical for all backends; these differ only in device
 setup and the blocking read/write calls.
 
 * ``alsa``: ctypes bindings to libasound (snd_pcm blocking API). Parameters
-  ``device:``, ``ignore_xrun:``, ``link:`` (accepted; linked synchronous
-  start is approximated by the engine's synch_start ordering). Recovers
-  from xruns with prepare+restart when ``ignore_xrun`` is set, matching
-  bfio_alsa.c:555-586.
+  ``device:``, ``ignore_xrun:``, ``link:`` (snd_pcm_link'd handles with a
+  single sample-synchronous base start, bfio_alsa.c:419-428,469-486;
+  default true like the reference). Recovers from xruns with
+  prepare+restart when ``ignore_xrun`` is set, matching
+  bfio_alsa.c:555-586. Interleaved access only (see AlsaDevice).
 * ``oss``: /dev/dsp ioctl setup (SNDCTL_DSP_*) with plain read/write.
 * ``jack``: a real ctypes libjack client over the callback FIFO bridge
   (io/callback.py) -- JACK owns the clock, the engine's blocking pipeline
@@ -57,9 +58,26 @@ def _parse_fields(params, spec):
 
 
 class AlsaDevice(IoDevice):
-    """Blocking ALSA PCM device through libasound (bfio_alsa.c analog)."""
+    """Blocking ALSA PCM device through libasound (bfio_alsa.c analog).
+
+    ``link:`` is a process-global setting (default true, like the
+    reference's ``link_handles``, bfio_alsa.c:59,330-350): the first
+    opened handle becomes the base, later handles are snd_pcm_link'd to
+    it (bfio_alsa.c:419-428), and synch_start starts only the base --
+    the linked handles start in sample sync (bfio_alsa.c:469-486).
+
+    Deviation (documented, docs/PARITY.md): only interleaved access
+    (SND_PCM_ACCESS_RW_INTERLEAVED) is supported; the reference also
+    drives noninterleaved devices (bfio_alsa.c:62-283). A device that
+    cannot do interleaved fails hw-params setup with a clear error --
+    use an alsa-lib plug/route wrapper device for such hardware.
+    """
 
     _lib = None
+    # process-global link state (the reference's link_handles/base_handle)
+    _base = None          # the base AlsaDevice instance
+    _link_setting = None  # None until any device block sets `link:`
+    _n_open = 0
 
     @classmethod
     def _asound(cls):
@@ -83,8 +101,18 @@ class AlsaDevice(IoDevice):
                                       "link": T.BOOLEAN})
         self.device = opts.get("device", "default")
         self.ignore_xrun = opts.get("ignore_xrun", False)
+        if "link" in opts:
+            want = bool(opts["link"])
+            if (AlsaDevice._link_setting is not None
+                    and AlsaDevice._link_setting != want):
+                raise IoModuleError(
+                    'ALSA I/O: "link" is a global setting, if set on '
+                    "more than one device, the value must be the same")
+            AlsaDevice._link_setting = want
         self.pcm = None
         self._frame_bytes = None
+        self._is_base = False
+        self._linked = False
         if sample_format is None:
             raise IoModuleError(
                 "ALSA I/O: AUTO sample format negotiation requires opening "
@@ -112,6 +140,22 @@ class AlsaDevice(IoDevice):
         if rc < 0:
             raise IoModuleError(f"ALSA I/O: hw params failed (error {rc})")
         self._frame_bytes = self.sample_format.bytes * self.open_channels
+        if AlsaDevice._link_setting in (None, True):
+            # linked synchronous start (bfio_alsa.c:419-428): the first
+            # handle is the base, later handles join its link group
+            if AlsaDevice._base is None:
+                AlsaDevice._base = self
+                self._is_base = True
+            else:
+                rc = lib.snd_pcm_link(AlsaDevice._base.pcm, pcm)
+                if rc < 0:
+                    lib.snd_pcm_close(pcm)
+                    self.pcm = None
+                    raise IoModuleError(
+                        f"ALSA I/O: could not link alsa devices "
+                        f"(error {rc})")
+                self._linked = True
+        AlsaDevice._n_open += 1
 
     def read(self, nbytes):
         lib = self._asound()
@@ -161,13 +205,30 @@ class AlsaDevice(IoDevice):
         return len(data)
 
     def synch_start(self):
-        if self.pcm is not None:
-            self._asound().snd_pcm_start(self.pcm)
+        if self.pcm is None:
+            return
+        if self._linked:
+            # rides the base handle's linked start (bfio_alsa.c:469-486)
+            return
+        lib = self._asound()
+        if lib.snd_pcm_state(self.pcm) == 3:  # SND_PCM_STATE_RUNNING
+            return  # already auto-started (bfio_alsa.c:457-467)
+        lib.snd_pcm_start(self.pcm)
 
     def close(self):
         if self.pcm is not None:
             self._asound().snd_pcm_close(self.pcm)
             self.pcm = None
+            AlsaDevice._n_open = max(0, AlsaDevice._n_open - 1)
+            if self._is_base:
+                AlsaDevice._base = None
+            if AlsaDevice._n_open == 0:
+                # all handles released: forget the process-global link
+                # state so a fresh engine in the same process (tests)
+                # starts clean -- the reference never closes, so this
+                # has no reference analog
+                AlsaDevice._base = None
+                AlsaDevice._link_setting = None
 
 
 class OssDevice(IoDevice):

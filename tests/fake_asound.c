@@ -24,7 +24,7 @@
 #include <stdlib.h>
 #include <string.h>
 
-typedef struct {
+typedef struct fake_pcm {
     int stream;            /* 0 = playback, 1 = capture */
     int params_set;
     int started;
@@ -36,7 +36,11 @@ typedef struct {
     long read_calls;
     long write_calls;
     long frame_counter;    /* capture pattern position */
+    struct fake_pcm *linked_to;   /* link-group base (snd_pcm_link) */
 } fake_pcm;
+
+#define MAX_PCMS 32
+static fake_pcm *pcms[MAX_PCMS];  /* open-handle registry (linked start) */
 
 static FILE *log_fp;
 static FILE *dump_fp;
@@ -50,6 +54,7 @@ void fake_asound_reset(void) {
     if (dump_fp != NULL) { fclose(dump_fp); dump_fp = NULL; }
     xrun_on_read = xrun_on_write = -1;
     env_loaded = 0;
+    memset(pcms, 0, sizeof(pcms));
 }
 
 static void load_env(void) {
@@ -95,8 +100,28 @@ int snd_pcm_open(fake_pcm **pcm, const char *name, int stream, int mode) {
     fake_pcm *p = calloc(1, sizeof(fake_pcm));
     if (p == NULL) return -ENOMEM;
     p->stream = stream;
+    for (int i = 0; i < MAX_PCMS; i++) {
+        if (pcms[i] == NULL) { pcms[i] = p; break; }
+    }
     *pcm = p;
     return 0;
+}
+
+/* real semantics: handles in a link group start together on one
+ * snd_pcm_start of any member (the client starts the base,
+ * bfio_alsa.c:469-486) */
+int snd_pcm_link(fake_pcm *base, fake_pcm *other) {
+    logln("link base_stream=%d other_stream=%d", base->stream,
+          other->stream);
+    if (!base->params_set || !other->params_set) return -EBADFD;
+    other->linked_to = (base->linked_to != NULL) ? base->linked_to : base;
+    return 0;
+}
+
+int snd_pcm_state(fake_pcm *p) {
+    /* snd_pcm_state_t: OPEN=0 SETUP=1 PREPARED=2 RUNNING=3 */
+    if (p->started) return 3;
+    return p->params_set ? 2 : 1;
 }
 
 int snd_pcm_set_params(fake_pcm *p, int format, int access,
@@ -125,7 +150,12 @@ int snd_pcm_prepare(fake_pcm *p) {
 int snd_pcm_start(fake_pcm *p) {
     logln("start");
     if (!p->params_set) return -EBADFD;
-    p->started = 1;
+    fake_pcm *base = p->linked_to ? p->linked_to : p;
+    base->started = 1;
+    for (int i = 0; i < MAX_PCMS; i++) {
+        if (pcms[i] != NULL && pcms[i]->linked_to == base)
+            pcms[i]->started = 1;
+    }
     return 0;
 }
 
@@ -171,6 +201,11 @@ long snd_pcm_writei(fake_pcm *p, const void *buf, unsigned long frames) {
 
 int snd_pcm_close(fake_pcm *p) {
     logln("close");
+    for (int i = 0; i < MAX_PCMS; i++) {
+        if (pcms[i] == p) pcms[i] = NULL;
+        else if (pcms[i] != NULL && pcms[i]->linked_to == p)
+            pcms[i]->linked_to = NULL;  /* base gone: group dissolves */
+    }
     free(p);
     return 0;
 }

@@ -46,6 +46,11 @@ def fake_alsa(fake_lib_path, tmp_path, monkeypatch):
     # env (incl. any FAKE_ASOUND_XRUN set later in the test) is re-read
     # lazily at the first API call after the reset
     ctypes.CDLL(fake_lib_path).fake_asound_reset()
+    # process-global link state starts clean per test (a __init__ parse
+    # error can leave it set with no open handle to reset it)
+    monkeypatch.setattr(AlsaDevice, "_base", None)
+    monkeypatch.setattr(AlsaDevice, "_link_setting", None)
+    monkeypatch.setattr(AlsaDevice, "_n_open", 0)
     # keep the test process off SCHED_FIFO
     monkeypatch.setattr(os, "sched_setscheduler",
                         _raise_perm, raising=False)
@@ -61,12 +66,14 @@ def _raise_perm(*a, **k):
     raise PermissionError
 
 
-def _mk_device(fmt="S16_LE", io=0, channels=2, ignore_xrun=False):
+def _mk_device(fmt="S16_LE", io=0, channels=2, ignore_xrun=False,
+               link=None):
     from brutefir_tpu.config.lexer import tokenize, T
     from brutefir_tpu.core.sampleformat import parse_sample_format
-    params = [t for t in tokenize(
-        f'device: "hw:0"; ignore_xrun: {str(ignore_xrun).lower()};')
-        if t.kind != T.EOF]
+    text = f'device: "hw:0"; ignore_xrun: {str(ignore_xrun).lower()};'
+    if link is not None:
+        text += f" link: {str(link).lower()};"
+    params = [t for t in tokenize(text) if t.kind != T.EOF]
     return AlsaDevice(params, io, parse_sample_format(fmt), 44100, channels)
 
 
@@ -124,6 +131,54 @@ def test_xrun_abort_without_ignore(fake_alsa, monkeypatch):
         dev.write(b"\0" * 64 * 4)
     assert ei.value.exit_code == BF_EXIT_BUFFER_UNDERFLOW
     dev.close()
+
+
+def test_linked_synchronous_start(fake_alsa):
+    """Default link (bfio_alsa.c:59 link_handles=true): the second
+    handle is snd_pcm_link'd to the first, and synch_start starts ONLY
+    the base -- the link group starts in sample sync like the real
+    driver (bfio_alsa.c:419-428,469-486)."""
+    log, _ = fake_alsa
+    din = _mk_device(io=0)
+    dout = _mk_device(io=1)
+    din.init(64)
+    dout.init(64)
+    din.synch_start()
+    dout.synch_start()
+    lines = log.read_text().splitlines()
+    assert sum(1 for ln in lines if ln.startswith("link ")) == 1
+    assert sum(1 for ln in lines if ln == "start") == 1
+    # both handles RUNNING (=3) after the single base start
+    lib = AlsaDevice._lib
+    assert lib.snd_pcm_state(din.pcm) == 3
+    assert lib.snd_pcm_state(dout.pcm) == 3
+    din.close()
+    dout.close()
+
+
+def test_link_false_starts_each_handle(fake_alsa):
+    """link: false on both devices: no snd_pcm_link, each handle gets
+    its own start (bfio_alsa.c:488-505)."""
+    log, _ = fake_alsa
+    din = _mk_device(io=0, link=False)
+    dout = _mk_device(io=1, link=False)
+    din.init(64)
+    dout.init(64)
+    din.synch_start()
+    dout.synch_start()
+    lines = log.read_text().splitlines()
+    assert not any(ln.startswith("link ") for ln in lines)
+    assert sum(1 for ln in lines if ln == "start") == 2
+    din.close()
+    dout.close()
+
+
+def test_link_global_conflict_rejected(fake_alsa):
+    """link is a global setting: conflicting values across devices are a
+    config error (bfio_alsa.c:337-345)."""
+    _mk_device(io=0, link=True)
+    with pytest.raises(IoModuleError, match="global setting"):
+        _mk_device(io=1, link=False)
 
 
 def test_engine_end_to_end_over_fake_alsa(fake_alsa):
