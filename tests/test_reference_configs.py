@@ -248,3 +248,9 @@ def test_xtc_config_real_coefficients(tmp_path, rng):
     tol = 4.0 + 2e-6 * max(np.abs(el).max(), np.abs(er).max())
     assert np.abs(y[0] - el).max() < tol
     assert np.abs(y[1] - er).max() < tol
+
+    # the dither is fixed-seeded (dither.c:105 tausinit(state,0)), so the
+    # S24_LE byte stream is reproducible: pin it like the bench goldens
+    from test_fullshape_parity import check_golden
+    check_golden("xtc_64x64_real_coeffs_dithered_s24",
+                 np.fromfile(outp, np.uint8).tobytes())
