@@ -393,6 +393,62 @@ def test_composed_mutation_offline_grouped(tmp_path, monkeypatch, pair_env):
     check_golden("composed_mutation_offline_1024x4", raw)
 
 
+def test_offline_xfade_crossfades_one_block(tmp_path):
+    """A coeff swap staged between run_offline calls crossfades exactly
+    ONE block, whether the swap batch is (a) a full batch (the split
+    dispatch: per-block xfade program + batched remainder) or (b) the
+    EOF per-block tail (per-block snapshots) -- both must match the
+    per-block run() byte-for-byte (bfrun.c:1695-1777: the crossfade
+    rides the snapshot where prevcoeff != coeff, cleared on the next)."""
+    Nl, Bl = 128, 2
+    rng = np.random.default_rng(7)
+    h0 = (rng.uniform(-1, 1, Nl * Bl) * 0.1).astype(np.float32)
+    h1 = (rng.uniform(-1, 1, Nl * Bl) * 0.1).astype(np.float32)
+    h0.tofile(tmp_path / "c0.raw")
+    h1.tofile(tmp_path / "c1.raw")
+    x = rng.uniform(-0.5, 0.5, 8 * Nl).astype("<f4")
+    x.tofile(tmp_path / "in.raw")
+
+    conf_text = """
+sampling_rate: 44100; filter_length: {N},{B}; show_progress: false;
+coeff 0 {{ filename: "{d}/c0.raw"; format: "FLOAT_LE"; }};
+coeff 1 {{ filename: "{d}/c1.raw"; format: "FLOAT_LE"; }};
+input 0 {{ device: "file" {{ path: "{d}/in.raw"; }};
+           sample: "FLOAT_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }};
+            sample: "FLOAT_LE"; channels: 1; dither: false; }};
+filter 0 {{ crossfade: true; from_inputs: 0; to_outputs: 0; coeff: 0; }};
+"""
+
+    def go(mode):
+        outp = tmp_path / f"o_{mode}.raw"
+        conf = parse_config(conf_text.format(N=Nl, B=Bl, d=tmp_path,
+                                             outp=outp), "probe")
+        eng = Engine(conf)
+        eng.setup()
+        try:
+            if mode == "perblock":
+                eng.run(max_blocks=4, setup=False)
+                eng.control.change_coeff(0, 1)
+                eng.run(setup=False)
+            elif mode == "batch":     # swap batch is a full 4-block batch
+                eng.run_offline(max_blocks=4, batch_blocks=4, setup=False)
+                eng.control.change_coeff(0, 1)
+                eng.run_offline(batch_blocks=4, setup=False)
+            else:                     # swap batch is the EOF tail
+                eng.run_offline(max_blocks=4, batch_blocks=4, setup=False)
+                eng.control.change_coeff(0, 1)
+                eng.run_offline(batch_blocks=8, setup=False)
+        finally:
+            eng.teardown()
+        return np.fromfile(outp, "<f4")
+
+    ref = go("perblock")
+    assert len(ref) == 8 * Nl
+    np.testing.assert_array_equal(go("batch"), ref)
+    np.testing.assert_array_equal(go("tail"), ref)
+
+
 @pytest.mark.parametrize("pair_env", ["0", "force"])
 def test_composed_mutation_torture(tmp_path, monkeypatch, pair_env):
     """The full mutation storm against the sequential oracle, under both
