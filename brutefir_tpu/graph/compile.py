@@ -571,10 +571,25 @@ def group_size(spec: GraphSpec, mac: str, taps, mesh, m: int) -> int:
         big = (spec.n_outputs + 4 * B) * 2 * R * 128 * 4 > 12 * 2**20
         if not big:
             return 1
-    from ..ops.pallas_mac import group_mix_fusable
+    from ..ops.pallas_mac import group_mix_fusable, group_unfused_fusable
+    form = os.environ.get("BRUTEFIR_TPU_GROUP_FORM", "")
     while G >= 2:
-        if m % G == 0 and group_mix_fusable(G, spec.n_filters, B, K,
-                                            spec.n_outputs):
+        # G > 2 may take the UNFUSED grouped MAC (per-filter spectra +
+        # separate output-mix matmul, pallas_spectral_mac_group): the
+        # fused form's output windows are structurally over the scoped-
+        # VMEM budget there (_group_vmem_units). _group_step_impl keys
+        # the same predicates, so selection and dispatch cannot diverge.
+        # G == 2 stays fused-only by default: it is the measured winner
+        # and carries the byte-parity-with-the-scan contract (the
+        # unfused mix is a different f32 contraction order).
+        # BRUTEFIR_TPU_GROUP_FORM=unfused forces the unfused form at any
+        # G (tests / hardware A/B).
+        if m % G == 0 and (
+                (form != "unfused"
+                 and group_mix_fusable(G, spec.n_filters, B, K,
+                                       spec.n_outputs))
+                or ((G > 2 or form == "unfused")
+                    and group_unfused_fusable(G, B, K))):
             return G
         G -= 1
     return 1
@@ -653,10 +668,24 @@ def _group_step_impl(spec: GraphSpec, mac: str, state: StepState,
     # parity): cast the side-channel copies exactly like the writes
     xnews = jnp.stack([b.astype(ring.dtype) for b in blks[1:]],
                       axis=1)                      # [F, G-1, 2, R, 128]
-    from ..ops.pallas_mac import pallas_spectral_mac_mix_group
-    outs = pallas_spectral_mac_mix_group(
-        ring, xnews, bank, ctrl.coeff_idx, ctrl.mask, t, ctrl.out_mix,
-        ctrl.delay, interpret=mac == "pallas-interpret")
+    from ..ops.pallas_mac import (pallas_spectral_mac_mix_group,
+                                  pallas_spectral_mac_group,
+                                  group_mix_fusable)
+    if (os.environ.get("BRUTEFIR_TPU_GROUP_FORM", "") != "unfused"
+            and group_mix_fusable(G, F, B, K, spec.n_outputs)):
+        outs = pallas_spectral_mac_mix_group(
+            ring, xnews, bank, ctrl.coeff_idx, ctrl.mask, t, ctrl.out_mix,
+            ctrl.delay, interpret=mac == "pallas-interpret")
+    else:
+        # unfused grouped MAC (G >= 3, group_size's predicate): the
+        # per-filter spectra take one HBM round trip through the
+        # separate mix matmul, paid for by reading ring+bank once per
+        # G blocks instead of once per 2
+        ys_f = pallas_spectral_mac_group(
+            ring, xnews, bank, ctrl.coeff_idx, ctrl.mask, t, ctrl.delay,
+            interpret=mac == "pallas-interpret")
+        outs = [partconv.complex_mix(ctrl.out_mix, y.reshape(F, 2, K))
+                for y in ys_f]
     # Tie the deferred writes to the kernel outputs: without this, XLA's
     # copy-insertion cannot prove the custom call's ring read completes
     # before the post-kernel dynamic-update-slice and materializes a

@@ -952,6 +952,148 @@ def _tiled_mix_group_call(ring5, xnew6, bank5, coeff_idx, rposg, dly,
       maskf, ring5, xnew6, bank5, w_arg)
 
 
+def _mac_kernel_rowmajor_group(idx_ref, rposg_ref, dly_ref, mask_ref,
+                               ring_ref, xnew_ref, bank_ref, *outs,
+                               n_part, n_grp):
+    # Unfused grouped MAC: grid (F,), one step holds a filter's whole
+    # ring row, its gathered bank row, and the group's G-1 side-channel
+    # spectra in VMEM; emits G per-filter spectra (the output mix runs
+    # OUTSIDE as a separate matmul). Exists for G >= 3: the fused
+    # MAC+mix form's 2*G*C_out double-buffered output windows are
+    # structurally over the scoped-VMEM budget there (_group_vmem_units)
+    # while these [1, 2, R, 128] per-filter outputs stay tiny -- the
+    # ring+bank rows are still read once per GROUP, so per-block HBM
+    # traffic falls ~B/(B/G + 3G/...): at the 256ch scale shape G=4 trades
+    # ~134 MB/block of ring+bank for ~50 MB/block of Y+mix traffic.
+    # Same per-block terms in the same b-ascending accumulation order as
+    # G unfused per-block steps (run_mac + complex_mix); the xnew
+    # selection mirrors _mac_mix_kernel_tiled_group exactly.
+    f = pl.program_id(0)
+    dly = dly_ref[f]
+    odt = outs[0].dtype
+    accs = [[jnp.zeros_like(outs[0][0, 0]), jnp.zeros_like(outs[0][0, 1])]
+            for _ in range(n_grp)]
+    for b in range(n_part):
+        m = mask_ref[f, b]
+        hr = bank_ref[0, b, 0].astype(odt) * m
+        hi = bank_ref[0, b, 1].astype(odt) * m
+        for g in range(n_grp):
+            rb = rposg_ref[g, b]
+            rr = ring_ref[0, rb, 0].astype(odt)
+            ri = ring_ref[0, rb, 1].astype(odt)
+            if b < g:   # only then can g - b - dly - 1 reach >= 0
+                for jj in range(g - b):
+                    sel = dly == (g - b - 1 - jj)
+                    rr = jnp.where(sel, xnew_ref[0, jj, 0].astype(odt),
+                                   rr)
+                    ri = jnp.where(sel, xnew_ref[0, jj, 1].astype(odt),
+                                   ri)
+            accs[g][0] += rr * hr - ri * hi
+            accs[g][1] += rr * hi + ri * hr
+    for g in range(n_grp):
+        outs[g][0, 0] = accs[g][0]
+        outs[g][0, 1] = accs[g][1]
+
+
+def _group_unfused_vmem(G: int, B: int, R: int) -> int:
+    """VMEM bytes at grid (F,): double-buffered ring + bank rows + xnew
+    row + G output blocks, in [2, R, 128] f32 units."""
+    return (4 * B + 2 * (G - 1) + 2 * G) * 2 * R * 128 * 4
+
+
+def group_unfused_fusable(G: int, B: int, K: int) -> bool:
+    """Can the unfused grouped MAC run at this shape (VMEM budget)?"""
+    if K % 128 != 0 or G < 2:
+        return False
+    return _group_unfused_vmem(G, B, K // 128) <= 12 * 2**20
+
+
+def _group_unfused_call(ring5, xnew6, bank5, coeff_idx, rposg, dly,
+                        maskf, interpret):
+    F, B, _, R, _ = ring5.shape
+    G = xnew6.shape[1] + 1
+    odt = _odt(ring5.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec((1, B, 2, R, 128),
+                         lambda f, idx, rp, dl, mk: (f, 0, 0, 0, 0)),
+            pl.BlockSpec((1, G - 1, 2, R, 128),
+                         lambda f, idx, rp, dl, mk: (f, 0, 0, 0, 0)),
+            pl.BlockSpec((1, B, 2, R, 128),
+                         lambda f, idx, rp, dl, mk: (idx[f], 0, 0, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, 2, R, 128),
+                                lambda f, idx, rp, dl, mk: (f, 0, 0, 0))
+                   ] * G,
+    )
+    return pl.pallas_call(
+        functools.partial(_mac_kernel_rowmajor_group, n_part=B, n_grp=G),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((F, 2, R, 128), odt)] * G,
+        interpret=interpret,
+    )(coeff_idx.astype(jnp.int32), rposg, dly.astype(jnp.int32), maskf,
+      ring5, xnew6, bank5)
+
+
+def pallas_spectral_mac_group(ring, xnews, bank, coeff_idx, mask, t,
+                              delay, interpret: bool = False):
+    """Unfused grouped MAC for G consecutive blocks (t .. t+G-1).
+
+    Same contract as pallas_spectral_mac_mix_group minus the output mix:
+    returns a list of G per-filter spectra [F, 2, N] (bin-0 packed
+    DC/Nyquist patched), for the caller to contract with the output mix
+    (partconv.complex_mix). The group's schedule-difference slots are
+    fed through ``xnews``/``delay`` exactly like the fused form."""
+    if ring.ndim == 5:
+        F, B, _, R, _ = ring.shape
+        N = R * 128
+        ring5 = ring
+        bank5 = (bank if bank.ndim == 5
+                 else bank.reshape(bank.shape[0], B, 2, R, 128))
+        xnew6 = (xnews if xnews.ndim == 5
+                 else jnp.moveaxis(xnews, 0, 1).reshape(
+                     F, xnews.shape[0], 2, R, 128))
+    else:
+        F, B, _, N = ring.shape
+        R = N // 128
+        ring5 = ring.reshape(F, B, 2, R, 128)
+        bank5 = bank.reshape(bank.shape[0], B, 2, R, 128)
+        xnew6 = jnp.moveaxis(xnews, 0, 1).reshape(
+            F, xnews.shape[0], 2, R, 128)
+    G = xnew6.shape[1] + 1
+    odt = _odt(ring.dtype)
+    barange = jnp.arange(B, dtype=jnp.int32)
+    rposg = jnp.stack([jnp.mod(t + g - barange, B).astype(jnp.int32)
+                       for g in range(G)])                       # [G, B]
+    maskf = mask.astype(odt)
+    dly = delay.astype(jnp.int32)
+    ys5 = _group_unfused_call(ring5, xnew6, bank5, coeff_idx, rposg, dly,
+                              maskf, interpret)
+
+    # bin-0 patches (packed DC/Nyquist -- independent real products),
+    # same selection as the fused form but set per filter
+    r0p = ring5[:, :, :, 0, 0]                                 # [F, B, 2]
+    b0p = bank5[:, :, :, 0, 0]                                 # [E, B, 2]
+    xn0 = xnew6[:, :, :, 0, 0]                                 # [F, G-1, 2]
+    h0 = jnp.take(b0p, coeff_idx, axis=0) * mask[:, :, None]
+    farange = jnp.arange(F)
+    outs = []
+    for g in range(G):
+        rot = jnp.take(r0p, rposg[g], axis=1)                  # [F, B, 2]
+        for b in range(g):
+            j = g - b - 1 - dly                                # [F]
+            xsel = xn0[farange, jnp.clip(j, 0, G - 2)]         # [F, 2]
+            rot = rot.at[:, b, :].set(
+                jnp.where((j >= 0)[:, None], xsel, rot[:, b, :]))
+        ygr = jnp.sum(rot[:, :, 0] * h0[:, :, 0], axis=1)
+        ygi = jnp.sum(rot[:, :, 1] * h0[:, :, 1], axis=1)
+        y = ys5[g].reshape(F, 2, N)
+        outs.append(y.at[:, 0, 0].set(ygr).at[:, 1, 0].set(ygi))
+    return outs
+
+
 def pallas_spectral_mac_mix_group(ring, xnews, bank, coeff_idx, mask, t, w,
                                   delay, interpret: bool = False):
     """Fused MAC + output mix for G consecutive blocks (t .. t+G-1).

@@ -344,3 +344,93 @@ def test_pair_not_taken_when_xfade_unknown(tmp_path, monkeypatch):
     eng.dio.multi_step(3, xfade=False)   # odd m keeps the per-block scan
     assert (4, False, False, None) in eng.dio._multi
     assert (3, False, False, False) in eng.dio._multi
+
+
+# ------------------------------------------------------- unfused group form
+
+
+def test_group_unfused_kernel_matches_sequential():
+    """pallas_spectral_mac_group (the unfused G-block MAC -- the form
+    G >= 3 takes where the fused kernel's 2*G*C_out output windows
+    exceed the scoped-VMEM budget) vs the dense sequential oracle:
+    identical per-filter spectra for every block of the group."""
+    from brutefir_tpu.ops.pallas_mac import pallas_spectral_mac_group
+
+    F, E, B, N, G = 5, 3, 4, 256, 4
+    R = N // 128
+    t0 = 5
+    rng = np.random.default_rng(77)
+    ring = rng.standard_normal((F, B, 2, N)).astype(np.float32)
+    bank = rng.standard_normal((E, B, 2, N)).astype(np.float32)
+    blks = [rng.standard_normal((F, 2, N)).astype(np.float32)
+            for _ in range(G)]
+    coeff_idx = jnp.asarray(rng.integers(0, E, F), jnp.int32)
+    delays = np.asarray([0, 1, 3, 2, 0]) % B
+    mask = np.zeros((F, B), np.float32)
+    for f in range(F):
+        mask[f, : B - delays[f]] = 1.0
+    mask = jnp.asarray(mask)
+    dly = jnp.asarray(delays, jnp.int32)
+
+    def wr(r, blk, tw):
+        wpos = jnp.mod(tw + dly, B)
+        return r.at[jnp.arange(F), wpos].set(blk)
+
+    refs = []
+    r = wr(jnp.asarray(ring), jnp.asarray(blks[0]), t0)
+    ring0 = r
+    for g in range(G):
+        if g:
+            r = wr(r, jnp.asarray(blks[g]), t0 + g)
+        refs.append(partconv.spectral_mac_rollh(
+            r, jnp.asarray(bank), coeff_idx, mask, jnp.int32(t0 + g)))
+
+    ring5 = ring0.reshape(F, B, 2, R, 128)
+    bank5 = jnp.asarray(bank).reshape(E, B, 2, R, 128)
+    xnews = jnp.stack([jnp.asarray(b) for b in blks[1:]])  # [G-1, F, 2, N]
+    ys = pallas_spectral_mac_group(ring5, xnews, bank5, coeff_idx, mask,
+                                   jnp.int32(t0), dly, interpret=True)
+    for y, ref in zip(ys, refs):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("delays,group", [
+    ([0, 0, 0], 4),
+    ([0, 1, 2], 4),   # multi-xnew selection per filter
+    ([0, 1, 2], 3),
+])
+def test_group_unfused_batch_matches_scanned(tmp_path, monkeypatch,
+                                             delays, group):
+    """BRUTEFIR_TPU_GROUP_FORM=unfused through the full device program:
+    grouped dispatch with the unfused MAC + separate mix must reproduce
+    the per-block scan. The unfused kernel call is spied -- without the
+    routing proof this would silently compare fused-vs-scan."""
+    import brutefir_tpu.ops.pallas_mac as PM
+
+    monkeypatch.setenv("BRUTEFIR_TPU_MAC", "pallas")
+    tag = f"uf{''.join(map(str, delays))}{group}"
+    eng = _mk_engine(tmp_path, delays, tag)
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "0")
+    outs_a, met_a, ring_a, _ = _run_batch(eng, 12)
+
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", f"force:{group}")
+    monkeypatch.setenv("BRUTEFIR_TPU_GROUP_FORM", "unfused")
+    taken = _spy_pair(monkeypatch)
+    unfused_calls = []
+    orig = PM.pallas_spectral_mac_group
+
+    def spy(*a, **k):
+        unfused_calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(PM, "pallas_spectral_mac_group", spy)
+    outs_b, met_b, ring_b, _ = _run_batch(eng, 12)
+    assert taken and taken[0] == group
+    assert unfused_calls, "the unfused group kernel was not routed through"
+
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    for a, b in zip(met_a, met_b):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(ring_a, ring_b, rtol=2e-5, atol=2e-6)
