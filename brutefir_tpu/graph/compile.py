@@ -541,10 +541,11 @@ def group_size(spec: GraphSpec, mac: str, taps, mesh, m: int) -> int:
     when the per-block scan must be kept. Restricted to the big shapes
     that take the bin-tiled route anyway -- at small shapes the MAC is
     a few percent of the step and the resident rowmajor kernel is the
-    measured winner. BRUTEFIR_TPU_PAIR sets the group size (default 2,
-    the measured winner; 0 disables; "force"[:N] enables at any shape
-    for tests)."""
-    env = os.environ.get("BRUTEFIR_TPU_PAIR", "2")
+    measured winner. BRUTEFIR_TPU_PAIR sets the group size (default 4:
+    the fused form is VMEM-capped at G=2, so G=4 takes the unfused
+    kernel -- 1.3511 vs 1.4815 ms/block at the 256ch scale shape, full
+    f32; 0 disables; "force"[:N] enables at any shape for tests)."""
+    env = os.environ.get("BRUTEFIR_TPU_PAIR", "4")
     force = env.startswith("force")
     try:
         G = int(env.split(":", 1)[1]) if force and ":" in env else (

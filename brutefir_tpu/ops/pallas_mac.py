@@ -61,6 +61,7 @@ order differs to float tolerance).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -995,10 +996,23 @@ def _mac_kernel_rowmajor_group(idx_ref, rposg_ref, dly_ref, mask_ref,
         outs[g][0, 1] = accs[g][1]
 
 
+def _group_unfused_rc(R: int) -> int:
+    """Bin-tile for the unfused group kernel. Full row is the measured
+    default: at the 256ch scale shape G=4 runs 1.3511 ms/block full-row
+    vs 1.4194 with Rc=8 (the per-(f,r) block switching costs more than
+    the larger live accumulators save). Env-tunable for hardware A/B;
+    Mosaic wants Rc % 8 == 0 or Rc == R."""
+    env = int(os.environ.get("BRUTEFIR_TPU_GROUPTILE_RC", "0"))
+    if env > 0 and R % env == 0 and (env % 8 == 0 or env == R):
+        return env
+    return R
+
+
 def _group_unfused_vmem(G: int, B: int, R: int) -> int:
-    """VMEM bytes at grid (F,): double-buffered ring + bank rows + xnew
-    row + G output blocks, in [2, R, 128] f32 units."""
-    return (4 * B + 2 * (G - 1) + 2 * G) * 2 * R * 128 * 4
+    """VMEM bytes at grid (F, R/Rc): double-buffered ring + bank rows +
+    xnew row + G output blocks, in [2, Rc, 128] f32 units."""
+    rc = _group_unfused_rc(R)
+    return (4 * B + 2 * (G - 1) + 2 * G) * 2 * rc * 128 * 4
 
 
 def group_unfused_fusable(G: int, B: int, K: int) -> bool:
@@ -1012,20 +1026,21 @@ def _group_unfused_call(ring5, xnew6, bank5, coeff_idx, rposg, dly,
                         maskf, interpret):
     F, B, _, R, _ = ring5.shape
     G = xnew6.shape[1] + 1
+    Rc = _group_unfused_rc(R)
     odt = _odt(ring5.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(F,),
+        grid=(F, R // Rc),
         in_specs=[
-            pl.BlockSpec((1, B, 2, R, 128),
-                         lambda f, idx, rp, dl, mk: (f, 0, 0, 0, 0)),
-            pl.BlockSpec((1, G - 1, 2, R, 128),
-                         lambda f, idx, rp, dl, mk: (f, 0, 0, 0, 0)),
-            pl.BlockSpec((1, B, 2, R, 128),
-                         lambda f, idx, rp, dl, mk: (idx[f], 0, 0, 0, 0)),
+            pl.BlockSpec((1, B, 2, Rc, 128),
+                         lambda f, r, idx, rp, dl, mk: (f, 0, 0, r, 0)),
+            pl.BlockSpec((1, G - 1, 2, Rc, 128),
+                         lambda f, r, idx, rp, dl, mk: (f, 0, 0, r, 0)),
+            pl.BlockSpec((1, B, 2, Rc, 128),
+                         lambda f, r, idx, rp, dl, mk: (idx[f], 0, 0, r, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, 2, R, 128),
-                                lambda f, idx, rp, dl, mk: (f, 0, 0, 0))
+        out_specs=[pl.BlockSpec((1, 2, Rc, 128),
+                                lambda f, r, idx, rp, dl, mk: (f, 0, r, 0))
                    ] * G,
     )
     return pl.pallas_call(

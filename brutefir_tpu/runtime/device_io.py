@@ -588,15 +588,18 @@ class DeviceIO:
         if key not in self._multi:
             # Grouped dispatch (G blocks per scan iteration): when the
             # host asserts no crossfade for the batch (xfade=False, the
-            # common offline case) and the graph takes the fused MAC+mix
-            # fast path at a big shape, each scan iteration runs G
-            # blocks' step with ONE pass over the spectra ring and
-            # coefficient bank (graph/compile._group_step_impl) -- the
-            # MAC is at the HBM roofline there, so this divides its
-            # per-block bandwidth cost by ~G at full bit parity.
-            # Identical per-block semantics; G must divide m
-            # (run_offline batch sizes are even, matching the default
-            # G=2; BRUTEFIR_TPU_PAIR sets G).
+            # common offline case) and the graph qualifies at a big
+            # shape, each scan iteration runs G blocks' step with ONE
+            # pass over the spectra ring and coefficient bank
+            # (graph/compile._group_step_impl) -- the MAC is at the HBM
+            # roofline there, so this divides its per-block bandwidth
+            # cost by ~G. G=2 takes the fused MAC+mix kernel and is
+            # bit-identical to the per-block scan; the default G=4
+            # takes the unfused kernel + separate mix matmul (the fused
+            # form is VMEM-capped at 2) -- same f32 precision, a
+            # different mix contraction order, parity-tested against
+            # the scan (test_pair_step.py). G must divide m; batch
+            # sizes default to 8 (BRUTEFIR_TPU_PAIR sets G).
             mac_, _, mesh_, _, ps_spec = self._core_refs
             if xfade is False:
                 from ..graph.compile import group_size
