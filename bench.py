@@ -569,7 +569,9 @@ def _scale_ceiling(budget_s: float):
         runs.append(ms)
         grouped = grouped or _parse_group(stdout)
     runs.sort()
-    ms = runs[len(runs) // 2]
+    # lower median: with exactly 2 runs, len//2 would report the WORSE
+    # run, biasing the metric upward by the full noise spread
+    ms = runs[(len(runs) - 1) // 2]
     taps_ch = 256 * N * B  # 256 filters x 131072 taps each
     return {
         "workload": f"256ch x 256 filters x {N * B} taps, "
@@ -714,9 +716,12 @@ def _main_with_retries(attempts: int = 3):
                 if r.returncode == 3 else "")
         except subprocess.TimeoutExpired:
             why = f"hang (> {budget} s; relay wedge)"
-        sys.stderr.write(f"bench: attempt {i + 1} failed "
-                         f"({why}); retrying in 120 s\n")
-        time.sleep(120)
+        sys.stderr.write(f"bench: attempt {i + 1} failed ({why})\n")
+        if i < attempts - 2:
+            # pause only between TPU attempts: printing the stashed
+            # best JSON / the CPU fallback does not need the wedge gone
+            sys.stderr.write("bench: retrying in 120 s\n")
+            time.sleep(120)
     if best is not None:
         # no attempt completed every stage: report the most complete
         # TPU JSON rather than falling back to a meaningless CPU number

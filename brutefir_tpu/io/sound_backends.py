@@ -80,6 +80,17 @@ class AlsaDevice(IoDevice):
     _n_open = 0
 
     @classmethod
+    def reset_module_state(cls):
+        """Clear stale link state left by a FAILED config build (an
+        __init__ parse error raises before any handle opens, so close()
+        never runs the all-closed reset). Called by the engine before
+        constructing a config's devices; a live engine's link group
+        (open handles) is never touched."""
+        if cls._n_open == 0:
+            cls._base = None
+            cls._link_setting = None
+
+    @classmethod
     def _asound(cls):
         if cls._lib is None:
             name = ctypes.util.find_library("asound")

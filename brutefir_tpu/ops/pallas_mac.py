@@ -1052,6 +1052,23 @@ def _group_unfused_call(ring5, xnew6, bank5, coeff_idx, rposg, dly,
       ring5, xnew6, bank5)
 
 
+def _group_bin0_rot(r0p, xn0, rposg, dly, g, G):
+    """Block g's bin-0 ring row with the group's in-flight spectra
+    substituted (the jnp mirror of the kernels' xnew select chain):
+    partition b of block t+g reads write time t+g-b-dly, which is
+    xnew[g-b-1-dly] when that index is >= 0. Shared by the fused and
+    unfused group wrappers so their bin-0 semantics cannot diverge."""
+    F = r0p.shape[0]
+    farange = jnp.arange(F)
+    rot = jnp.take(r0p, rposg[g], axis=1)                  # [F, B, 2]
+    for b in range(g):
+        j = g - b - 1 - dly                                # [F]
+        xsel = xn0[farange, jnp.clip(j, 0, G - 2)]         # [F, 2]
+        rot = rot.at[:, b, :].set(
+            jnp.where((j >= 0)[:, None], xsel, rot[:, b, :]))
+    return rot
+
+
 def pallas_spectral_mac_group(ring, xnews, bank, coeff_idx, mask, t,
                               delay, interpret: bool = False):
     """Unfused grouped MAC for G consecutive blocks (t .. t+G-1).
@@ -1093,15 +1110,9 @@ def pallas_spectral_mac_group(ring, xnews, bank, coeff_idx, mask, t,
     b0p = bank5[:, :, :, 0, 0]                                 # [E, B, 2]
     xn0 = xnew6[:, :, :, 0, 0]                                 # [F, G-1, 2]
     h0 = jnp.take(b0p, coeff_idx, axis=0) * mask[:, :, None]
-    farange = jnp.arange(F)
     outs = []
     for g in range(G):
-        rot = jnp.take(r0p, rposg[g], axis=1)                  # [F, B, 2]
-        for b in range(g):
-            j = g - b - 1 - dly                                # [F]
-            xsel = xn0[farange, jnp.clip(j, 0, G - 2)]         # [F, 2]
-            rot = rot.at[:, b, :].set(
-                jnp.where((j >= 0)[:, None], xsel, rot[:, b, :]))
+        rot = _group_bin0_rot(r0p, xn0, rposg, dly, g, G)
         ygr = jnp.sum(rot[:, :, 0] * h0[:, :, 0], axis=1)
         ygi = jnp.sum(rot[:, :, 1] * h0[:, :, 1], axis=1)
         y = ys5[g].reshape(F, 2, N)
@@ -1160,15 +1171,9 @@ def pallas_spectral_mac_mix_group(ring, xnews, bank, coeff_idx, mask, t, w,
     xn0 = xnew6[:, :, :, 0, 0]                                 # [F, G-1, 2]
     h0 = jnp.take(b0p, coeff_idx, axis=0) * mask[:, :, None]
     hp = jax.lax.Precision.HIGHEST
-    farange = jnp.arange(F)
     outs = []
     for g in range(G):
-        rot = jnp.take(r0p, rposg[g], axis=1)                  # [F, B, 2]
-        for b in range(g):
-            j = g - b - 1 - dly                                # [F]
-            xsel = xn0[farange, jnp.clip(j, 0, G - 2)]         # [F, 2]
-            rot = rot.at[:, b, :].set(
-                jnp.where((j >= 0)[:, None], xsel, rot[:, b, :]))
+        rot = _group_bin0_rot(r0p, xn0, rposg, dly, g, G)
         ygr = jnp.sum(rot[:, :, 0] * h0[:, :, 0], axis=1)
         ygi = jnp.sum(rot[:, :, 1] * h0[:, :, 1], axis=1)
         out = outs5[g].reshape(C_out, 2, N)

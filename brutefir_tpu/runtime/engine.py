@@ -303,9 +303,20 @@ class Engine:
 
         # devices
         self.devices: List[list] = [[], []]
+        _reset_cls = set()
         for io in (IN, OUT):
             for dev in conf.iodevs[io]:
                 cls = get_io_module(dev.device_name, conf.modules_path)
+                if cls not in _reset_cls:
+                    _reset_cls.add(cls)
+                    # clear stale module-global state left by a FAILED
+                    # earlier config build in this process (e.g. ALSA's
+                    # link_handles analog: an __init__ parse error
+                    # raises before any handle opens, so close() never
+                    # ran to reset it)
+                    reset = getattr(cls, "reset_module_state", None)
+                    if reset is not None:
+                        reset()
                 inst = cls(dev.device_params, io, dev.sample_format,
                            conf.sampling_rate, dev.open_channels)
                 if inst.sample_format is not None:
@@ -1885,18 +1896,25 @@ class Engine:
             self.dio.update_delays(*dly_snap)
             self.dio.update_subdelays(*sd_snap)
             m_left = M
-            if xf:
-                # A coeff swap landed between batches: the crossfade
-                # applies to the batch's FIRST block only (the reference
-                # crossfades on the snapshot where prevcoeff != coeff,
-                # bfrun.c:1695-1777; the next snapshot clears it).
-                # Dispatch block 0 through the per-block xfade program,
-                # re-snapshot (now crossfade-free), and batch the rest.
+            start = 0
+            while xf and m_left > 0:
+                # A coeff swap landed between batches (or a concurrent
+                # mutation landed between snapshots -- the control API
+                # is thread-safe mid-run): each crossfade applies to ONE
+                # block per snapshot (the reference crossfades where
+                # prevcoeff != coeff and the next snapshot clears it,
+                # bfrun.c:1695-1777). Dispatch per-block xfade blocks
+                # until a snapshot comes back crossfade-free, then batch
+                # the rest under that SAME snapshot (ctrl and the dio
+                # delay lines must come from one epoch).
                 self.state, outs1, meters1, nan1 = self.dio.step(
                     self.state, ctrl, gains[0], gains[1], self.bank,
-                    [st[0] for st in dstacks], uniform=uni, xfade=True)
+                    [st[start] for st in dstacks], uniform=uni,
+                    xfade=True)
                 sync_first(nan1)
                 self.blockcounter += 1
+                start += 1
+                m_left -= 1
                 while wstats["err"] is None:
                     try:
                         wq.put((tuple(o[None] for o in outs1), meters1,
@@ -1909,22 +1927,30 @@ class Engine:
                     gains = self._mute_gains()
                     uni = self.control.snapshot_uniform
                     udl = self.control.snapshot_uniform_delay
-                    assert not self.control.snapshot_xfade
-                dstacks = [st[1:] for st in dstacks]
-                m_left = M - 1
-            mstep = self.dio.multi_step(m_left, uniform=uni, udelay=udl,
-                                        xfade=False)
-            self.state, outs, meters, nan_ok = mstep(
-                self.state, ctrl, gains[0], gains[1], self.bank, dstacks)
-            sync_first(nan_ok)
-            self.blockcounter += m_left
-            while wstats["err"] is None:
-                try:
-                    wq.put((outs, meters, nan_ok, m_left * N),
-                           timeout=1.0)
-                    break
-                except queue.Full:
-                    continue
+                    xf = self.control.snapshot_xfade
+                    dly_snap = (list(self.control.delay[IN]),
+                                list(self.control.delay[OUT]))
+                    sd_snap = (list(self.control.subdelay[IN]),
+                               list(self.control.subdelay[OUT]))
+                self.dio.update_delays(*dly_snap)
+                self.dio.update_subdelays(*sd_snap)
+            if m_left > 0:
+                if start:
+                    dstacks = [st[start:] for st in dstacks]
+                mstep = self.dio.multi_step(m_left, uniform=uni,
+                                            udelay=udl, xfade=False)
+                self.state, outs, meters, nan_ok = mstep(
+                    self.state, ctrl, gains[0], gains[1], self.bank,
+                    dstacks)
+                sync_first(nan_ok)
+                self.blockcounter += m_left
+                while wstats["err"] is None:
+                    try:
+                        wq.put((outs, meters, nan_ok, m_left * N),
+                               timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
             per = (time.perf_counter() - t0) / M
             self._periods.append(per)
             # full batches only, the offline analog of the reference's

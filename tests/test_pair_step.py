@@ -349,14 +349,21 @@ def test_pair_not_taken_when_xfade_unknown(tmp_path, monkeypatch):
 # ------------------------------------------------------- unfused group form
 
 
-def test_group_unfused_kernel_matches_sequential():
+@pytest.mark.parametrize("N,rc_env", [(256, None), (2048, None),
+                                       (2048, "8")])
+def test_group_unfused_kernel_matches_sequential(N, rc_env, monkeypatch):
     """pallas_spectral_mac_group (the unfused G-block MAC -- the form
     G >= 3 takes where the fused kernel's 2*G*C_out output windows
     exceed the scoped-VMEM budget) vs the dense sequential oracle:
-    identical per-filter spectra for every block of the group."""
+    identical per-filter spectra for every block of the group. The
+    default is full-row (Rc=R, the measured winner); the rc_env="8"
+    case forces BRUTEFIR_TPU_GROUPTILE_RC=8 so the multi-r-block grid
+    (R=16, Rc=8) and its block-spec index maps get coverage too."""
     from brutefir_tpu.ops.pallas_mac import pallas_spectral_mac_group
 
-    F, E, B, N, G = 5, 3, 4, 256, 4
+    if rc_env is not None:
+        monkeypatch.setenv("BRUTEFIR_TPU_GROUPTILE_RC", rc_env)
+    F, E, B, G = 5, 3, 4, 4
     R = N // 128
     t0 = 5
     rng = np.random.default_rng(77)
