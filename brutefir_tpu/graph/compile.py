@@ -560,12 +560,23 @@ def group_size(spec: GraphSpec, mac: str, taps, mesh, m: int) -> int:
         # grouped dispatch must stand down too or the knob would no
         # longer isolate the fused-mix variable
         return 1
-    if not (mac.startswith("pallas") and not taps and mesh is None
+    if not (mac.startswith("pallas") and not taps
             and spec.tileable and len(spec.stages) == 1
             and spec.stages[0].casc_local.size == 0
             and np.array_equal(spec.stages[0].idx,
                                np.arange(spec.n_filters))):
         return 1
+    sp = 1
+    if mesh is not None:
+        # sharded grouped dispatch (the unfused kernel per shard +
+        # partitioner-inserted psum for the mix): needs the shmap
+        # kernel path to fit the mesh; per-shard bins size the VMEM
+        # check below
+        from ..ops.pallas_mac import pallas_shardable
+        if not pallas_shardable(mesh, spec.n_filters, spec.n_bins,
+                                spec.real_dtype):
+            return 1
+        sp = mesh.shape.get("sp", 1)
     B, K = spec.n_blocks, spec.n_bins
     if not force:
         R = K // 128
@@ -586,11 +597,11 @@ def group_size(spec: GraphSpec, mac: str, taps, mesh, m: int) -> int:
         # BRUTEFIR_TPU_GROUP_FORM=unfused forces the unfused form at any
         # G (tests / hardware A/B).
         if m % G == 0 and (
-                (form != "unfused"
+                (mesh is None and form != "unfused"
                  and group_mix_fusable(G, spec.n_filters, B, K,
                                        spec.n_outputs))
-                or ((G > 2 or form == "unfused")
-                    and group_unfused_fusable(G, B, K))):
+                or ((G > 2 or form == "unfused" or mesh is not None)
+                    and group_unfused_fusable(G, B, K // sp))):
             return G
         G -= 1
     return 1
@@ -603,7 +614,8 @@ def pair_eligible(spec: GraphSpec, mac: str, taps, mesh) -> bool:
 
 def _group_step_impl(spec: GraphSpec, mac: str, state: StepState,
                      ctrl: StepCtrl, bank: jax.Array, xs,
-                     uniform_delay: bool = False):
+                     uniform_delay: bool = False, mesh=None,
+                     constrain=None):
     """G consecutive blocks in one traced program with a SINGLE pass
     over the spectra ring and the coefficient bank
     (pallas_spectral_mac_mix_group). At the 256ch scale shape the MAC
@@ -634,6 +646,26 @@ def _group_step_impl(spec: GraphSpec, mac: str, state: StepState,
         return jnp.where((thr > 0) & (peak < thr),
                          jnp.zeros_like(frame), frame)
 
+    if mesh is not None:
+        # channel transforms run shard_map-local on replicated operands,
+        # exactly like _step_impl's mesh path (the MAC/ring carries the
+        # sharding; the fft itself never gets partitioned)
+        from jax.sharding import PartitionSpec as _P
+
+        def rfft_fn(a):
+            return jax.shard_map(partconv.rfft_planes, mesh=mesh,
+                                 in_specs=_P(), out_specs=_P(),
+                                 check_vma=False)(a)
+
+        def irfft_fn(a):
+            return jax.shard_map(partconv.irfft_planes_valid, mesh=mesh,
+                                 in_specs=_P(), out_specs=_P(),
+                                 check_vma=False)(a)
+    else:
+        rfft_fn = partconv.rfft_planes
+        irfft_fn = partconv.irfft_planes_valid
+    cst = constrain if constrain is not None else (lambda a: a)
+
     frames = [jnp.concatenate([p, x], axis=-1)             # [C, 2N] each
               for p, x in zip([state.prev_in] + list(xs[:-1]), xs)]
     if os.environ.get("BRUTEFIR_TPU_PAIR_FFT", "split") == "batch":
@@ -641,7 +673,7 @@ def _group_step_impl(spec: GraphSpec, mac: str, state: StepState,
         # SLOWER at the 256ch scale shape (1.597 vs 1.497 composed,
         # G=2): XLA's batched fft is again slower per row, like the
         # rejected pre-FFT hoist (device_io.multi_step docstring).
-        Xb = partconv.rfft_planes(gate(jnp.concatenate(frames, axis=0)))
+        Xb = rfft_fn(cst(gate(jnp.concatenate(frames, axis=0))))
         C = spec.n_inputs
         blks = [partconv.complex_mix(ctrl.in_mix, Xb[g * C:(g + 1) * C])
                 .reshape(F, 2, K // 128, 128) for g in range(G)]
@@ -649,7 +681,7 @@ def _group_step_impl(spec: GraphSpec, mac: str, state: StepState,
         # default: one C-row transform per block, exactly the per-block
         # scan's row count
         blks = [partconv.complex_mix(
-                    ctrl.in_mix, partconv.rfft_planes(gate(f)))
+                    ctrl.in_mix, rfft_fn(cst(gate(f))))
                 .reshape(F, 2, K // 128, 128) for f in frames]
 
     ring = state.ring
@@ -671,8 +703,19 @@ def _group_step_impl(spec: GraphSpec, mac: str, state: StepState,
                       axis=1)                      # [F, G-1, 2, R, 128]
     from ..ops.pallas_mac import (pallas_spectral_mac_mix_group,
                                   pallas_spectral_mac_group,
+                                  pallas_spectral_mac_group_shmap,
                                   group_mix_fusable)
-    if (os.environ.get("BRUTEFIR_TPU_GROUP_FORM", "") != "unfused"
+    if mesh is not None:
+        # sharded grouped dispatch: the unfused kernel runs per-shard
+        # (filters x bins, no collectives) and the separate mix matmul
+        # is where the partitioner inserts the psum over 'f' -- the
+        # fused form stays single-device (its in-kernel mix would bury
+        # the reduction inside the custom call)
+        ys_f = pallas_spectral_mac_group_shmap(
+            mesh, ring, xnews, bank, ctrl.coeff_idx, ctrl.mask, t,
+            ctrl.delay, interpret=mac == "pallas-interpret")
+        outs = [partconv.complex_mix(ctrl.out_mix, y) for y in ys_f]
+    elif (os.environ.get("BRUTEFIR_TPU_GROUP_FORM", "") != "unfused"
             and group_mix_fusable(G, F, B, K, spec.n_outputs)):
         outs = pallas_spectral_mac_mix_group(
             ring, xnews, bank, ctrl.coeff_idx, ctrl.mask, t, ctrl.out_mix,
@@ -700,10 +743,10 @@ def _group_step_impl(spec: GraphSpec, mac: str, state: StepState,
 
     if os.environ.get("BRUTEFIR_TPU_PAIR_FFT", "split") == "batch":
         C_out = spec.n_outputs
-        yb = partconv.irfft_planes_valid(jnp.concatenate(outs, axis=0))
+        yb = irfft_fn(cst(jnp.concatenate(outs, axis=0)))
         ys = [yb[g * C_out:(g + 1) * C_out] for g in range(G)]
     else:
-        ys = [partconv.irfft_planes_valid(o) for o in outs]
+        ys = [irfft_fn(cst(o)) for o in outs]
     new_state = StepState(prev_in=xs[-1], ring=ring,
                           eval_prev=state.eval_prev, t=t + G)
     return new_state, ys

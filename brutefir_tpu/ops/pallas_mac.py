@@ -1120,6 +1120,59 @@ def pallas_spectral_mac_group(ring, xnews, bank, coeff_idx, mask, t,
     return outs
 
 
+def pallas_spectral_mac_group_shmap(mesh, ring, xnews, bank, coeff_idx,
+                                    mask, t, delay,
+                                    interpret: bool = False):
+    """pallas_spectral_mac_group under an ('f','sp') mesh via shard_map.
+
+    Filters and bins shard without collectives (the MAC is elementwise
+    in both, like pallas_spectral_mac_shmap); the separate output mix's
+    contraction over 'f' is where the partitioner inserts the psum,
+    OUTSIDE this call. ``ring``/``xnews`` must be lane-tiled 5-d; the
+    bin-0 packed DC/Nyquist patch applies on the first 'sp' shard only.
+    Returns a list of G per-filter spectra [F, 2, N], P('f', None, 'sp').
+    """
+    from jax.sharding import PartitionSpec as P
+
+    B = ring.shape[1]
+    G = xnews.shape[1] + 1
+
+    def local(ring_l, xnew_l, bank_l, idx_l, mask_l, t_l, dly_l):
+        barange = jnp.arange(B, dtype=jnp.int32)
+        rposg = jnp.stack([jnp.mod(t_l + g - barange, B).astype(jnp.int32)
+                           for g in range(G)])
+        odt = _odt(ring_l.dtype)
+        dly = dly_l.astype(jnp.int32)
+        ys5 = _group_unfused_call(ring_l, xnew_l, bank_l, idx_l, rposg,
+                                  dly, mask_l.astype(odt), interpret)
+        F_l, _, _, R_l, _ = ring_l.shape
+        r0p = ring_l[:, :, :, 0, 0]
+        b0p = bank_l[:, :, :, 0, 0]
+        xn0 = xnew_l[:, :, :, 0, 0]
+        h0 = jnp.take(b0p, idx_l, axis=0) * mask_l[:, :, None]
+        is0 = jax.lax.axis_index("sp") == 0
+        outs = []
+        for g in range(G):
+            rot = _group_bin0_rot(r0p, xn0, rposg, dly, g, G)
+            ygr = jnp.sum(rot[:, :, 0] * h0[:, :, 0], axis=1)
+            ygi = jnp.sum(rot[:, :, 1] * h0[:, :, 1], axis=1)
+            y = ys5[g].reshape(F_l, 2, R_l * 128)
+            y = y.at[:, 0, 0].set(jnp.where(is0, ygr, y[:, 0, 0]))
+            y = y.at[:, 1, 0].set(jnp.where(is0, ygi, y[:, 1, 0]))
+            outs.append(y)
+        return tuple(outs)
+
+    spec5 = P("f", None, None, "sp", None)
+    return list(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec5, spec5, P(None, None, None, "sp", None),
+                  P("f"), P("f", None), P(), P("f")),
+        out_specs=tuple([P("f", None, "sp")] * G),
+        check_vma=False,
+    )(ring, xnews, bank, coeff_idx.astype(jnp.int32), mask, t,
+      delay.astype(jnp.int32)))
+
+
 def pallas_spectral_mac_mix_group(ring, xnews, bank, coeff_idx, mask, t, w,
                                   delay, interpret: bool = False):
     """Fused MAC + output mix for G consecutive blocks (t .. t+G-1).

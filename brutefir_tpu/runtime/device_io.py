@@ -736,7 +736,8 @@ class DeviceIO:
         mac, tiled, mesh_, constrain_, ps_spec = self._core_refs
         from ..graph.compile import _group_step_impl
         group_fn = functools.partial(_group_step_impl, ps_spec, mac,
-                                     uniform_delay=key[2])
+                                     uniform_delay=key[2], mesh=mesh_,
+                                     constrain=constrain_)
 
         def multi(state, ctrl, in_gain, out_gain, bank, in_words,
                   dstate, dvec_in, dvec_out, sri, sbi, sro, sbo):

@@ -441,3 +441,88 @@ def test_group_unfused_batch_matches_scanned(tmp_path, monkeypatch,
     for a, b in zip(met_a, met_b):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(ring_a, ring_b, rtol=2e-5, atol=2e-6)
+
+
+def test_group_sharded_matches_unsharded(monkeypatch):
+    """The sharded grouped program -- the unfused kernel per ('f','sp')
+    shard with the partitioner's psum over 'f' in the separate mix --
+    vs single-device sequential steps, on the virtual 8-device CPU mesh
+    (f=2 x sp=4; per-shard bins 1024/4 = 256, the pallas floor)."""
+    import functools
+
+    monkeypatch.setenv("BRUTEFIR_TPU_PAIR", "force:4")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from brutefir_tpu.graph import build_graph_spec, make_ctrl
+    from brutefir_tpu.graph.compile import (_group_step_impl, _step_impl,
+                                            StepState, group_size)
+    from brutefir_tpu.ops.partconv import preprocess_coeffs, make_bank
+    from brutefir_tpu.parallel.mesh import make_mesh, step_shardings
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = make_mesh(devices[:8], f_axis=2)
+
+    N, B, C, G = 1024, 4, 8, 4
+    rng = np.random.default_rng(21)
+    spec = build_graph_spec(N, B, C, C, [[] for _ in range(C)],
+                            [False] * C)
+    # the mesh gate admits this shape (routing proof for the sharded
+    # grouped selection itself)
+    assert group_size(spec, "pallas-interpret", None, mesh, 8) >= 2
+
+    taps = rng.standard_normal(N * B).astype(np.float32) * 0.05
+    bank = np.asarray(make_bank([preprocess_coeffs(taps, N, B)]))
+    bank_t = jnp.asarray(bank.reshape(spec.bank_shape(1, True)))
+    delays = np.asarray([0, 1, 0, 2, 0, 0, 1, 0], np.int32)
+    mask = np.zeros((C, B), np.float32)
+    for f in range(C):
+        mask[f, : B - delays[f]] = 1.0
+    ctrl = make_ctrl(
+        spec,
+        in_mix=np.eye(C, dtype=np.float32),
+        fmix=np.zeros((C, C), np.float32),
+        out_mix=rng.standard_normal((C, C)).astype(np.float32) * 0.3,
+        delay=delays,
+        coeff_idx=np.zeros(C, np.int32),
+        mask=mask,
+    )
+    state = StepState(
+        prev_in=jnp.zeros((C, N), np.float32),
+        ring=jnp.zeros(spec.ring_shape(True), np.float32),
+        eval_prev=jnp.zeros((spec.n_casc, N), np.float32),
+        t=jnp.zeros((), jnp.int32))
+    xs = [jnp.asarray(rng.standard_normal((C, N)).astype(np.float32))
+          for _ in range(G)]
+
+    # single-device sequential oracle
+    step = jax.jit(functools.partial(_step_impl, spec,
+                                     "pallas-interpret", tiled=True))
+    st_s, refs = state, []
+    for x in xs:
+        st_s, y = step(st_s, ctrl, bank_t, x)
+        refs.append(y)
+
+    # sharded grouped program
+    st_sh, ct_sh, bank_sh, x_sh, _ = step_shardings(
+        mesh, True, spec.n_bins // 128)
+
+    def replicate(a):
+        return jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, P(*([None] * a.ndim))))
+
+    grouped = jax.jit(functools.partial(
+        _group_step_impl, spec, "pallas-interpret", mesh=mesh,
+        constrain=replicate))
+    state_p = jax.tree.map(jax.device_put, state, st_sh)
+    ctrl_p = jax.tree.map(jax.device_put, ctrl, ct_sh)
+    bank_p = jax.device_put(bank_t, bank_sh)
+    xs_p = [jax.device_put(x, x_sh) for x in xs]
+    stg, ys = grouped(state_p, ctrl_p, bank_p, xs_p)
+
+    for y, ref in zip(ys, refs):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(stg.ring),
+                               np.asarray(st_s.ring),
+                               rtol=3e-5, atol=3e-5)
