@@ -10,7 +10,10 @@ setup and the blocking read/write calls.
   single sample-synchronous base start, bfio_alsa.c:419-428,469-486;
   default true like the reference). Recovers from xruns with
   prepare+restart when ``ignore_xrun`` is set, matching
-  bfio_alsa.c:555-586. Interleaved access only (see AlsaDevice).
+  bfio_alsa.c:555-586. Full hw-params negotiation with an
+  interleaved -> noninterleaved access fallback (bfio_alsa.c:149-166);
+  noninterleaved devices are driven with snd_pcm_readn/writen over
+  per-channel planes (bfio_alsa.c:541-553,606-618).
 * ``oss``: /dev/dsp ioctl setup (SNDCTL_DSP_*) with plain read/write.
 * ``jack``: a real ctypes libjack client over the callback FIFO bridge
   (io/callback.py) -- JACK owns the clock, the engine's blocking pipeline
@@ -66,11 +69,15 @@ class AlsaDevice(IoDevice):
     it (bfio_alsa.c:419-428), and synch_start starts only the base --
     the linked handles start in sample sync (bfio_alsa.c:469-486).
 
-    Deviation (documented, docs/PARITY.md): only interleaved access
-    (SND_PCM_ACCESS_RW_INTERLEAVED) is supported; the reference also
-    drives noninterleaved devices (bfio_alsa.c:62-283). A device that
-    cannot do interleaved fails hw-params setup with a clear error --
-    use an alsa-lib plug/route wrapper device for such hardware.
+    Hardware parameters are negotiated with the full hw_params API in
+    the reference's order (bfio_alsa.c:141-283): access (interleaved,
+    falling back to noninterleaved), rate (set_rate_near with the
+    reference's 1% tolerance window), format, channels, >=2 periods
+    with the halve-until-two-periods loop, then sw params pinning an
+    explicit-start threshold and a full-buffer stop threshold. A
+    noninterleaved device is read/written through snd_pcm_readn/writen
+    with per-channel plane pointers and re-/de-interleaved host-side so
+    the engine always sees the interleaved wire layout.
     """
 
     _lib = None
@@ -124,10 +131,108 @@ class AlsaDevice(IoDevice):
         self._frame_bytes = None
         self._is_base = False
         self._linked = False
+        self._interleaved = True
+        self._restart = False
         if sample_format is None:
             raise IoModuleError(
                 "ALSA I/O: AUTO sample format negotiation requires opening "
                 "the device; set an explicit format")
+
+    def _set_hw_sw_params(self, lib, pcm, period_size):
+        """Full hw/sw-params negotiation, bfio_alsa.c set_params
+        (bfio_alsa.c:141-283) in the same order: access with the
+        noninterleaved fallback, rate_near + 1% window, format,
+        channels, >=2 periods (halving the period size until the
+        device gives at least two), explicit-start / full-buffer-stop
+        sw thresholds, prepare."""
+
+        def chk(rc, what):
+            if rc < 0:
+                raise IoModuleError(
+                    f'ALSA I/O: could not set audio parameters for '
+                    f'"{self.device}": {what} (error {rc})')
+
+        hwp = ctypes.c_void_p()
+        chk(lib.snd_pcm_hw_params_malloc(ctypes.byref(hwp)), "alloc")
+        try:
+            chk(lib.snd_pcm_hw_params_any(pcm, hwp),
+                "no hardware configuration available")
+            # SND_PCM_ACCESS_RW_INTERLEAVED=3, RW_NONINTERLEAVED=4
+            if lib.snd_pcm_hw_params_set_access(pcm, hwp, 3) < 0:
+                chk(lib.snd_pcm_hw_params_set_access(pcm, hwp, 4),
+                    "failed to set interleaved and non-interleaved "
+                    "access mode")
+                self._interleaved = False
+            else:
+                self._interleaved = True
+            # set_rate_near, accepting a minor variation
+            # (bfio_alsa.c:167-181: ens1371-style near rates within 1%)
+            un = ctypes.c_uint(self.sample_rate)
+            chk(lib.snd_pcm_hw_params_set_rate_near(
+                pcm, hwp, ctypes.byref(un), None),
+                f"failed to set sample rate to {self.sample_rate} Hz")
+            got = un.value
+            if got != self.sample_rate and not (
+                    int(self.sample_rate * 0.99) < got
+                    < int(self.sample_rate / 0.99)):
+                raise IoModuleError(
+                    f"ALSA I/O: failed to set sample rate to "
+                    f"{self.sample_rate} Hz, device suggested {got} Hz "
+                    f"instead")
+            fmt = self._FMT[self.sample_format.name]
+            chk(lib.snd_pcm_hw_params_set_format(pcm, hwp, fmt),
+                f"failed to set sample format to {self.sample_format.name}")
+            chk(lib.snd_pcm_hw_params_set_channels(
+                pcm, hwp, self.open_channels),
+                f"failed to set channel count to {self.open_channels}")
+            lib.snd_pcm_hw_params_get_periods_max(
+                hwp, ctypes.byref(un), None)
+            if un.value < 2:
+                raise IoModuleError(
+                    f"ALSA I/O: hardware does not support enough periods "
+                    f"(at least 2 required, device supports {un.value})")
+            # period size near the software fragment; halve until the
+            # device yields >= 2 periods (bfio_alsa.c:203-225)
+            ps = ctypes.c_ulong(period_size)
+            lib.snd_pcm_hw_params_set_period_size_near(
+                pcm, hwp, ctypes.byref(ps), None)
+            lib.snd_pcm_hw_params_get_periods(hwp, ctypes.byref(un), None)
+            try_ps = ps.value
+            while un.value == 1 and try_ps != 0:
+                try_ps //= 2
+                ps.value = try_ps
+                lib.snd_pcm_hw_params_set_period_size_near(
+                    pcm, hwp, ctypes.byref(ps), None)
+                lib.snd_pcm_hw_params_get_periods(
+                    hwp, ctypes.byref(un), None)
+            if ps.value == 0:
+                raise IoModuleError("ALSA I/O: could not set period size")
+            chk(lib.snd_pcm_hw_params(pcm, hwp),
+                "unable to install hw params")
+            bufsz = ctypes.c_ulong(0)
+            lib.snd_pcm_hw_params_get_buffer_size(hwp, ctypes.byref(bufsz))
+        finally:
+            lib.snd_pcm_hw_params_free(hwp)
+
+        swp = ctypes.c_void_p()
+        chk(lib.snd_pcm_sw_params_malloc(ctypes.byref(swp)), "alloc")
+        try:
+            chk(lib.snd_pcm_sw_params_current(pcm, swp), "sw params")
+            # start only when explicitly told so (bfio_alsa.c:229-236);
+            # stop when the buffer underflows (bfio_alsa.c:238-246)
+            chk(lib.snd_pcm_sw_params_set_start_threshold(
+                pcm, swp, ctypes.c_ulong(0xFFFFFFFF)),
+                "failed to set start threshold")
+            chk(lib.snd_pcm_sw_params_set_stop_threshold(pcm, swp, bufsz),
+                "failed to set stop threshold")
+            chk(lib.snd_pcm_sw_params_set_avail_min(
+                pcm, swp, ctypes.c_ulong(1)),
+                "failed to set min avail")
+            chk(lib.snd_pcm_sw_params(pcm, swp),
+                "unable to install sw params")
+        finally:
+            lib.snd_pcm_sw_params_free(swp)
+        chk(lib.snd_pcm_prepare(pcm), "unable to prepare audio")
 
     def init(self, period_size):
         lib = self._asound()
@@ -139,17 +244,15 @@ class AlsaDevice(IoDevice):
             raise IoModuleError(
                 f'ALSA I/O: could not open "{self.device}" (error {rc})')
         self.pcm = pcm
-        fmt = self._FMT.get(self.sample_format.name)
-        if fmt is None:
+        if self.sample_format.name not in self._FMT:
             raise IoModuleError(
                 f"ALSA I/O: unsupported format {self.sample_format.name}")
-        rc = lib.snd_pcm_set_params(
-            pcm, fmt, 3,  # SND_PCM_ACCESS_RW_INTERLEAVED
-            self.open_channels, self.sample_rate,
-            0,  # soft_resample off (rate must match, dai.c monitor analog)
-            ctypes.c_uint(int(2 * period_size * 1_000_000 / self.sample_rate)))
-        if rc < 0:
-            raise IoModuleError(f"ALSA I/O: hw params failed (error {rc})")
+        try:
+            self._set_hw_sw_params(lib, pcm, period_size)
+        except IoModuleError:
+            lib.snd_pcm_close(pcm)
+            self.pcm = None
+            raise
         self._frame_bytes = self.sample_format.bytes * self.open_channels
         if AlsaDevice._link_setting in (None, True):
             # linked synchronous start (bfio_alsa.c:419-428): the first
@@ -168,22 +271,37 @@ class AlsaDevice(IoDevice):
                 self._linked = True
         AlsaDevice._n_open += 1
 
+    def _plane_ptrs(self, base, frames, done):
+        """Per-channel plane pointer array for readn/writen: plane c is
+        ``frames`` samples at base + c*plane_bytes, advanced ``done``
+        samples into each plane (bfio_alsa.c:541-547 pointer setup)."""
+        sb = self.sample_format.bytes
+        plane = frames * sb
+        addr = ctypes.addressof(base)
+        return (ctypes.c_void_p * self.open_channels)(
+            *[addr + c * plane + done * sb
+              for c in range(self.open_channels)])
+
     def read(self, nbytes):
         lib = self._asound()
         frames = nbytes // self._frame_bytes
         buf = ctypes.create_string_buffer(nbytes)
         got = 0
         while got < frames:
-            rc = lib.snd_pcm_readi(
-                self.pcm, ctypes.byref(buf, got * self._frame_bytes),
-                frames - got)
+            if self._interleaved:
+                rc = lib.snd_pcm_readi(
+                    self.pcm, ctypes.byref(buf, got * self._frame_bytes),
+                    frames - got)
+            else:
+                rc = lib.snd_pcm_readn(
+                    self.pcm, self._plane_ptrs(buf, frames, got),
+                    frames - got)
             if rc < 0:
                 if self.ignore_xrun and rc == -32:  # EPIPE: xrun
                     lib.snd_pcm_prepare(self.pcm)
                     # capture: PREPARED does not auto-start below the
-                    # start threshold (snd_pcm_set_params leaves it at
-                    # ~buffer size), so readi would block forever --
-                    # restart explicitly (bfio_alsa.c:555-586 recovery)
+                    # explicit start threshold, so the next read would
+                    # block forever -- restart (bfio_alsa.c:555-586)
                     lib.snd_pcm_start(self.pcm)
                     continue
                 # errno contract of dai.c:1279-1310: EPIPE = overflow/
@@ -194,25 +312,53 @@ class AlsaDevice(IoDevice):
                                else BF_EXIT_INVALID_INPUT if rc == -5
                                else None))
             got += rc
-        return buf.raw[: got * self._frame_bytes]
+        raw = buf.raw[: got * self._frame_bytes]
+        if self._interleaved or got == 0:
+            return raw
+        # planes -> interleaved wire layout (the engine's contract)
+        import numpy as np
+        sb = self.sample_format.bytes
+        planes = np.frombuffer(raw, np.uint8).reshape(
+            self.open_channels, got, sb)
+        return planes.transpose(1, 0, 2).tobytes()
 
     def write(self, data):
         lib = self._asound()
         frames = len(data) // self._frame_bytes
         buf = bytes(data)
+        if not self._interleaved:
+            # interleaved engine layout -> per-channel planes
+            import numpy as np
+            sb = self.sample_format.bytes
+            planar = np.frombuffer(buf, np.uint8).reshape(
+                frames, self.open_channels, sb).transpose(1, 0, 2)
+            nbuf = ctypes.create_string_buffer(planar.tobytes(), len(buf))
         done = 0
         while done < frames:
-            rc = lib.snd_pcm_writei(
-                self.pcm, buf[done * self._frame_bytes:], frames - done)
+            if self._interleaved:
+                rc = lib.snd_pcm_writei(
+                    self.pcm, buf[done * self._frame_bytes:], frames - done)
+            else:
+                rc = lib.snd_pcm_writen(
+                    self.pcm, self._plane_ptrs(nbuf, frames, done),
+                    frames - done)
             if rc < 0:
                 if self.ignore_xrun and rc == -32:
                     lib.snd_pcm_prepare(self.pcm)
+                    # playback: with the explicit start threshold the
+                    # prepared stream never auto-restarts; arm a restart
+                    # after the next successful write, like the
+                    # reference's bfio_write hack (bfio_alsa.c:619-627)
+                    self._restart = True
                     continue
                 raise IoModuleError(
                     f"ALSA I/O: write failed (error {rc}), buffer underflow",
                     exit_code=(BF_EXIT_BUFFER_UNDERFLOW if rc == -32
                                else None))
             done += rc
+            if self._restart:
+                self._restart = False
+                lib.snd_pcm_start(self.pcm)
         return len(data)
 
     def synch_start(self):

@@ -78,7 +78,9 @@ def _mk_device(fmt="S16_LE", io=0, channels=2, ignore_xrun=False,
 
 
 def test_param_negotiation_sequence(fake_alsa):
-    """open -> set_params carries format/channels/rate; close frees."""
+    """The full hw/sw-params negotiation runs in the reference's order
+    (bfio_alsa.c:141-283): any -> access -> rate_near -> format ->
+    channels -> period_size_near -> commit -> sw params -> prepare."""
     log, _ = fake_alsa
     dev = _mk_device(fmt="S24_4LE", io=0, channels=3)
     dev.init(256)
@@ -86,9 +88,85 @@ def test_param_negotiation_sequence(fake_alsa):
     dev.close()
     lines = log.read_text().splitlines()
     assert lines[0].startswith("open name=hw:0 stream=1")   # capture
-    assert "set_params format=6 access=3 channels=3 rate=44100" in lines[1]
-    assert lines[2] == "start"
-    assert lines[3] == "close"
+    assert lines[1] == "hw_params_any"
+    assert lines[2] == "set_access access=3"                # interleaved
+    assert lines[3] == "set_rate_near want=44100 got=44100"
+    assert lines[4] == "set_format format=6"                # S24_4LE
+    assert lines[5] == "set_channels channels=3"
+    assert lines[6] == "set_period_size_near frames=256"
+    assert lines[7].startswith(
+        "hw_params access=3 format=6 channels=3 rate=44100 period=256")
+    # explicit start, stop at buffer size, avail_min 1
+    # (bfio_alsa.c:229-258)
+    assert lines[8] == "sw_params start=4294967295 stop=1024 avail_min=1"
+    assert lines[9] == "prepare"
+    assert lines[10] == "start"
+    assert lines[11] == "close"
+
+
+def test_rate_near_tolerance(fake_alsa, monkeypatch):
+    """set_rate_near variations: within 1% is accepted, beyond aborts
+    (bfio_alsa.c:174-181)."""
+    monkeypatch.setenv("FAKE_ASOUND_RATE", "44099")
+    dev = _mk_device(io=0)
+    dev.init(64)                            # 44099 ~ 44100: accepted
+    dev.close()
+    AlsaDevice._lib.fake_asound_reset()
+    monkeypatch.setenv("FAKE_ASOUND_RATE", "48000")
+    dev = _mk_device(io=0)
+    with pytest.raises(IoModuleError, match="suggested 48000"):
+        dev.init(64)
+
+
+def test_noninterleaved_fallback_roundtrip(fake_alsa, monkeypatch):
+    """A device refusing RW_INTERLEAVED falls back to noninterleaved
+    access (bfio_alsa.c:149-166) and is driven with readn/writen over
+    per-channel planes (bfio_alsa.c:541-553,606-618); the engine-facing
+    wire bytes are identical to the interleaved mode."""
+    log, dump = fake_alsa
+    monkeypatch.setenv("FAKE_ASOUND_ACCESS", "noninterleaved")
+    din = _mk_device(fmt="S24_LE", io=0, channels=3)   # 3-byte format
+    din.init(64)
+    raw = din.read(64 * 9)
+    a = np.frombuffer(raw, np.uint8).reshape(64, 3, 3)
+    # pattern byte in the low byte of each 3-byte frame/channel sample
+    assert a[0, 0, 0] == 0 and a[0, 1, 0] == 1 and a[0, 2, 0] == 2
+    assert a[5, 0, 0] == 5
+    assert not a[:, :, 1:].any()
+    dout = _mk_device(fmt="S24_LE", io=1, channels=3)
+    dout.init(64)
+    dout.write(raw)
+    txt = log.read_text()
+    assert "set_access access=3 -> -EINVAL" in txt      # tried interleaved
+    assert "set_access access=4" in txt                 # fell back
+    assert "readn frames=64" in txt and "writen frames=64" in txt
+    # the dump is the interleaved wire record regardless of access mode
+    assert dump.read_bytes() == raw
+    din.close()
+    dout.close()
+
+
+def test_noninterleaved_write_xrun_restart(fake_alsa, monkeypatch):
+    """writen xrun with ignore_xrun: prepare, then restart is armed
+    after the next successful write (the reference's bfio_write restart
+    hack, bfio_alsa.c:619-627) -- without it the explicit start
+    threshold would leave the prepared stream stopped forever."""
+    log, _ = fake_alsa
+    monkeypatch.setenv("FAKE_ASOUND_ACCESS", "noninterleaved")
+    monkeypatch.setenv("FAKE_ASOUND_XRUN", "w:2")
+    dev = _mk_device(io=1, ignore_xrun=True)
+    dev.init(64)
+    dev.synch_start()
+    dev.write(b"\0" * 64 * 4)               # call 1 ok
+    dev.write(b"\0" * 64 * 4)               # call 2 xruns, recovers
+    lines = log.read_text().splitlines()
+    i = lines.index("writen frames=64 -> -EPIPE")
+    assert lines[i + 1] == "prepare"
+    assert lines[i + 2] == "writen frames=64"
+    assert lines[i + 3] == "start"          # restarted after the write
+    lib = AlsaDevice._lib
+    assert lib.snd_pcm_state(dev.pcm) == 3  # RUNNING again
+    dev.close()
 
 
 def test_capture_pattern_roundtrip(fake_alsa):
