@@ -621,8 +621,12 @@ def _xfade_stage(budget_s: float, channels: int = 0):
     else:
         argv, env = ["uniform"], {}
         default_timeout = "480"
+    # BENCH_XFADE_TIMEOUT (specific) wins; BENCH_EXTRA_TIMEOUT governed
+    # these stages before round 5 and is still honored as the default
     stdout = _stage_run("xfade_ab.py", argv, env,
-                        "BENCH_XFADE_TIMEOUT", default_timeout)
+                        "BENCH_XFADE_TIMEOUT",
+                        os.environ.get("BENCH_EXTRA_TIMEOUT",
+                                       default_timeout))
     if stdout is None:
         return None
     out = {}

@@ -1813,6 +1813,26 @@ class Engine:
             self.teardown()
         return stats
 
+    def _snapshot_epoch(self):
+        """One control epoch for a dispatch: ctrl snapshot + mute gains +
+        program-variant flags, with the dio delay lines updated from the
+        SAME epoch -- ctrl and the host delay lines must agree
+        (bfrun.c:1574-1601). Returns (ctrl, gains, uniform,
+        uniform_delay, xfade_now)."""
+        with self.control_mutex:
+            ctrl = self.control.snapshot()
+            gains = self._mute_gains()
+            uni = self.control.snapshot_uniform
+            udl = self.control.snapshot_uniform_delay
+            xf = self.control.snapshot_xfade
+            dly_snap = (list(self.control.delay[IN]),
+                        list(self.control.delay[OUT]))
+            sd_snap = (list(self.control.subdelay[IN]),
+                       list(self.control.subdelay[OUT]))
+        self.dio.update_delays(*dly_snap)
+        self.dio.update_subdelays(*sd_snap)
+        return ctrl, gains, uni, udl, xf
+
     def _run_offline_batches(self, max_blocks, M, N, wq, wstats, pq,
                              pstate, budget):
         import queue
@@ -1859,17 +1879,7 @@ class Engine:
                     f = min(N, left - b * N)
                     if f <= 0:
                         break
-                    with self.control_mutex:
-                        ctrl = self.control.snapshot()
-                        gains = self._mute_gains()
-                        uni = self.control.snapshot_uniform
-                        xf = self.control.snapshot_xfade
-                        dly_snap = (list(self.control.delay[IN]),
-                                    list(self.control.delay[OUT]))
-                        sd_snap = (list(self.control.subdelay[IN]),
-                                   list(self.control.subdelay[OUT]))
-                    self.dio.update_delays(*dly_snap)
-                    self.dio.update_subdelays(*sd_snap)
+                    ctrl, gains, uni, _udl, xf = self._snapshot_epoch()
                     self.state, outs1, meters1, nan1 = self.dio.step(
                         self.state, ctrl, gains[0], gains[1], self.bank,
                         [st[b] for st in dstacks], uniform=uni, xfade=xf)
@@ -1883,18 +1893,7 @@ class Engine:
                         except queue.Full:
                             continue
                 break
-            with self.control_mutex:
-                ctrl = self.control.snapshot()
-                gains = self._mute_gains()
-                uni = self.control.snapshot_uniform
-                udl = self.control.snapshot_uniform_delay
-                xf = self.control.snapshot_xfade
-                dly_snap = (list(self.control.delay[IN]),
-                            list(self.control.delay[OUT]))
-                sd_snap = (list(self.control.subdelay[IN]),
-                           list(self.control.subdelay[OUT]))
-            self.dio.update_delays(*dly_snap)
-            self.dio.update_subdelays(*sd_snap)
+            ctrl, gains, uni, udl, xf = self._snapshot_epoch()
             m_left = M
             start = 0
             while xf and m_left > 0:
@@ -1922,35 +1921,50 @@ class Engine:
                         break
                     except queue.Full:
                         continue
-                with self.control_mutex:
-                    ctrl = self.control.snapshot()
-                    gains = self._mute_gains()
-                    uni = self.control.snapshot_uniform
-                    udl = self.control.snapshot_uniform_delay
-                    xf = self.control.snapshot_xfade
-                    dly_snap = (list(self.control.delay[IN]),
-                                list(self.control.delay[OUT]))
-                    sd_snap = (list(self.control.subdelay[IN]),
-                               list(self.control.subdelay[OUT]))
-                self.dio.update_delays(*dly_snap)
-                self.dio.update_subdelays(*sd_snap)
-            if m_left > 0:
-                if start:
-                    dstacks = [st[start:] for st in dstacks]
-                mstep = self.dio.multi_step(m_left, uniform=uni,
+                if m_left == 0:
+                    # the batch ended on an xfade block: do NOT take
+                    # another snapshot here -- snapshot() advances
+                    # prev_coeff, so a swap pending right now would have
+                    # its crossfade epoch consumed with no block to
+                    # apply it to (the next batch's snapshot picks it up
+                    # and crossfades its first block instead)
+                    break
+                ctrl, gains, uni, udl, xf = self._snapshot_epoch()
+            if m_left == M:
+                mstep = self.dio.multi_step(M, uniform=uni,
                                             udelay=udl, xfade=False)
                 self.state, outs, meters, nan_ok = mstep(
                     self.state, ctrl, gains[0], gains[1], self.bank,
                     dstacks)
                 sync_first(nan_ok)
-                self.blockcounter += m_left
+                self.blockcounter += M
                 while wstats["err"] is None:
                     try:
-                        wq.put((outs, meters, nan_ok, m_left * N),
+                        wq.put((outs, meters, nan_ok, M * N),
                                timeout=1.0)
                         break
                     except queue.Full:
                         continue
+            elif m_left > 0:
+                # rare remainder after a crossfade split: reuse the
+                # already-compiled per-block program under this SAME
+                # epoch rather than compiling a fresh multi_step scan
+                # per remainder size 1..M-1 (a cold program compile is
+                # minutes at the flagship shape)
+                for b in range(start, M):
+                    self.state, outs1, meters1, nan1 = self.dio.step(
+                        self.state, ctrl, gains[0], gains[1], self.bank,
+                        [st[b] for st in dstacks], uniform=uni,
+                        xfade=False)
+                    sync_first(nan1)
+                    self.blockcounter += 1
+                    while wstats["err"] is None:
+                        try:
+                            wq.put((tuple(o[None] for o in outs1),
+                                    meters1, nan1, N), timeout=1.0)
+                            break
+                        except queue.Full:
+                            continue
             per = (time.perf_counter() - t0) / M
             self._periods.append(per)
             # full batches only, the offline analog of the reference's

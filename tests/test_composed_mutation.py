@@ -449,6 +449,82 @@ filter 0 {{ crossfade: true; from_inputs: 0; to_outputs: 0; coeff: 0; }};
     np.testing.assert_array_equal(go("tail"), ref)
 
 
+def test_offline_xfade_epoch_not_consumed_at_batch_end(tmp_path,
+                                                       monkeypatch):
+    """A swap pending at the instant a batch ends ON an xfade block must
+    crossfade the NEXT batch's first block, not apply abruptly: the
+    xfade-split loop must not take a trailing snapshot() once the batch
+    is exhausted (snapshot() advances prev_coeff, bfrun.c:1695-1777 +
+    control.py:242, so an undispatched snapshot silently consumes the
+    crossfade epoch). Repro from the round-5 review: a concurrent
+    mutator swapping coeffs after every dispatched block -- every block
+    of the batched run must byte-match the per-block run()."""
+    from brutefir_tpu.runtime.device_io import DeviceIO
+
+    Nl, Bl = 128, 2
+    rng = np.random.default_rng(21)
+    h0 = (rng.uniform(-1, 1, Nl * Bl) * 0.1).astype(np.float32)
+    h1 = (rng.uniform(-1, 1, Nl * Bl) * 0.1).astype(np.float32)
+    h0.tofile(tmp_path / "c0.raw")
+    h1.tofile(tmp_path / "c1.raw")
+    n_blocks = 6
+    x = rng.uniform(-0.5, 0.5, n_blocks * Nl).astype("<f4")
+    x.tofile(tmp_path / "in.raw")
+
+    conf_text = """
+sampling_rate: 44100; filter_length: {N},{B}; show_progress: false;
+coeff 0 {{ filename: "{d}/c0.raw"; format: "FLOAT_LE"; }};
+coeff 1 {{ filename: "{d}/c1.raw"; format: "FLOAT_LE"; }};
+input 0 {{ device: "file" {{ path: "{d}/in.raw"; }};
+           sample: "FLOAT_LE"; channels: 1; }};
+output 0 {{ device: "file" {{ path: "{outp}"; }};
+            sample: "FLOAT_LE"; channels: 1; dither: false; }};
+filter 0 {{ crossfade: true; from_inputs: 0; to_outputs: 0; coeff: 0; }};
+"""
+
+    orig_step = DeviceIO.step
+
+    def go(mode):
+        outp = tmp_path / f"o_{mode}.raw"
+        conf = parse_config(conf_text.format(N=Nl, B=Bl, d=tmp_path,
+                                             outp=outp), "probe")
+        eng = Engine(conf)
+        swaps = []
+
+        def swapping_step(self, *a, **kw):
+            r = orig_step(self, *a, **kw)
+            # a concurrent control client lands a cfc swap right after
+            # every dispatched block (alternating targets so each one
+            # is a real prev!=final epoch); capped so the last block
+            # runs swap-free in both modes
+            if len(swaps) < n_blocks - 1:
+                # seed swap was to coeff 1; keep alternating 0,1,0,...
+                swaps.append(eng.control.change_coeff(
+                    0, (len(swaps) + 1) % 2))
+            return r
+
+        monkeypatch.setattr(DeviceIO, "step", swapping_step)
+        eng.setup()
+        # seed the chain BEFORE the run: the first batch must take the
+        # per-block xfade split (a crossfade-free batch dispatches the
+        # batched program, which the spy does not see)
+        swaps.append(eng.control.change_coeff(0, 1))
+        try:
+            if mode == "perblock":
+                eng.run(setup=False)
+            else:
+                eng.run_offline(batch_blocks=2, setup=False)
+        finally:
+            eng.teardown()
+            monkeypatch.setattr(DeviceIO, "step", orig_step)
+        assert len(swaps) == n_blocks - 1, (mode, len(swaps))
+        return np.fromfile(outp, "<f4")
+
+    ref = go("perblock")
+    assert len(ref) == n_blocks * Nl
+    np.testing.assert_array_equal(go("batch2"), ref)
+
+
 @pytest.mark.parametrize("pair_env", ["0", "force"])
 def test_composed_mutation_torture(tmp_path, monkeypatch, pair_env):
     """The full mutation storm against the sequential oracle, under both
